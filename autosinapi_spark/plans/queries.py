@@ -1,0 +1,415 @@
+"""Core query surface — SURVEY.md §2 operators on the driver fixtures.
+
+Each query cites the reference operator(s) it exercises
+(``/root/reference/...`` file:line via SURVEY §2 IDs) and carries a
+DuckDB oracle. Column names/types are aligned between Spark and oracle
+(driver hashes values under name-sorted columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load
+from ..operators.dedup import dedup_keep_first, exact_text_dedup
+from ..operators.repair import missing_keys, placeholder_rows
+from ..operators.reshape import tagged_union, unpivot_values
+from ..operators.windows import latest_per_group, status_from_latest
+from .registry import davg, dsum, register, sql_davg, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape = SINAPI cost-rollup shape,
+# SURVEY §7.2). Exercises filter pushdown + hash aggregate (A-agg family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship aggregation; shape of SINAPI Σ coeficiente×preço "
+    "(DataModel.md:376-391) on lineitem.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference q1: cost lookup with catalog join (J8; DataModel.md:376-382).
+# Broadcast the small catalog side (part) against the fact (lineitem).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cost_lookup",
+    f"""
+    SELECT l.l_partkey AS codigo, p.p_name AS descricao, p.p_brand AS marca,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'custo_total')},
+           {sql_davg('l.l_extendedprice', 'preco_medio')},
+           COUNT(*) AS n_itens
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY l.l_partkey, p.p_name, p.p_brand
+    """,
+    doc="J8 cost lookup: fact ⋈ broadcast(catalog) + rollup "
+    "(DataModel.md:376-382).",
+)
+def cost_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("l_partkey").alias("codigo"),
+            F.col("p_name").alias("descricao"),
+            F.col("p_brand").alias("marca"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "custo_total",
+            ),
+            davg(F.col("l_extendedprice"), "preco_medio"),
+            F.count(F.lit(1)).alias("n_itens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/A3: latest event per user (etl_pipeline.py:402-408 SQL window).
+# ---------------------------------------------------------------------------
+
+_LATEST_EVENT_ORACLE = """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "latest_event_per_user",
+    _LATEST_EVENT_ORACLE,
+    doc="W1/A3 latest-per-group via row_number "
+    "(etl_pipeline.py:402-408).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    latest = latest_per_group(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4+W1: status sync — latest event decides lifecycle status
+# (etl_pipeline.py:399-423; deactivation ILIKE, config.py:31).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_status_sync",
+    """
+    SELECT user_id,
+           CASE WHEN upper(event_type) LIKE '%ERROR%'
+                THEN 'DESATIVADO' ELSE 'ATIVO' END AS status
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="J4 status sync: latest maintenance event decides ATIVO/DESATIVADO "
+    "(etl_pipeline.py:399-423).",
+)
+def user_status_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return status_from_latest(
+        ev,
+        ["user_id"],
+        "ts",
+        deactivation_predicate=F.upper(F.col("event_type")).like("%ERROR%"),
+        tiebreak_cols=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3: placeholder integrity repair (etl_pipeline.py:287-338).
+# Catalog is artificially restricted (p_partkey % 7 != 0) so the
+# anti-join finds real "missing" codes; placeholders use the
+# reference's template (config.py:38).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "missing_parts_placeholder",
+    """
+    SELECT m.codigo,
+           'INSUMO_DESCONHECIDO_' || CAST(m.codigo AS VARCHAR) AS descricao,
+           'UN' AS unidade
+    FROM (SELECT DISTINCT l_partkey AS codigo FROM lineitem
+          WHERE l_partkey IS NOT NULL) m
+    LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0) c
+      ON m.codigo = c.p_partkey
+    WHERE c.p_partkey IS NULL
+    """,
+    doc="J1-J3 placeholder repair: anti-join missing codes + template "
+    "description (etl_pipeline.py:287-338, config.py:38).",
+)
+def missing_parts_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    catalog = load(spark, sf_dir, "part").where(F.col("p_partkey") % 7 != 0)
+    missing = missing_keys(li, "l_partkey", catalog, "p_partkey")
+    missing = missing.select(F.col("p_partkey").alias("codigo"))
+    return placeholder_rows(
+        missing,
+        "codigo",
+        detail=None,
+        desc_col="__desc",
+        desc_template="INSUMO_DESCONHECIDO_%d",
+        default_unit="UN",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C12/K4 shape: monthly period bucketing (database.py:208 TO_CHAR).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_order_revenue",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS periodo,
+           {sql_dsum('o_totalprice', 'receita')},
+           COUNT(*) AS n_pedidos
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="C12 period key TO_CHAR(date,'YYYY-MM') (database.py:208) + "
+    "monthly fact rollup.",
+)
+def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("periodo")
+    ).agg(
+        dsum(F.col("o_totalprice"), "receita"),
+        F.count(F.lit(1)).alias("n_pedidos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3: tagged union view (vw_composicao_itens_unificados,
+# database.py:129-132) — two edge projections with literal type tags.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_view_itens",
+    """
+    SELECT l_orderkey AS pai_codigo, l_partkey AS item_codigo,
+           l_quantity AS coeficiente, 'INSUMO' AS tipo_item
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey AS pai_codigo, l_suppkey AS item_codigo,
+           l_quantity AS coeficiente, 'COMPOSICAO' AS tipo_item
+    FROM lineitem
+    """,
+    doc="U3 tagged UNION ALL view (database.py:129-132).",
+)
+def union_view_itens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("pai_codigo"),
+        F.col("l_partkey").alias("item_codigo"),
+        F.col("l_quantity").alias("coeficiente"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("pai_codigo"),
+        F.col("l_suppkey").alias("item_codigo"),
+        F.col("l_quantity").alias("coeficiente"),
+    )
+    return tagged_union([(a, "INSUMO"), (b, "COMPOSICAO")], tag_col="tipo_item")
+
+
+# ---------------------------------------------------------------------------
+# A1: deterministic keyed dedup (processor.py:256-258 drop_duplicates
+# keep-first, made order-stable per SURVEY §7.3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_first_item_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="A1 keyed dedup, deterministic survivor (processor.py:256-258).",
+)
+def dedup_first_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures; the
+    # extra tiebreak columns make the survivor total-ordered.
+    return dedup_keep_first(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# R1: unpivot/melt — the signature SINAPI transform (processor.py:134-158).
+# Pivot lineitem to a wide per-returnflag frame (columns = linestatus,
+# like the 27 UF columns), then unpivot back; oracle is the equivalent
+# GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_qty_by_status",
+    f"""
+    SELECT l_returnflag, l_linestatus AS uf,
+           {sql_dsum('l_quantity', 'valor')}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="R1 unpivot wide->long with null drop (processor.py:134-158); "
+    "wide frame synthesized by pivot.",
+)
+def unpivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    statuses = ["F", "O"]  # fixture domain of l_linestatus
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", statuses)
+        .agg(dsum(F.col("l_quantity"), "v"))
+    )
+    return unpivot_values(
+        wide,
+        id_cols=["l_returnflag"],
+        value_cols=statuses,
+        var_name="uf",
+        value_name="valor",
+        drop_null=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact text dedup (LLM-pipeline extension; hash-groupBy on digest).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_documents",
+    """
+    SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY trim(regexp_replace(text, '\\s+', ' ', 'g'))
+    """,
+    doc="Exact dedup: digest-groupBy, min-id survivor (extension; "
+    "A1 family).",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_text_dedup(docs, "text", "doc_id", normalize=True)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from events.props (engine extension noted in SURVEY
+# §2.9: from_json/get_json_object).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, user_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="JSON prop extraction (get_json_object) from events.props.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time-window aggregation (extension per SURVEY §2.10: batch
+# equivalent of the streaming windowed agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_stats",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hora,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'soma_valor')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window aggregation over events (batch shape of the "
+    "streaming windowed agg).",
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hora"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "soma_valor"),
+    )

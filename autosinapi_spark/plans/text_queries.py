@@ -1,0 +1,183 @@
+"""Text-analysis queries over ``documents`` (LLM-pipeline extensions).
+
+Language-ID, quality scoring, token counting, fingerprinting — each a
+pure Column-expression plan (JVM-side) with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import (
+    EN_STOPWORDS,
+    PT_STOPWORDS,
+    fingerprint,
+    normalize_ws,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+)
+from .registry import register
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "doc_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+             AS n_tokens,
+           length(text) AS len_chars
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) over documents.",
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(ts, t -> t IN ({_sql_list(EN_STOPWORDS)})))
+             AS en_hits,
+           len(list_filter(ts, t -> t IN ({_sql_list(PT_STOPWORDS)})))
+             AS pt_hits,
+           CASE
+             WHEN len(list_filter(ts, t -> t IN ({_sql_list(EN_STOPWORDS)})))
+                > len(list_filter(ts, t -> t IN ({_sql_list(PT_STOPWORDS)})))
+               THEN 'en'
+             WHEN len(list_filter(ts, t -> t IN ({_sql_list(PT_STOPWORDS)})))
+                > len(list_filter(ts, t -> t IN ({_sql_list(EN_STOPWORDS)})))
+               THEN 'pt'
+             ELSE 'und'
+           END AS pred_lang
+    FROM tok
+    """,
+    doc="Language-ID heuristic: disjoint stopword votes (n-gram-free "
+    "variant; extension).",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    en = stopword_hits("text", EN_STOPWORDS)
+    pt = stopword_hits("text", PT_STOPWORDS)
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        pt.alias("pt_hits"),
+        F.when(en > pt, F.lit("en"))
+        .when(pt > en, F.lit("pt"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_tokens,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio,
+             length(text) AS len_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, len_chars,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           CASE WHEN n_tokens >= 20 AND punct_ratio < 0.2
+                THEN 'keep' ELSE 'drop' END AS quality_flag
+    FROM t
+    """,
+    doc="Quality scoring: length / punctuation-ratio filters (extension).",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pr = punct_ratio("text")
+    nt = token_count("text")
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.when((nt >= 20) & (pr < 0.2), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_flag"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of canonical whitespace-normalized "
+    "text (extension).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "doc_ngram_profile",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ts) - 2 AS n_trigrams,
+           len(list_distinct(list_transform(
+             generate_series(1, len(ts) - 2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+           ))) AS n_distinct_trigrams
+    FROM tok
+    WHERE len(ts) >= 3
+    """,
+    doc="Word-trigram shingle profile per document (n-gram machinery "
+    "backing Jaccard/MinHash dedup).",
+)
+def doc_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split(normalize_ws(F.col("text")), " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ts, i),
+            F.element_at(ts, i + 1),
+            F.element_at(ts, i + 2),
+        ),
+    )
+    return (
+        docs.where(F.size(ts) >= 3)
+        .select(
+            "doc_id",
+            (F.size(ts) - 2).alias("n_trigrams"),
+            F.size(F.array_distinct(tri)).alias("n_distinct_trigrams"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local-mode defaults match the test/bench environment (single JVM,
+``local[$SPARK_GRAFT_CPUS]``); every knob is overridable so the same
+factory serves a real cluster deployment. Scale posture:
+
+- AQE on (runtime re-plan: coalesce post-shuffle partitions, skew-join
+  splitting, dynamic broadcast conversion).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a
+  1000-executor cluster this is tuned to ~2-3x total cores (or left to
+  AQE coalescing with a high initial value).
+- Arrow enabled so any Pandas-UDF slow path is batch-vectorized.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: larger row-group batches, vectorized reader
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # deterministic timestamp read behaviour
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "autosinapi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
