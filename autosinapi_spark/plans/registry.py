@@ -9,13 +9,13 @@ Cross-engine float determinism
 A plain ``SUM(double)`` is order-dependent, so Spark and DuckDB can
 disagree in the last ulps and fail the driver's value-hash compare.
 Every summed double is therefore cast per-row to ``DECIMAL(28,10)``,
-summed exactly, and RETURNED AS DECIMAL(38,10): DuckDB's
-decimal->double cast is not correctly rounded (int128 -> double, then
-a division by 10^scale), so casting back to double would reintroduce
-ulp mismatches — keeping the exact decimal avoids the cast entirely.
-Means divide the exact sum as double and round to 6 decimals, which
-absorbs both the cast discrepancy (~1e-12 relative) and per-element
-decimal tie-rounding differences (Spark HALF_UP vs DuckDB HALF_EVEN).
+summed exactly, CAST BACK TO DOUBLE, and rounded to 6 decimals.
+Both engines cast the *same exact decimal* to double, so any cast
+discrepancy is identical on both sides and the ROUND absorbs it —
+this is the pattern empirically green in the driver's value-hash
+(``embedding_label_centroids``, round 1), whereas returning the raw
+DECIMAL(38,10) failed the driver hash on all 6 queries that used it
+(the driver canonicalizes Decimal differently from floats).
 ``dsum``/``davg`` implement the Spark side; ``sql_dsum``/``sql_davg``
 emit the literal matching SQL.
 """
@@ -52,9 +52,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-def dsum(c: Column, alias: str) -> Column:
-    """Order-independent sum: per-row decimal cast, exact decimal result."""
-    return F.sum(c.cast("decimal(28,10)")).alias(alias)
+def dsum(c: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent sum: exact decimal sum -> double, rounded."""
+    return F.round(
+        F.sum(c.cast("decimal(28,10)")).cast("double"), scale
+    ).alias(alias)
 
 
 def davg(c: Column, alias: str, scale: int = 6) -> Column:
@@ -66,8 +68,11 @@ def davg(c: Column, alias: str, scale: int = 6) -> Column:
 
 
 # SQL fragments matching dsum/davg for the DuckDB oracle side.
-def sql_dsum(expr: str, alias: str) -> str:
-    return f"SUM(CAST({expr} AS DECIMAL(28,10))) AS {alias}"
+def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE), "
+        f"{scale}) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:

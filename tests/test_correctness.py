@@ -7,6 +7,7 @@ runs the same contract at sf0.01.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import pytest
@@ -21,8 +22,16 @@ def _registry():
 
 
 def _canon_cell(v):
+    # Mirror the driver's hashed representation: Decimal and float must
+    # canonicalize identically or decimal-typed outputs pass locally
+    # while failing the driver hash (round-1 lesson).
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        # Distinct from the float repr on purpose: a Decimal on one
+        # side vs a double on the other must FAIL here, because the
+        # driver's hash treats them differently too.
+        return ("dec", f"{float(v):.6f}")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -49,7 +58,7 @@ def test_query_matches_oracle(spark, duck, name):
     scols = list(sdf.columns)
 
     if spec.oracle is None:
-        assert len(srows) >= 0  # rows-only check, mirrors driver
+        assert len(srows) > 0, f"{name}: rows-only query returned 0 rows"
         return
 
     ocur = duck.execute(spec.oracle)
