@@ -1,0 +1,79 @@
+"""Benchmark harness — times every registered query at the bench SF.
+
+Run: ``python bench.py`` (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized end-to-end through the ``noop`` sink
+(executes the full physical plan on the executors without collecting
+rows to the driver), which is the honest distributed cost — a
+``.count()`` would let Catalyst prune the plan to a metadata scan for
+some shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from autosinapi_spark.session import get_spark
+
+    spark = get_spark(app_name="autosinapi_spark_bench")
+
+    # JVM/codegen warm-up so the first measured query isn't charged
+    # for class-loading; one tiny end-to-end job.
+    t0 = time.perf_counter()
+    _materialize(entrymod.entry(spark))
+    warmup = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, sf_dir))
+        except Exception as exc:  # a broken query must not kill the bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "warmup_sec": round(warmup, 3),
+    }
+    print(json.dumps(out))
+    return 0 if len(ok) == len(timings) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
