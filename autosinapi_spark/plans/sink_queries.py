@@ -1,0 +1,162 @@
+"""Write-policy queries (K2-K5) — logical MERGE results, oracle-checked.
+
+Each query builds an "existing table" and an "incoming monthly batch"
+from the fixtures, applies one write policy from
+``operators/sinks.py``, and returns the merged table state — exactly
+what the physical writer would persist. Reference:
+``/root/reference/autosinapi/core/database.py:151-259`` invoked at
+``etl_pipeline.py:279,354-376``.
+
+Fixture framing: ``part`` plays the catalog (codigo/descricao/unidade/
+status), ``orders`` plays a monthly fact table. The existing side is
+``p_partkey % 2 = 0`` (a previous load), the incoming batch is
+``p_partkey % 3 = 0`` with re-derived descriptions and a *column
+subset* — which is what makes K3's "update only incoming's columns"
+rule observable (unidade/status survive on matched rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.sinks import (
+    append_ignore_conflicts,
+    overwrite,
+    replace_by_period,
+    upsert,
+)
+from .registry import register
+
+_EXISTING_SQL = """
+    SELECT p_partkey AS codigo, p_name AS descricao,
+           p_brand AS unidade, 'ATIVO' AS status
+    FROM part WHERE p_partkey % 2 = 0
+"""
+_INCOMING_SQL = """
+    SELECT p_partkey AS codigo, upper(p_name) AS descricao
+    FROM part WHERE p_partkey % 3 = 0
+"""
+
+
+def _existing_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("codigo"),
+        F.col("p_name").alias("descricao"),
+        F.col("p_brand").alias("unidade"),
+        F.lit("ATIVO").alias("status"),
+    )
+
+
+def _incoming_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("codigo"),
+        F.upper(F.col("p_name")).alias("descricao"),
+    )
+
+
+@register(
+    "sink_append_nodup",
+    f"""
+    SELECT * FROM ({_EXISTING_SQL})
+    UNION ALL
+    SELECT codigo, descricao, CAST(NULL AS VARCHAR) AS unidade,
+           'ATIVO' AS status
+    FROM ({_INCOMING_SQL})
+    WHERE codigo NOT IN (SELECT codigo FROM ({_EXISTING_SQL}))
+    """,
+    doc="K2 append-ignore-conflicts: PK anti-join + union, DDL default "
+    "fill (database.py:175-204; J5).",
+)
+def sink_append_nodup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = _existing_catalog(spark, sf_dir)
+    incoming = _incoming_catalog(spark, sf_dir)
+    return append_ignore_conflicts(
+        existing, incoming, ["codigo"], defaults={"status": F.lit("ATIVO")}
+    )
+
+
+@register(
+    "sink_upsert_catalog",
+    f"""
+    SELECT e.codigo,
+           CASE WHEN i.codigo IS NOT NULL THEN i.descricao
+                ELSE e.descricao END AS descricao,
+           e.unidade, e.status
+    FROM ({_EXISTING_SQL}) e
+    LEFT JOIN ({_INCOMING_SQL}) i ON e.codigo = i.codigo
+    UNION ALL
+    SELECT codigo, descricao, CAST(NULL AS VARCHAR) AS unidade,
+           'ATIVO' AS status
+    FROM ({_INCOMING_SQL})
+    WHERE codigo NOT IN (SELECT codigo FROM ({_EXISTING_SQL}))
+    """,
+    doc="K3 upsert: full-outer merge on PK updating only incoming's "
+    "columns — unidade/status preserved on match (database.py:220-246, "
+    "DataModel.md:197; J6).",
+)
+def sink_upsert_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = _existing_catalog(spark, sf_dir)
+    incoming = _incoming_catalog(spark, sf_dir)
+    return upsert(
+        existing, incoming, ["codigo"], defaults={"status": F.lit("ATIVO")}
+    )
+
+
+@register(
+    "sink_replace_period",
+    """
+    SELECT o_orderkey AS codigo, strftime(o_orderdate, '%Y-%m') AS periodo,
+           o_totalprice AS valor
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') <> '1995-03'
+    UNION ALL
+    SELECT o_orderkey AS codigo, strftime(o_orderdate, '%Y-%m') AS periodo,
+           o_totalprice * 2 AS valor
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+    """,
+    doc="K4 replace-by-period: drop one month, append its recomputed "
+    "batch (database.py:206-218); physically dynamic partition "
+    "overwrite.",
+)
+def sink_replace_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("codigo"),
+        F.col("o_orderdate").alias("data_referencia"),
+        F.col("o_totalprice").alias("valor"),
+    )
+    period = "1995-03"
+    incoming = base.where(
+        F.date_format("data_referencia", "yyyy-MM") == period
+    ).withColumn("valor", F.col("valor") * 2)
+    merged = replace_by_period(base, incoming, "data_referencia", period)
+    return merged.select(
+        "codigo",
+        F.date_format("data_referencia", "yyyy-MM").alias("periodo"),
+        "valor",
+    )
+
+
+@register(
+    "sink_truncate_reload",
+    """
+    SELECT l_orderkey AS pai_codigo, l_partkey AS item_codigo,
+           l_quantity AS coeficiente
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="K5 truncate+reload: the structure tables are fully rebuilt "
+    "each month — overwrite with the new edge set "
+    "(database.py:248-259, etl_pipeline.py:359-367).",
+)
+def sink_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.where(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("pai_codigo"),
+        F.col("l_partkey").alias("item_codigo"),
+        F.col("l_quantity").alias("coeficiente"),
+    )
+    stale = edges.limit(0)  # last month's structure, being discarded
+    return overwrite(stale, edges)

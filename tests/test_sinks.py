@@ -1,0 +1,124 @@
+"""Physical write-policy tests (K2-K5) against tmp Parquet tables.
+
+The logical merge operators are oracle-checked via the registered
+``sink_*`` queries; these tests cover the on-disk writers — creation,
+idempotent re-append, upsert state evolution, and partition-scoped
+replacement.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from autosinapi_spark.operators.sinks import (
+    write_append_nodup,
+    write_overwrite,
+    write_replace_period,
+    write_upsert,
+)
+
+
+def _catalog(spark, rows):
+    return spark.createDataFrame(
+        rows, "codigo INT, descricao STRING, unidade STRING, status STRING"
+    )
+
+
+def _state(spark, path):
+    return {
+        r["codigo"]: (r["descricao"], r["unidade"], r["status"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_append_nodup_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "catalogo")
+    first = _catalog(spark, [(1, "A", "UN", "ATIVO"), (2, "B", "KG", "ATIVO")])
+    write_append_nodup(spark, first, path, ["codigo"])
+
+    again = _catalog(spark, [(2, "B2", "M", "ATIVO"), (3, "C", "UN", "ATIVO")])
+    write_append_nodup(spark, again, path, ["codigo"])
+
+    st = _state(spark, path)
+    assert st == {
+        1: ("A", "UN", "ATIVO"),
+        2: ("B", "KG", "ATIVO"),  # conflict ignored, original kept
+        3: ("C", "UN", "ATIVO"),
+    }
+    # true idempotence: replaying the same batch changes nothing
+    write_append_nodup(spark, again, path, ["codigo"])
+    assert _state(spark, path) == st
+
+
+def test_upsert_updates_only_incoming_columns(spark, tmp_path):
+    path = str(tmp_path / "catalogo")
+    write_upsert(
+        spark,
+        _catalog(spark, [(1, "A", "UN", "ATIVO"), (2, "B", "KG", "DESATIVADO")]),
+        path,
+        ["codigo"],
+    )
+    # incoming has only (codigo, descricao): unidade/status must survive
+    incoming = spark.createDataFrame(
+        [(2, "B-NEW"), (3, "C")], "codigo INT, descricao STRING"
+    )
+    write_upsert(
+        spark, incoming, path, ["codigo"], defaults={"status": F.lit("ATIVO")}
+    )
+    assert _state(spark, path) == {
+        1: ("A", "UN", "ATIVO"),
+        2: ("B-NEW", "KG", "DESATIVADO"),  # status untouched by upsert
+        3: ("C", None, "ATIVO"),  # new row gets DDL default
+    }
+
+
+def test_replace_period_touches_only_its_partition(spark, tmp_path):
+    path = str(tmp_path / "fatos")
+    df = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        "codigo INT, periodo STRING, valor DOUBLE",
+    )
+    write_replace_period(spark, df, path, "periodo")
+    jan_files = set(os.listdir(os.path.join(path, "periodo=2024-01")))
+    feb_files = set(os.listdir(os.path.join(path, "periodo=2024-02")))
+
+    redo = spark.createDataFrame(
+        [(9, "2024-02", 99.0)], "codigo INT, periodo STRING, valor DOUBLE"
+    )
+    write_replace_period(spark, redo, path, "periodo")
+
+    out = spark.read.parquet(path)
+    assert {
+        (r["codigo"], r["periodo"], r["valor"]) for r in out.collect()
+    } == {(1, "2024-01", 10.0), (2, "2024-01", 20.0), (9, "2024-02", 99.0)}
+    # dynamic overwrite must not rewrite the untouched partition
+    assert set(os.listdir(os.path.join(path, "periodo=2024-01"))) == jan_files
+    assert set(os.listdir(os.path.join(path, "periodo=2024-02"))) != feb_files
+
+
+def test_overwrite_replaces_everything(spark, tmp_path):
+    path = str(tmp_path / "estrutura")
+    write_overwrite(
+        _catalog(spark, [(1, "OLD", "UN", "ATIVO")]), path
+    )
+    write_overwrite(
+        _catalog(spark, [(7, "NEW", "KG", "ATIVO")]), path
+    )
+    assert _state(spark, path) == {7: ("NEW", "KG", "ATIVO")}
+
+
+def test_upsert_pk_only_falls_back_to_append(spark, tmp_path):
+    path = str(tmp_path / "catalogo")
+    write_upsert(spark, _catalog(spark, [(1, "A", "UN", "ATIVO")]), path, ["codigo"])
+    pk_only = spark.createDataFrame([(1,), (2,)], "codigo INT")
+    with pytest.raises(ValueError):
+        # pk-only incoming with an extra unknown column must raise
+        bad = pk_only.withColumn("nope", F.lit(1))
+        write_upsert(spark, bad, path, ["codigo"])
+    write_upsert(spark, pk_only, path, ["codigo"])
+    st = _state(spark, path)
+    assert st[1] == ("A", "UN", "ATIVO")  # untouched: fallback is K2
+    assert st[2] == (None, None, None)
