@@ -58,3 +58,12 @@ def first_of_month(c: Column | str, fmt: str = "MM/yyyy") -> Column:
 def period_key(c: Column | str) -> Column:
     """'yyyy-MM' period bucket — TO_CHAR(date,'YYYY-MM') (database.py:208)."""
     return F.date_format(_col(c), "yyyy-MM")
+
+
+def extract_code(c: Column | str, pattern: str = r",\((\d+)\)$") -> Column:
+    """C4: pull the composition code out of '...,(12345)' tails.
+
+    ``processor.py:384`` with ``CUSTOS_CODIGO_REGEX`` (config.py:77);
+    no match -> NULL (regexp_extract yields '' which try_cast nulls).
+    """
+    return F.regexp_extract(_col(c), pattern, 1).try_cast("long")

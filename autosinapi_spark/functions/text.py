@@ -50,3 +50,26 @@ def punct_ratio(c: Column | str) -> Column:
 def fingerprint(c: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the canonical form."""
     return F.md5(normalize_ws(c))
+
+
+# C1 accent strip (processor.py:73-83,120-129 NFD + drop combining
+# marks) as a codegen-friendly translate over the pt-BR accent set —
+# no Python UDF, matches DuckDB's strip_accents on these characters.
+_ACCENTED = "áàâãäåéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+_PLAIN = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+
+def strip_accents(c: Column | str) -> Column:
+    """Remove pt-BR diacritics: 'Composição' -> 'Composicao' (C1)."""
+    return F.translate(_col(c), _ACCENTED, _PLAIN)
+
+
+def normalize_label(c: Column | str) -> Column:
+    """Reference header/text normalization (C1+C2+C3 composed).
+
+    accent-strip -> upper -> whitespace runs to '_' -> drop anything
+    outside [A-Z0-9_] (processor.py:116-132).
+    """
+    up = F.upper(strip_accents(c))
+    squashed = F.regexp_replace(up, r"\s+", "_")
+    return F.regexp_replace(squashed, r"[^A-Z0-9_]", "")

@@ -77,6 +77,33 @@ def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "bom_explode_auto_roots",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    roots AS (
+      -- parent domain EXCEPT child domain (spelled as NOT IN: DuckDB
+      -- rejects set ops other than UNION inside a RECURSIVE block)
+      SELECT DISTINCT parent FROM edges
+      WHERE parent NOT IN (SELECT child FROM edges)
+    ),
+    expl AS (
+      SELECT e.parent AS root, e.child, e.coef AS total_coef, 1 AS depth
+      FROM edges e JOIN roots r ON e.parent = r.parent
+      UNION ALL
+      SELECT x.root, g.child, x.total_coef * g.coef, x.depth + 1
+      FROM expl x JOIN edges g ON g.parent = x.child
+    )
+    SELECT root, child, total_coef, depth FROM expl
+    """,
+    doc="J9 with U4 root discovery: roots = parent domain EXCEPT child "
+    "domain (explode_bom's default-roots subtract path; "
+    "etl_pipeline.py:296,322).",
+)
+def bom_explode_auto_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_bom(_edges(spark, sf_dir), roots=None)
+
+
 def rollup_cost_exact(exploded: DataFrame, prices: DataFrame) -> DataFrame:
     from .registry import dsum
 
