@@ -1,0 +1,162 @@
+"""Near-dedup queries: banded MinHash-LSH pairs + SimHash fingerprints.
+
+The fixtures' ``documents`` table has no near-duplicates, so the
+corpus unions each document with a deterministic perturbation (same
+text plus a three-word suffix, id offset +1000000): every original
+then has exactly one high-Jaccard partner the LSH must recover, and
+the DuckDB oracle reproduces the whole pipeline — portable md5-based
+hashes make the signatures identical across engines (see
+``operators/near_dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.near_dedup import (
+    minhash_near_dup_pairs,
+    shingles,
+    simhash,
+)
+from .registry import register
+
+K, BANDS, ROWS = 12, 4, 3
+SUFFIX = " fim do documento"
+ID_OFFSET = 1_000_000
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    orig = docs.select(F.col("doc_id"), norm.alias("text"))
+    pert = docs.select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.concat(norm, F.lit(SUFFIX)).alias("text"),
+    )
+    return orig.unionByName(pert)
+
+
+def _sql_hash(seed: int, expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(sg, s -> {_sql_hash(k, 's')})) AS h{k}"
+        for k in range(K)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * ROWS + r} AS VARCHAR)" for r in range(ROWS)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET},
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) || '{SUFFIX}'
+      FROM documents
+    ),
+    tok AS (SELECT id, string_split(t, ' ') AS ts FROM corpus),
+    sh AS (
+      SELECT id, list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
+      FROM tok WHERE len(ts) >= 3
+    ),
+    sig AS (
+      SELECT id,
+           {sig_cols}
+      FROM sh
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.id < b.id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                   / len(list_distinct(sa.sg || sb.sg)), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+@register(
+    "near_dedup_minhash",
+    _minhash_oracle(),
+    doc="Banded MinHash-LSH near-dedup: shingle -> 12-hash signature "
+    "-> 4x3 bands -> candidate join -> exact-Jaccard verify "
+    "(extension; scale path for fuzzy dedup).",
+)
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return minhash_near_dup_pairs(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(sg, s -> "
+        f"({_sql_hash(0, 's')} & {1 << i}) != 0)) > len(sg) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
+      FROM tok WHERE len(ts) >= 3
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS fp
+    FROM sh
+    """
+
+
+@register(
+    "doc_simhash",
+    _simhash_oracle(),
+    doc="SimHash fingerprint (16-bit) over trigram shingles — "
+    "Hamming-near fingerprints are near-dup candidates (extension).",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sg = shingles(F.col("text"), 3)
+    return (
+        docs.select("doc_id", sg.alias("sg"))
+        .where(F.size("sg") >= 1)
+        .select("doc_id", simhash(F.col("sg"), 16).alias("fp"))
+    )
