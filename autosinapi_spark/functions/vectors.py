@@ -34,16 +34,50 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def sign_bucket(v: Column, n_bits: int = 8) -> Column:
-    """LSH bucket id from the sign pattern of the first ``n_bits`` dims.
+    """Axis-aligned sign-pattern bucket — pedagogical baseline ONLY.
 
-    Deterministic random-hyperplane surrogate (axis-aligned planes):
-    bucket = Σ 2^i * [v_i >= 0]. Collapses the candidate set per query
-    from N to ~N/2^n_bits at the cost of recall — the scale path for ANN.
+    Axis-aligned planes are not random hyperplanes and the bit count
+    is fixed; use ``hyperplane_bucket`` (seeded random projections
+    over all dims, scalable bit count, multi-table) as the real ANN
+    scale path.
     """
     bucket = F.lit(0)
     for i in range(n_bits):
         bit = F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
+        bucket = bucket + bit
+    return bucket
+
+
+def rademacher_planes(
+    n_planes: int, dim: int, seed: int = 20240813
+) -> list[list[float]]:
+    """Seeded ±1 hyperplane normals over ALL dims (Rademacher LSH).
+
+    Deterministic so the DuckDB oracle can embed the identical
+    literals; ±1 projections are a valid random-hyperplane family for
+    cosine LSH (sign of <v, w> with w_i = ±1 i.i.d.) and keep the
+    dot products exact in float.
+
+    Sizing at scale: bits per table ≈ log2(N / target_bucket_size) —
+    e.g. N=1e9, buckets of ~1e4 -> 17 bits; recall is recovered with
+    multiple tables (the L in classic LSH), not fewer bits.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: Σ 2^j * [<v, plane_j> >= 0] over random planes."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket

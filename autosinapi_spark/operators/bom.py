@@ -39,7 +39,8 @@ def explode_bom(
     child_col: str = "child",
     coef_col: str = "coef",
     max_depth: int = 64,
-    broadcast_edges: bool = True,
+    broadcast_edges: bool | None = None,
+    broadcast_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Transitive closure with multiplied coefficients.
 
@@ -58,6 +59,11 @@ def explode_bom(
         F.col(coef_col).cast("double").alias("coef"),
     )
     edges.cache()
+    if broadcast_edges is None:
+        # the count also materializes the cache we reuse every level;
+        # an unguarded broadcast OOMs the driver past ~1e7 edges, so
+        # large structures fall back to a shuffle join
+        broadcast_edges = edges.count() <= broadcast_max_edges
     e = broadcast(edges) if broadcast_edges else edges
 
     if roots is None:
@@ -102,6 +108,9 @@ def explode_bom(
             break
         out = out.unionByName(frontier)
         depth += 1
+    # every frontier is already checkpoint-pinned, so the edge cache
+    # is no longer referenced by `out`
+    edges.unpersist()
     return out
 
 

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load
-from ..functions.vectors import as_double, cosine, sign_bucket
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    hyperplane_bucket,
+    rademacher_planes,
+)
 from .registry import register
 
 _N_QUERIES = 8
@@ -74,19 +79,43 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_ORACLE = f"""
+# Random-hyperplane LSH: L tables x B bits, seeded Rademacher normals
+# over all 64 dims (axis-aligned sign_bucket is only a pedagogical
+# baseline — see functions/vectors.py). Bits scale as
+# log2(N / bucket_size); recall is recovered by adding tables.
+_DIM = 64
+_LSH_BITS = 8
+_LSH_TABLES = 2
+_PLANES = rademacher_planes(_LSH_BITS * _LSH_TABLES, _DIM)
+
+
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in plane) + "]"
+
+
+def _sql_bucket(table: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_plane(_PLANES[table * _LSH_BITS + j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_BITS)
+    )
+    return f"({terms})"
+
+
+def _lsh_oracle() -> str:
+    return f"""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-      FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    eb AS (
+      SELECT vec_id, v, {_sql_bucket(0)} AS b0, {_sql_bucket(1)} AS b1
+      FROM e
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              ROUND({_COS_SQL}, 6) AS cos_sim
-      FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      FROM eb q JOIN eb c
+        ON (c.b0 = q.b0 OR c.b1 = q.b1) AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT query_id, cand_id, cos_sim
@@ -95,30 +124,57 @@ _LSH_ORACLE = f"""
         PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
       FROM pairs
     ) WHERE rn <= {_TOP_K}
-"""
+    """
 
 
 @register(
     "ann_lsh_topk",
-    _LSH_ORACLE,
-    doc="LSH-bucketed ANN: sign-pattern buckets (4 bits) shrink the "
-    "candidate join ~16x — the 100 TB scale path (extension).",
+    _lsh_oracle(),
+    doc="Multi-table random-hyperplane LSH ANN: 2 tables x 8 bits of "
+    "seeded Rademacher projections over all dims; candidates only "
+    "within shared buckets, exact cosine re-rank — the 100 TB scale "
+    "path (extension).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
-        sign_bucket(F.col("embedding"), 4).alias("bucket"),
     )
-    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+    buckets = [
+        hyperplane_bucket(
+            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    # exploded (table, bucket) keys -> pure equi-join: this is the form
+    # that hash-partitions at scale (an OR-join over tables cannot)
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), b.alias("bucket")
+                    )
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    q = keyed.where(F.col("vec_id") < _N_QUERIES).select(
+        "tbl",
+        "bucket",
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
     )
-    pairs = emb.join(
-        broadcast(q),
-        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
+    cand = (
+        keyed.join(broadcast(q), ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    pairs = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
