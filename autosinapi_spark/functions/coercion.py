@@ -60,10 +60,11 @@ def period_key(c: Column | str) -> Column:
     return F.date_format(_col(c), "yyyy-MM")
 
 
-def extract_code(c: Column | str, pattern: str = r",\((\d+)\)$") -> Column:
-    """C4: pull the composition code out of '...,(12345)' tails.
+def extract_code(c: Column | str, pattern: str = r",(\d+)\)$") -> Column:
+    """C4: pull the composition code out of '...(DESC,12345)' tails.
 
-    ``processor.py:384`` with ``CUSTOS_CODIGO_REGEX`` (config.py:77);
+    ``processor.py:384`` with ``CUSTOS_CODIGO_REGEX = r",(\\d+)\\)$"``
+    (config.py:77) — comma, digits, closing paren at end of string;
     no match -> NULL (regexp_extract yields '' which try_cast nulls).
     """
     return F.regexp_extract(_col(c), pattern, 1).try_cast("long")

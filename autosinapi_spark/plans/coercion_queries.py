@@ -88,13 +88,13 @@ def coercion_ptbr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT p_partkey,
            regexp_replace(regexp_replace(
-               upper(strip_accents(printf('Composição %s,(%d)',
+               upper(strip_accents(printf('Composição (%s,%d)',
                                           p_name, p_partkey))),
                '\s+', '_', 'g'), '[^A-Z0-9_]', '', 'g')
              AS nome_normalizado,
-           TRY_CAST(regexp_extract(printf('Composição %s,(%d)',
+           TRY_CAST(regexp_extract(printf('Composição (%s,%d)',
                                           p_name, p_partkey),
-                                   ',\((\d+)\)$', 1) AS BIGINT)
+                                   ',(\d+)\)$', 1) AS BIGINT)
              AS codigo_extraido
     FROM part
     """,
@@ -104,7 +104,7 @@ def coercion_ptbr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalize_text_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     raw = F.format_string(
-        "Composição %s,(%d)", F.col("p_name"), F.col("p_partkey")
+        "Composição (%s,%d)", F.col("p_name"), F.col("p_partkey")
     )
     return part.select(
         "p_partkey",
