@@ -11,14 +11,14 @@ Layout
 ------
 - ``session``         SparkSession factory tuned for local[N] and cluster use
 - ``schemas``         explicit StructTypes for SINAPI + driver fixture tables
-- ``config``          engine config mirroring the reference's DEFAULT_CONSTANTS
+- ``catalog``         fixture table access (nanos-timestamp normalization)
 - ``functions/``      column-expression helpers (coercion, text, vectors)
-- ``operators/``      engine operators (unpivot, dedup, windows, repair,
-                      BOM explosion, write policies, similarity, ...)
+- ``operators/``      engine operators (unpivot, dedup, near-dedup, windows,
+                      repair, BOM explosion, write-policy sinks, ...)
 - ``plans/``          the query registry consumed by ``__spark_entry__``
-- ``sources/``        pre-schema ingestion (header discovery, normalization)
-- ``streaming/``      incremental / Structured Streaming operators
-- ``pipeline``        end-to-end ETL orchestrator with reference parity
+- ``sources/``        pre-schema ingestion (header discovery, two-row header
+                      flatten, sheet/file routing, zip, landing writes)
+- ``pipeline``        end-to-end SINAPI ETL orchestrator (Fase 0-3 parity)
 """
 
 __version__ = "0.1.0"

@@ -35,15 +35,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one fixture table (nanos timestamps normalized)."""
+    """Lazy scan of one fixture table (nanos timestamps normalized).
+
+    Engine-owned sessions get these two confs from ``session.get_spark``
+    already; the idempotent re-assert here exists because the DRIVER
+    runs queries on its own vanilla session (nanosAsLong is mandatory
+    to read the fixtures at all — there is no per-read reader option
+    for it — and the UTC pin keeps date_format/date_trunc aligned with
+    DuckDB's naive-timestamp formatting).
+    """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Timestamps in the fixtures are timezone-naive; DuckDB formats and
-    # truncates them as-is. Pin the session to UTC so date_format /
-    # date_trunc agree even when the host session runs in another tz.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):

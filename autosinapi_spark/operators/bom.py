@@ -121,14 +121,20 @@ def rollup_cost(
     price_col: str,
     group_extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Total cost per root: SUM(total_coef * price) over exploded leaves.
+    """Total cost per root: Σ total_coef × price over exploded leaves.
 
-    The reference computes this DB-side per DataModel.md:376-391
-    (cost of a composition = sum of coefficient x price over its BOM).
+    The reference computes this DB-side per DataModel.md:376-391.
+    The sum runs through an exact per-row decimal cast then rounds to
+    double — a plain SUM(double) is accumulation-order-dependent and
+    non-reproducible across runs/engines.
     """
     joined = exploded.join(
         leaf_prices, exploded["child"] == leaf_prices[leaf_key], "inner"
     )
+    exact = F.sum(
+        (F.col("total_coef") * F.col(price_col)).cast("decimal(28,10)")
+    )
     return joined.groupBy("root", *group_extra).agg(
-        F.sum(F.col("total_coef") * F.col(price_col)).alias("custo_total")
+        F.round(exact.cast("double"), 6).alias("custo_total"),
+        F.count(F.lit(1)).alias("n_itens"),
     )

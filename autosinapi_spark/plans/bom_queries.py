@@ -73,8 +73,9 @@ def bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = bom_explode(spark, sf_dir)
     prices = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    out = rollup_cost_exact(exploded, prices)
-    return out
+    return rollup_cost(exploded, prices, "p_partkey", "p_retailprice").select(
+        F.col("root").alias("composicao_codigo"), "custo_total", "n_itens"
+    )
 
 
 @register(
@@ -104,13 +105,3 @@ def bom_explode_auto_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_bom(_edges(spark, sf_dir), roots=None)
 
 
-def rollup_cost_exact(exploded: DataFrame, prices: DataFrame) -> DataFrame:
-    from .registry import dsum
-
-    joined = exploded.join(
-        prices, exploded["child"] == prices["p_partkey"], "inner"
-    )
-    return joined.groupBy(F.col("root").alias("composicao_codigo")).agg(
-        dsum(F.col("total_coef") * F.col("p_retailprice"), "custo_total"),
-        F.count(F.lit(1)).alias("n_itens"),
-    )

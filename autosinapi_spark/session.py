@@ -25,6 +25,8 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fixture parquet carries INT64 TIMESTAMP(NANOS); see catalog.load
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet scans: larger row-group batches, vectorized reader
     "spark.sql.parquet.enableVectorizedReader": "true",
     # deterministic timestamp read behaviour
