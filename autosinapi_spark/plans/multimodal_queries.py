@@ -1,0 +1,84 @@
+"""Multimodal queries — binary payload plumbing over the media catalog.
+
+``media_binary_stats`` is fully oracle-checked (byte length + md5 of
+the payload match DuckDB hashing the same utf-8 bytes). The
+mapInPandas feature/decode/frame queries have no SQL-expressible
+oracle (Arrow-batched Python), so they register WITHOUT one — the
+driver records the weaker rows-only check — and their numeric
+behaviour is pinned by unit tests instead (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synth_media_from_documents,
+)
+from .registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_media_from_documents(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_binary_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Binary-column metadata plumbing: payload byte length + md5 "
+    "computed on the binary column itself (multimodal extension).",
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "media_decode_stats",
+    None,  # mapInPandas fake-codec path: rows-only check + unit tests
+    doc="Arrow-batched decode via mapInPandas (fake codec over the "
+    "synthetic header; real codec drops into the same plumbing).",
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(_media(spark, sf_dir))
+
+
+@register(
+    "media_feature_extract",
+    None,  # numpy-over-Arrow feature UDF: rows-only check + unit tests
+    doc="Vectorized byte-histogram feature extraction per payload "
+    "(mapInPandas; the embedding-model slot in a real pipeline).",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    None,  # one-to-many mapInPandas: rows-only check + unit tests
+    doc="Frame sampling: one media row explodes to N fixed-size frame "
+    "rows (video decode shape).",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256)
+    return frames.select(
+        "media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+    )

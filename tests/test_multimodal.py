@@ -1,0 +1,71 @@
+"""Pin the multimodal mapInPandas UDFs against Python-computed truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from autosinapi_spark.catalog import load
+from autosinapi_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synth_media_from_documents,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(20)
+    return synth_media_from_documents(docs).cache()
+
+
+def _expected_payloads(media):
+    return {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+
+
+def test_decode_matches_header_convention(media):
+    payloads = _expected_payloads(media)
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert set(rows) == set(payloads)
+    for mid, p in payloads.items():
+        r = rows[mid]
+        assert r["n_bytes"] == len(p)
+        assert r["decoded_width"] == p[0] * 256 + p[1]
+        assert r["decoded_height"] == p[2] * 256 + p[3]
+        assert r["checksum"] == sum(p)
+
+
+def test_feature_extraction_matches_numpy(media):
+    payloads = _expected_payloads(media)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    for mid, p in payloads.items():
+        arr = np.frombuffer(p, dtype=np.uint8)
+        assert rows[mid]["byte_mean"] == pytest.approx(float(arr.mean()))
+        hist = np.bincount(arr // 16, minlength=16).tolist()
+        assert rows[mid]["byte_hist"] == hist
+        assert sum(rows[mid]["byte_hist"]) == len(p)
+
+
+def test_frame_sampling_reassembles(media):
+    payloads = _expected_payloads(media)
+    frames = sample_frames(media, frame_bytes=64).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(payloads)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        # frames concatenate back to the exact payload (lossless split)
+        assert b"".join(bytes(r["frame"]) for r in rows) == payloads[mid]
+        assert all(len(bytes(r["frame"])) <= 64 for r in rows)
+
+
+def test_resize_is_an_explicit_stub(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        resize_images(media, 256, 256)
