@@ -16,9 +16,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.near_dedup import (
+    MERSENNE_P,
     minhash_near_dup_pairs,
+    minhash_params,
     shingles,
-    simhash,
+    simhash_from_hashes,
 )
 from .registry import register
 
@@ -45,9 +47,12 @@ def _sql_hash(seed: int, expr: str) -> str:
 
 
 def _minhash_oracle() -> str:
+    # universal-hash signatures over one base-hash array (mirrors
+    # operators/near_dedup.py minhash_signature exactly)
     sig_cols = ",\n           ".join(
-        f"list_min(list_transform(sg, s -> {_sql_hash(k, 's')})) AS h{k}"
-        for k in range(K)
+        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        f" AS h{k}"
+        for k, (a, b) in enumerate(minhash_params(K))
     )
     band_selects = "\n      UNION ALL\n".join(
         "      SELECT id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey"
@@ -76,10 +81,16 @@ def _minhash_oracle() -> str:
                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
       FROM tok WHERE len(ts) >= 3
     ),
+    hashed AS (
+      SELECT id,
+             list_transform(sg, s -> {_sql_hash(0, 's')} % {MERSENNE_P})
+               AS hh
+      FROM sh
+    ),
     sig AS (
       SELECT id,
            {sig_cols}
-      FROM sh
+      FROM hashed
     ),
     bands AS (
 {band_selects}
@@ -123,9 +134,8 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle(bits: int = 16) -> str:
     terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(sg, s -> "
-        f"({_sql_hash(0, 's')} & {1 << i}) != 0)) > len(sg) "
-        f"THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN 2 * len(list_filter(hh, h -> (h & {1 << i}) != 0)) "
+        f"> len(hh) THEN {1 << i} ELSE 0 END)"
         for i in range(bits)
     )
     return f"""
@@ -140,9 +150,13 @@ def _simhash_oracle(bits: int = 16) -> str:
                generate_series(1, len(ts) - 2),
                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
       FROM tok WHERE len(ts) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(sg, s -> {_sql_hash(0, 's')}) AS hh
+      FROM sh
     )
     SELECT doc_id, CAST({terms} AS BIGINT) AS fp
-    FROM sh
+    FROM hashed
     """
 
 
@@ -153,10 +167,20 @@ def _simhash_oracle(bits: int = 16) -> str:
     "Hamming-near fingerprints are near-dup candidates (extension).",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.near_dedup import portable_hash64
+
     docs = load(spark, sf_dir, "documents")
     sg = shingles(F.col("text"), 3)
-    return (
+    hashed = (
         docs.select("doc_id", sg.alias("sg"))
         .where(F.size("sg") >= 1)
-        .select("doc_id", simhash(F.col("sg"), 16).alias("fp"))
+        # one md5 pass, materialized as an attribute (see
+        # simhash_from_hashes docstring)
+        .select(
+            "doc_id",
+            F.transform("sg", lambda s: portable_hash64(s, 0)).alias("hh"),
+        )
+    )
+    return hashed.select(
+        "doc_id", simhash_from_hashes(F.col("hh"), 16).alias("fp")
     )

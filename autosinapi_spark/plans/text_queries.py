@@ -162,22 +162,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "backing Jaccard/MinHash dedup).",
 )
 def doc_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shifted-slice zip, NOT element_at-in-lambda: the latter
+    # re-evaluates the split per element (O(tokens²) per doc — see
+    # operators/near_dedup.shingles)
+    from ..operators.near_dedup import shingles
+
     docs = load(spark, sf_dir, "documents")
     ts = F.split(normalize_ws(F.col("text")), " ")
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(ts, i),
-            F.element_at(ts, i + 1),
-            F.element_at(ts, i + 2),
-        ),
-    )
     return (
         docs.where(F.size(ts) >= 3)
         .select(
             "doc_id",
             (F.size(ts) - 2).alias("n_trigrams"),
-            F.size(F.array_distinct(tri)).alias("n_distinct_trigrams"),
+            F.size(shingles(F.col("text"), 3)).alias("n_distinct_trigrams"),
         )
     )
