@@ -1,0 +1,22 @@
+"""Structured Streaming operators (SURVEY §2.10 extension surface).
+
+The reference is strictly batch; its "incremental" semantics is the
+monthly re-run appending idempotently via ON CONFLICT DO NOTHING
+(``database.py:193-197``). The Spark-native mapping is a
+``Trigger.AvailableNow`` file-arrival stream over a landing zone with
+the same K2 anti-join append inside ``foreachBatch`` — plus the
+windowed/watermarked and custom-stateful operators a streaming
+deployment of the extended engine needs.
+"""
+
+from .incremental import (
+    incremental_append_available_now,
+    running_user_totals,
+    windowed_event_stats,
+)
+
+__all__ = [
+    "incremental_append_available_now",
+    "windowed_event_stats",
+    "running_user_totals",
+]

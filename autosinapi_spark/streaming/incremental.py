@@ -1,0 +1,151 @@
+"""Incremental / streaming operators.
+
+Three shapes:
+
+1. ``incremental_append_available_now`` — the reference's idempotent
+   monthly load as a stream: file source over a landing dir,
+   ``foreachBatch`` running the K2 append-ignore-conflicts sink, and
+   ``Trigger.AvailableNow`` so each invocation drains exactly the
+   files that have arrived then stops (incremental batch). File
+   progress is tracked in the checkpoint, PK-level idempotence by the
+   anti-join — so BOTH re-delivered files and re-delivered rows are
+   safe.
+2. ``windowed_event_stats`` — tumbling event-time window + watermark
+   for late data (the batch twin is the registered
+   ``hourly_event_stats`` query).
+3. ``running_user_totals`` — custom stateful operator via
+   ``applyInPandasWithState``: per-user running count/sum kept in
+   GroupState across micro-batches.
+
+Scale notes: the streaming aggs shuffle on (window, key) exactly like
+their batch twins; state is per-key and partitioned, so a 1000-executor
+cluster spreads it. ``availableNow`` + ``maxFilesPerTrigger`` bounds
+per-batch memory on backlog catch-up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sinks import append_ignore_conflicts
+
+
+def incremental_append_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    pk: Sequence[str],
+    schema: T.StructType,
+    fmt: str = "parquet",
+) -> None:
+    """Drain the landing dir into the table, idempotently, then stop."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            existing = s.read.parquet(table_path)
+        except Exception:
+            deduped = batch.dropDuplicates(list(pk))
+            deduped.write.mode("overwrite").parquet(table_path)
+            return
+        merged = append_ignore_conflicts(existing, batch, pk)
+        pinned = merged.localCheckpoint(eager=True)
+        pinned.write.mode("overwrite").parquet(table_path)
+
+    stream = (
+        spark.readStream.schema(schema).format(fmt).load(landing_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming or batch DF).
+
+    Late rows beyond the watermark are dropped in streaming mode; the
+    aggregate matches the batch ``hourly_event_stats`` shape.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("janela"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("soma_valor"),
+        )
+        .select(
+            F.col("janela.start").alias("inicio"),
+            "event_type",
+            "n",
+            "soma_valor",
+        )
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, float(total)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) held in
+    GroupState across micro-batches (applyInPandasWithState)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming tests: incremental idempotent load, watermarked
+windows, custom stateful operator — all via Trigger.AvailableNow /
+bounded memory-sink runs so they terminate deterministically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autosinapi_spark.catalog import load
+from autosinapi_spark.streaming import (
+    incremental_append_available_now,
+    running_user_totals,
+    windowed_event_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # micros timestamps, bounded slice for speed
+    return load(spark, SF_SMOKE, "events").limit(2000).cache()
+
+
+def test_incremental_append_is_idempotent_across_batches(spark, events, tmp_path):
+    landing = tmp_path / "landing"
+    table = str(tmp_path / "tabela")
+    ckpt = str(tmp_path / "ckpt")
+    schema = events.schema
+
+    first = events.where(F.col("event_id") % 2 == 0)
+    first.write.mode("overwrite").parquet(str(landing / "batch1"))
+    incremental_append_available_now(
+        spark, str(landing / "*"), table, ckpt, ["event_id"], schema
+    )
+    n1 = spark.read.parquet(table).count()
+    assert n1 == first.count()
+
+    # second delivery overlaps half of the first: only new PKs land
+    second = events.where(F.col("event_id") % 3 == 0)
+    second.write.mode("overwrite").parquet(str(landing / "batch2"))
+    incremental_append_available_now(
+        spark, str(landing / "*"), table, ckpt, ["event_id"], schema
+    )
+    out = spark.read.parquet(table)
+    expected = events.where(
+        (F.col("event_id") % 2 == 0) | (F.col("event_id") % 3 == 0)
+    ).count()
+    assert out.count() == expected
+    assert out.select("event_id").distinct().count() == expected
+
+    # re-run with nothing new: checkpoint skips seen files, no dups
+    incremental_append_available_now(
+        spark, str(landing / "*"), table, ckpt, ["event_id"], schema
+    )
+    assert spark.read.parquet(table).count() == expected
+
+
+def test_windowed_stats_match_batch_groupby(spark, events, tmp_path):
+    src = tmp_path / "events_src"
+    events.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["inicio"], r["event_type"]): (r["n"], r["soma_valor"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    want = {
+        (r["inicio"], r["event_type"]): (r["n"], r["soma_valor"])
+        for r in windowed_event_stats(events).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_running_user_totals_state(spark, events, tmp_path):
+    src = tmp_path / "events_src2"
+    events.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT * FROM running_totals"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
