@@ -18,6 +18,8 @@ Layout
 - ``plans/``          the query registry consumed by ``__spark_entry__``
 - ``sources/``        pre-schema ingestion (header discovery, two-row header
                       flatten, sheet/file routing, zip, landing writes)
+- ``streaming/``      incremental AvailableNow loads, watermarked windows,
+                      stateful operators
 - ``pipeline``        end-to-end SINAPI ETL orchestrator (Fase 0-3 parity)
 """
 

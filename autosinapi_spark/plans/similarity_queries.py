@@ -218,3 +218,98 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("centroid_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — the vector-space member of
+# the dedup suite (exact: dedup.py, MinHash/SimHash: near_dedup.py).
+# The fixtures have no near-identical vectors, so the corpus unions a
+# deterministic scaled twin per vector (same direction => cosine 1.0
+# and identical hyperplane signs); LSH buckets produce the candidates,
+# exact cosine confirms.
+# ---------------------------------------------------------------------------
+
+_TWIN_OFFSET = 100000
+_NEAR_COS = 0.999
+
+
+def _embed_dedup_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET},
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings
+    ),
+    eb AS (
+      SELECT vec_id, v, {_sql_bucket(0)} AS b0, {_sql_bucket(1)} AS b1
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM eb a JOIN eb b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_COS}
+    """
+
+
+@register(
+    "near_dedup_embedding",
+    _embed_dedup_oracle(),
+    doc="Embedding-cosine near-dup: hyperplane-LSH candidate pairs + "
+    "exact cosine threshold (the vector-space dedup path; extension).",
+)
+def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001).alias("v"),
+    )
+    corpus = emb.unionByName(twins)
+    buckets = [
+        hyperplane_bucket(
+            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    keyed = corpus.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a = keyed.select(
+        "tbl", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = keyed.select(
+        "tbl", "bucket", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= _NEAR_COS)
