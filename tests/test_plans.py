@@ -1,0 +1,91 @@
+"""Physical-plan regression tests (.explain audits).
+
+Correctness says what a query returns; these pin HOW it runs — filter
+pushdown reaching the parquet scan, column pruning, broadcast sides,
+shuffle counts — so a refactor that silently de-optimizes a plan
+fails loudly. This is the 100 TB design contract, checkable at any SF.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e._registry()
+
+
+def _q(registry, spark, name):
+    return registry[name].fn(spark, SF_SMOKE)
+
+
+def test_pricing_summary_pushdown_and_pruning(registry, spark):
+    plan = _plan(_q(registry, spark, "pricing_summary"))
+    # the shipdate filter must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # ...and the scan must not read columns the query never touches
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    # map-side combine: partial aggregation must run BEFORE the
+    # exchange so the shuffle carries 6 rows per task, not 6M
+    simple = _plan(_q(registry, spark, "pricing_summary"), "simple")
+    assert "partial_sum" in simple
+    assert simple.index("partial_sum") > simple.index("Exchange")
+
+
+def test_cost_lookup_broadcasts_catalog(registry, spark):
+    plan = _plan(_q(registry, spark, "cost_lookup"))
+    assert "BroadcastHashJoin" in plan
+    # catalog-side filter pushed into its scan
+    assert "LessThanOrEqual(p_size,10)" in plan.replace(" ", "")
+
+
+def test_union_view_has_no_shuffle(registry, spark):
+    plan = _plan(_q(registry, spark, "union_view_itens"))
+    assert "Exchange" not in plan  # pure scan+project union
+
+
+def test_exact_dedup_shuffles_digest_not_text(registry, spark):
+    plan = _plan(_q(registry, spark, "exact_dedup_documents"), "simple")
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    # the shuffled key is the 64-hex digest, never the document text
+    exchange = next(l for l in plan.splitlines() if "Exchange" in l)
+    assert "text" not in exchange
+
+
+def test_latest_event_single_window_shuffle(registry, spark):
+    plan = _plan(_q(registry, spark, "latest_event_per_user"), "simple")
+    assert plan.count("Exchange") == 1  # one hash partitioning for the window
+
+
+def test_ann_lsh_broadcasts_query_side(registry, spark):
+    plan = _plan(_q(registry, spark, "ann_lsh_topk"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_row_udfs_in_relational_queries(registry, spark):
+    # mapInPandas appears ONLY in the multimodal media queries; every
+    # relational/text/vector plan must stay JVM-side
+    for name, spec in registry.items():
+        if name.startswith("media_"):
+            continue
+        plan = _plan(spec.fn(spark, SF_SMOKE), "simple")
+        assert "BatchEvalPython" not in plan, f"{name} uses a row UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
