@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .config import EngineConfig
 from .functions.coercion import (
     decimal_comma_to_double,
     extract_code,
@@ -44,12 +45,6 @@ from .operators.dedup import dedup_keep_first
 from .operators.sinks import append_ignore_conflicts, upsert, write_overwrite
 from .schemas import SINAPI_SCHEMAS
 from .sources.csv_source import read_discovered_csv
-
-MANUTENCOES_KEYWORDS = ["REFERENCIA", "TIPO", "CODIGO", "DESCRICAO", "MANUTENCAO"]
-PRECOS_KEYWORDS = ["CODIGO", "DESCRICAO", "UNIDADE"]
-CUSTOS_KEYWORDS = ["Código da Composição", "Descrição", "Unidade"]
-DEACTIVATION_KEYWORD = "DESATIVA"  # ILIKE '%DESATIVAÇÃO%', accent-stripped
-ITEM_INSUMO, ITEM_COMPOSICAO = "INSUMO", "COMPOSICAO"
 
 
 def _uf_cols(df: DataFrame) -> list[str]:
@@ -88,11 +83,20 @@ class SinapiPipeline:
     """One monthly SINAPI load into a Parquet warehouse directory."""
 
     def __init__(
-        self, spark: SparkSession, warehouse: str, year: int, month: int
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        year: int,
+        month: int,
+        config: EngineConfig | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.ref_date = f"{year}-{int(month):02d}-01"
+        self.cfg = config or EngineConfig(
+            storage={"warehouse": warehouse},
+            sinapi={"year": year, "month": month},
+        )
 
     # -- storage ----------------------------------------------------------
     def path(self, table: str) -> str:
@@ -116,7 +120,7 @@ class SinapiPipeline:
 
     # -- Fase 2: transforms ------------------------------------------------
     def process_manutencoes(self, csv_path: str) -> DataFrame:
-        raw = read_discovered_csv(self.spark, csv_path, MANUTENCOES_KEYWORDS)
+        raw = read_discovered_csv(self.spark, csv_path, self.cfg.MANUTENCOES_HEADER_KEYWORDS)
         df = raw.select(
             normalize_code("CODIGO").alias("item_codigo"),
             upper_trim("TIPO").alias("tipo_item"),
@@ -134,7 +138,7 @@ class SinapiPipeline:
         self, csv_path: str, regime: str
     ) -> tuple[DataFrame, DataFrame]:
         """(catalog, long facts) from one ISD/ICD/ISE price sheet."""
-        raw = read_discovered_csv(self.spark, csv_path, PRECOS_KEYWORDS)
+        raw = read_discovered_csv(self.spark, csv_path, self.cfg.PRECOS_HEADER_KEYWORDS)
         typed = raw.withColumn("CODIGO", normalize_code("CODIGO")).where(
             F.col("CODIGO").isNotNull()
         )
@@ -162,7 +166,7 @@ class SinapiPipeline:
         """(catalog, long facts) from one CSD/CCD/CSE cost sheet
         (two-row header + C4 code extraction)."""
         raw = read_discovered_csv(
-            self.spark, csv_path, CUSTOS_KEYWORDS, two_row_header=True
+            self.spark, csv_path, self.cfg.CUSTOS_HEADER_KEYWORDS, two_row_header=True
         )
         typed = raw.withColumn(
             "CODIGO", extract_code(F.col("CODIGO"))
@@ -214,7 +218,7 @@ class SinapiPipeline:
         )
         # F1 membership filter: child rows
         children = typed.where(
-            F.col("tipo_item").isin(ITEM_INSUMO, ITEM_COMPOSICAO)
+            F.col("tipo_item").isin(self.cfg.ITEM_TYPE_INSUMO, self.cfg.ITEM_TYPE_COMPOSICAO)
             & F.col("pai_codigo").isNotNull()
             & F.col("item_codigo").isNotNull()
         )
@@ -225,12 +229,12 @@ class SinapiPipeline:
             ["pai_codigo", "item_codigo", "tipo_item"],
             ["coeficiente"],
         )
-        insumo_edges = edges.where(F.col("tipo_item") == ITEM_INSUMO).select(
+        insumo_edges = edges.where(F.col("tipo_item") == self.cfg.ITEM_TYPE_INSUMO).select(
             F.col("pai_codigo").alias("composicao_pai_codigo"),
             F.col("item_codigo").alias("insumo_filho_codigo"),
             "coeficiente",
         )
-        sub_edges = edges.where(F.col("tipo_item") == ITEM_COMPOSICAO).select(
+        sub_edges = edges.where(F.col("tipo_item") == self.cfg.ITEM_TYPE_COMPOSICAO).select(
             F.col("pai_codigo").alias("composicao_pai_codigo"),
             F.col("item_codigo").alias("composicao_filho_codigo"),
             "coeficiente",
@@ -243,7 +247,7 @@ class SinapiPipeline:
                 F.col("pai_codigo").isNotNull()
                 & (
                     F.col("tipo_item").isNull()
-                    | ~F.col("tipo_item").isin(ITEM_INSUMO, ITEM_COMPOSICAO)
+                    | ~F.col("tipo_item").isin(self.cfg.ITEM_TYPE_INSUMO, self.cfg.ITEM_TYPE_COMPOSICAO)
                 )
             ).select(
                 F.col("pai_codigo").alias("codigo"), "descricao", "unidade"
@@ -261,7 +265,7 @@ class SinapiPipeline:
             existing,
             incoming,
             ["codigo"],
-            defaults={"status": F.lit("ATIVO")},
+            defaults={"status": F.lit(self.cfg.DEFAULT_ITEM_STATUS)},
         )
         return self._save(table, merged)
 
@@ -278,7 +282,7 @@ class SinapiPipeline:
             .select(
                 F.col("item_codigo").alias("codigo"),
                 F.when(
-                    F.upper("tipo_manutencao").contains(DEACTIVATION_KEYWORD),
+                    F.upper("tipo_manutencao").contains(self.cfg.DEACTIVATION_KEYWORD),
                     F.lit("DESATIVADO"),
                 )
                 .otherwise(F.lit("ATIVO"))
@@ -307,7 +311,7 @@ class SinapiPipeline:
     ) -> dict:
         """Full monthly load; returns the reference's result contract
         (etl_pipeline.py:506-510)."""
-        res = PipelineResult()
+        res = PipelineResult(status=self.cfg.STATUS_SUCCESS)
         self.bootstrap()
 
         # maintenance log: K2 append on the 4-column PK
@@ -352,9 +356,9 @@ class SinapiPipeline:
                 .select(
                     "codigo",
                     F.format_string(
-                        "INSUMO_DESCONHECIDO_%d", F.col("codigo")
+                        self.cfg.PLACEHOLDER_INSUMO_TEMPLATE, F.col("codigo")
                     ).alias("descricao"),
-                    F.lit("UN").alias("unidade"),
+                    F.lit(self.cfg.PLACEHOLDER_DEFAULT_UNIT).alias("unidade"),
                 )
             )
             insumo_cat = dedup_keep_first(
@@ -388,10 +392,10 @@ class SinapiPipeline:
                     F.coalesce(
                         "descricao",
                         F.format_string(
-                            "COMPOSICAO_DESCONHECIDA_%d", F.col("codigo")
+                            self.cfg.PLACEHOLDER_COMPOSICAO_TEMPLATE, F.col("codigo")
                         ),
                     ).alias("descricao"),
-                    F.coalesce("unidade", F.lit("UN")).alias("unidade"),
+                    F.coalesce("unidade", F.lit(self.cfg.PLACEHOLDER_DEFAULT_UNIT)).alias("unidade"),
                 )
             )
             comp_cat = dedup_keep_first(
@@ -443,6 +447,6 @@ class SinapiPipeline:
             res.records_inserted["custos_composicoes_mensal"] = n
 
         # status sync last (needs the upserted catalogs in place)
-        self._sync_status("insumos", manut, ITEM_INSUMO)
-        self._sync_status("composicoes", manut, ITEM_COMPOSICAO)
+        self._sync_status("insumos", manut, self.cfg.ITEM_TYPE_INSUMO)
+        self._sync_status("composicoes", manut, self.cfg.ITEM_TYPE_COMPOSICAO)
         return res.as_dict()
