@@ -14,6 +14,21 @@ import zipfile
 from pathlib import Path
 
 ZIP_NAME_TEMPLATE = "SINAPI-{year}-{month:0>2}-formato-xlsx.zip"  # config.py:34
+ALLOWED_INPUT_EXTENSIONS = {".xlsx", ".xls", ".csv", ".zip"}  # config.py:24
+
+
+def validate_local_file(path: str | Path) -> Path:
+    """S2: existence + extension check before ingestion
+    (downloader.py:82-98)."""
+    p = Path(path)
+    if not p.is_file():
+        raise FileNotFoundError(f"arquivo não encontrado: {p}")
+    if p.suffix.lower() not in ALLOWED_INPUT_EXTENSIONS:
+        raise ValueError(
+            f"extensão inválida {p.suffix!r}; aceitas: "
+            f"{sorted(ALLOWED_INPUT_EXTENSIONS)}"
+        )
+    return p
 
 
 def normalize_zip_name(src: Path, year: int | str, month: int | str) -> Path:

@@ -77,3 +77,19 @@ def test_zip_roundtrip(tmp_path):
     out = extract_zip(renamed, tmp_path / "out")
     assert [p.name for p in out] == ["data.csv"]
     assert (tmp_path / "out" / "inner" / "data.csv").read_text() == "a;b\n1;2\n"
+
+
+def test_validate_local_file(tmp_path):
+    import pytest
+
+    from autosinapi_spark.sources.archive import validate_local_file
+
+    ok = tmp_path / "SINAPI_ref.xlsx"
+    ok.write_bytes(b"x")
+    assert validate_local_file(ok) == ok
+    bad = tmp_path / "notes.txt"
+    bad.write_text("x")
+    with pytest.raises(ValueError, match="extensão inválida"):
+        validate_local_file(bad)
+    with pytest.raises(FileNotFoundError):
+        validate_local_file(tmp_path / "missing.csv")
