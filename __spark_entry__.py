@@ -32,6 +32,7 @@ def _registry():
     import autosinapi_spark.plans.sinapi_queries  # noqa: F401
     import autosinapi_spark.plans.multimodal_queries  # noqa: F401
     import autosinapi_spark.plans.sql_queries  # noqa: F401
+    import autosinapi_spark.plans.skew_queries  # noqa: F401
 
     return registry.REGISTRY
 

@@ -12,11 +12,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from autosinapi_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    s = get_spark(app_name="autosinapi-tests", shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(
+        app_name="autosinapi-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 
