@@ -27,6 +27,35 @@ from .pipeline import SinapiPipeline
 logger = logging.getLogger(__name__)
 
 
+class RunIdFilter(logging.Filter):
+    """Threads the per-run id through every log record.
+
+    Mirrors the reference's logging Filter + formatter contract
+    (``etl_pipeline.py:75-113``): records gain a ``run_id`` attribute
+    so any ``%(run_id)s`` format picks it up, and records from other
+    runs/libraries get a placeholder instead of a KeyError.
+    """
+
+    def __init__(self, run_id: str):
+        super().__init__()
+        self.run_id = run_id
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        if not hasattr(record, "run_id"):
+            record.run_id = self.run_id
+        return True
+
+
+def setup_run_logging(run_id: str, level: str = "INFO") -> logging.Filter:
+    """Attach the run-id filter to the package logger; returns it so
+    callers can detach with ``logger.removeFilter``."""
+    pkg_logger = logging.getLogger("autosinapi_spark")
+    pkg_logger.setLevel(level.upper())
+    flt = RunIdFilter(run_id)
+    pkg_logger.addFilter(flt)
+    return flt
+
+
 def _failure(cfg_or_none: EngineConfig | None, message: str) -> dict:
     status = cfg_or_none.STATUS_FAILURE if cfg_or_none else "FALHA"
     return {
@@ -55,53 +84,60 @@ def run_etl(
          "estrutura": path}
     """
     run_id = str(uuid.uuid4())[:8]
+    log_filter = setup_run_logging(run_id)
+    try:
+        if storage_config is None:
+            wh = os.getenv("AUTOSINAPI_WAREHOUSE")
+            if not wh:
+                return _failure(None, "AUTOSINAPI_WAREHOUSE não definido")
+            storage_config = {"warehouse": wh}
+        if sinapi_config is None:
+            try:
+                sinapi_config = {
+                    "year": int(os.environ["AUTOSINAPI_YEAR"]),
+                    "month": int(os.environ["AUTOSINAPI_MONTH"]),
+                }
+            except (KeyError, ValueError) as exc:
+                return _failure(
+                    None, f"variáveis AUTOSINAPI_ incompletas: {exc}"
+                )
 
-    if storage_config is None:
-        wh = os.getenv("AUTOSINAPI_WAREHOUSE")
-        if not wh:
-            return _failure(None, "AUTOSINAPI_WAREHOUSE não definido")
-        storage_config = {"warehouse": wh}
-    if sinapi_config is None:
         try:
-            sinapi_config = {
-                "year": int(os.environ["AUTOSINAPI_YEAR"]),
-                "month": int(os.environ["AUTOSINAPI_MONTH"]),
-            }
-        except (KeyError, ValueError) as exc:
-            return _failure(None, f"variáveis AUTOSINAPI_ incompletas: {exc}")
+            cfg = EngineConfig(
+                storage=storage_config,
+                sinapi=sinapi_config,
+                mode=mode,
+                custom_constants=custom_constants or {},
+            )
+        except ConfigError as exc:
+            return _failure(None, f"erro de configuração: {exc}")
 
-    try:
-        cfg = EngineConfig(
-            storage=storage_config,
-            sinapi=sinapi_config,
-            mode=mode,
-            custom_constants=custom_constants or {},
+        if not inputs or "estrutura" not in inputs or "manutencoes" not in inputs:
+            return _failure(
+                cfg, "inputs deve conter ao menos 'manutencoes' e 'estrutura'"
+            )
+
+        logger.info(
+            "run_etl %s: %s-%02d -> %s", run_id, cfg.year, cfg.month, cfg.warehouse
         )
-    except ConfigError as exc:
-        return _failure(None, f"erro de configuração: {exc}")
+        try:
+            if spark is None:
+                from .session import get_spark
 
-    if not inputs or "estrutura" not in inputs or "manutencoes" not in inputs:
-        return _failure(
-            cfg, "inputs deve conter ao menos 'manutencoes' e 'estrutura'"
-        )
-
-    logger.info("run_etl %s: %s-%02d -> %s", run_id, cfg.year, cfg.month, cfg.warehouse)
-    try:
-        if spark is None:
-            from .session import get_spark
-
-            spark = get_spark(app_name=f"autosinapi_etl_{run_id}")
-        pipe = SinapiPipeline(spark, cfg.warehouse, cfg.year, cfg.month, cfg)
-        result = pipe.run(
-            manutencoes_csv=inputs["manutencoes"],
-            precos_csvs=inputs.get("precos", {}),
-            custos_csvs=inputs.get("custos", {}),
-            estrutura_csv=inputs["estrutura"],
-        )
-        result["run_id"] = run_id
-        return result
-    except Exception as exc:  # report, don't raise (reference contract)
-        logger.error("run_etl %s falhou", run_id, exc_info=True)
-        out = _failure(cfg, f"{type(exc).__name__}: {exc}")
-        out["run_id"] = run_id
-        return out
+                spark = get_spark(app_name=f"autosinapi_etl_{run_id}")
+            pipe = SinapiPipeline(spark, cfg.warehouse, cfg.year, cfg.month, cfg)
+            result = pipe.run(
+                manutencoes_csv=inputs["manutencoes"],
+                precos_csvs=inputs.get("precos", {}),
+                custos_csvs=inputs.get("custos", {}),
+                estrutura_csv=inputs["estrutura"],
+            )
+            result["run_id"] = run_id
+            return result
+        except Exception as exc:  # report, don't raise (reference contract)
+            logger.error("run_etl %s falhou", run_id, exc_info=True)
+            out = _failure(cfg, f"{type(exc).__name__}: {exc}")
+            out["run_id"] = run_id
+            return out
+    finally:
+        logging.getLogger("autosinapi_spark").removeFilter(log_filter)

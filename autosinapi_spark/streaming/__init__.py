@@ -10,6 +10,7 @@ deployment of the extended engine needs.
 """
 
 from .incremental import (
+    dedup_events_stream,
     incremental_append_available_now,
     running_user_totals,
     windowed_event_stats,
@@ -19,4 +20,5 @@ __all__ = [
     "incremental_append_available_now",
     "windowed_event_stats",
     "running_user_totals",
+    "dedup_events_stream",
 ]

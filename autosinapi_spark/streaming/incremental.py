@@ -104,6 +104,25 @@ def windowed_event_stats(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    pk: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the PK, state bounded by watermark.
+
+    The streaming twin of K2's idempotence: re-delivered events inside
+    the watermark horizon are dropped by keyed state;
+    ``dropDuplicatesWithinWatermark`` expires that state so it cannot
+    grow unboundedly (the classic at-least-once -> effectively-once
+    repair for event streams).
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(pk)
+    )
+
+
 _RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

@@ -90,3 +90,24 @@ def test_unknown_custom_constant_rejected():
             sinapi={"year": 2024, "month": 1},
             custom_constants={"NOT_A_KEY": 1},
         )
+
+
+def test_run_id_log_filter_attaches_and_detaches(spark, tmp_path):
+    import logging
+
+    from autosinapi_spark.api import RunIdFilter
+
+    pkg = logging.getLogger("autosinapi_spark")
+    before = [f for f in pkg.filters if isinstance(f, RunIdFilter)]
+    run_etl(
+        storage_config={"warehouse": str(tmp_path / "wh")},
+        sinapi_config={"year": 2024, "month": 1},
+        inputs={},
+        spark=spark,
+    )
+    after = [f for f in pkg.filters if isinstance(f, RunIdFilter)]
+    assert before == after  # filter removed even on failure paths
+
+    rec = logging.LogRecord("autosinapi_spark.x", 20, "f", 1, "m", (), None)
+    RunIdFilter("abc12345").filter(rec)
+    assert rec.run_id == "abc12345"

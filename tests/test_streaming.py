@@ -111,3 +111,28 @@ def test_running_user_totals_state(spark, events, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, events, tmp_path):
+    from autosinapi_spark.streaming import dedup_events_stream
+
+    src = tmp_path / "events_dup"
+    # deliver every event twice (at-least-once semantics)
+    events.write.mode("overwrite").parquet(str(src / "a"))
+    events.write.mode("overwrite").parquet(str(src / "b"))
+
+    stream = spark.readStream.schema(events.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM dedup_stream")
+    assert out.count() == events.count()  # every duplicate dropped
+    assert out.distinct().count() == events.count()
