@@ -81,9 +81,11 @@ def orphan_check(
     """FK validation (J7): rows in fact whose key is missing from dim.
 
     An empty result certifies the FK; run at load time (Spark has no
-    constraints, SURVEY §4.3.5).
+    constraints, SURVEY §4.3.5). NULL keys are NOT orphans — SQL FK
+    semantics permit NULL references, and a bare left-anti would
+    otherwise flag them (nulls never match a join).
     """
-    return fact.join(
+    return fact.where(F.col(fact_key).isNotNull()).join(
         broadcast(dim.select(F.col(dim_key).alias(fact_key))),
         fact_key,
         "left_anti",

@@ -171,9 +171,10 @@ def replace_by_period(
     (database.py:206-218). Physical form: dynamic partition overwrite
     (see ``write_replace_period``).
     """
-    kept = existing.where(
-        F.date_format(F.col(period_col), period_format) != F.lit(period)
-    )
+    fmt = F.date_format(F.col(period_col), period_format)
+    # NULL-dated rows survive: the reference's DELETE matches only the
+    # formatted period, and NULL never matches a delete predicate
+    kept = existing.where(fmt.isNull() | (fmt != F.lit(period)))
     return kept.unionByName(incoming.select(*existing.columns))
 
 

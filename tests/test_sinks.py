@@ -122,3 +122,22 @@ def test_upsert_pk_only_falls_back_to_append(spark, tmp_path):
     st = _state(spark, path)
     assert st[1] == ("A", "UN", "ATIVO")  # untouched: fallback is K2
     assert st[2] == (None, None, None)
+
+
+def test_replace_period_keeps_null_dated_rows(spark):
+    from pyspark.sql import functions as F
+
+    from autosinapi_spark.operators.sinks import replace_by_period
+
+    existing = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, None, 20.0), (3, "2024-02-01", 30.0)],
+        "codigo INT, d STRING, valor DOUBLE",
+    ).withColumn("d", F.to_date("d"))
+    incoming = spark.createDataFrame(
+        [(9, "2024-01-15", 99.0)], "codigo INT, d STRING, valor DOUBLE"
+    ).withColumn("d", F.to_date("d"))
+
+    out = replace_by_period(existing, incoming, "d", "2024-01")
+    got = {r["codigo"] for r in out.collect()}
+    # NULL-dated row 2 survives; only the 2024-01 rows are replaced
+    assert got == {2, 3, 9}

@@ -93,3 +93,15 @@ def test_validate_local_file(tmp_path):
         validate_local_file(bad)
     with pytest.raises(FileNotFoundError):
         validate_local_file(tmp_path / "missing.csv")
+
+
+def test_orphan_check_ignores_null_fks(spark):
+    from autosinapi_spark.operators.repair import orphan_check
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id INT, fk INT"
+    )
+    dim = spark.createDataFrame([(10,)], "k INT")
+    orphans = {r["id"] for r in orphan_check(fact, "fk", dim, "k").collect()}
+    # NULL FK is legal (SQL FK semantics); only the dangling 99 flags
+    assert orphans == {3}
