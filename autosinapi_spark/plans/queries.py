@@ -413,3 +413,35 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), "soma_valor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP rollup (extension): hierarchical subtotals in one pass — the
+# reporting shape over the monthly fact tables (grand total / per
+# period / per period+status) that a cost dashboard would issue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT strftime(o_orderdate, '%Y') AS ano,
+           o_orderstatus AS situacao,
+           {sql_dsum('o_totalprice', 'receita')},
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), o_orderstatus)
+    """,
+    doc="OLAP ROLLUP: grand total + per-year + per-year-and-status "
+    "subtotals in a single aggregation pass (extension; partial "
+    "aggregation applies per grouping set).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.date_format("o_orderdate", "yyyy").alias("ano"),
+        F.col("o_orderstatus").alias("situacao"),
+    ).agg(
+        dsum(F.col("o_totalprice"), "receita"),
+        F.count(F.lit(1)).alias("n"),
+    )
