@@ -427,7 +427,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT strftime(o_orderdate, '%Y') AS ano,
            o_orderstatus AS situacao,
-           {sql_dsum('o_totalprice', 'receita')},
+           {sql_dsum('o_totalprice', 'receita', scale=2)},
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), o_orderstatus)
@@ -442,6 +442,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy").alias("ano"),
         F.col("o_orderstatus").alias("situacao"),
     ).agg(
-        dsum(F.col("o_totalprice"), "receita"),
+        # scale=2: the grand total reaches ~4e9, where double spacing
+        # (~5e-7) collides with a 6-decimal rounding boundary — wide
+        # totals need a coarser, magnitude-safe round
+        dsum(F.col("o_totalprice"), "receita", scale=2),
         F.count(F.lit(1)).alias("n"),
     )
