@@ -33,6 +33,8 @@ def _registry():
     import autosinapi_spark.plans.multimodal_queries  # noqa: F401
     import autosinapi_spark.plans.sql_queries  # noqa: F401
     import autosinapi_spark.plans.skew_queries  # noqa: F401
+    import autosinapi_spark.plans.asof_queries  # noqa: F401
+    import autosinapi_spark.plans.range_queries  # noqa: F401
 
     return registry.REGISTRY
 

@@ -1,0 +1,88 @@
+"""As-of join — the classic time-series operator Spark SQL lacks.
+
+For each left row, attach the most recent right-side value at or
+before the left timestamp, per key (quotes-to-trades, latest price at
+order time, config-at-event-time, ...).
+
+Implementation is the scalable union-window form, NOT a non-equi
+join:
+
+1. tag both sides and union on (keys, ts);
+2. one window per key ordered by (ts, side) carries the last non-null
+   right-side payload forward (``last(..., ignorenulls=True)`` over
+   an unbounded-preceding frame);
+3. keep only left rows.
+
+One hash shuffle on the keys, linear scan within partitions — the
+same cost as a groupBy. A theta-join formulation
+(``l.ts >= r.ts`` + window) explodes quadratically per key and is
+exactly what this operator avoids; at 100 TB the union-window form
+also AQE-splits skewed keys like any other window.
+
+The right side must be unique per (keys, ts) for determinism — dedup
+first (``dedup_keep_first``) exactly as a SQL ASOF JOIN demands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE, _PAYLOAD_PREFIX = "__asof_side", "__asof_"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """left rows + latest right ``value_cols`` with right.ts <= left.ts.
+
+    Right rows at exactly left.ts match when ``allow_exact_match``
+    (the SQL ``>=`` form; ``False`` gives strict ``>``). Unmatched
+    left rows keep NULL values (LEFT ASOF semantics).
+    """
+    on = list(on)
+    overlap = set(left.columns) & set(value_cols)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    # side ordering decides exact-ts ties: right-before-left => '<='
+    right_side, left_side = (0, 1) if allow_exact_match else (1, 0)
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(right_side).alias(_SIDE),
+        *[F.col(c).alias(_PAYLOAD_PREFIX + c) for c in value_cols],
+    )
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *l_cols,
+        F.lit(left_side).alias(_SIDE),
+        *[F.lit(None).cast(t)
+          .alias(_PAYLOAD_PREFIX + c)
+          for c, t in zip(value_cols,
+                          [dict(right.dtypes)[c] for c in value_cols])],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(_PAYLOAD_PREFIX + c, ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col(_SIDE) == left_side).select(*l_cols, *value_cols)

@@ -89,3 +89,17 @@ def test_no_python_row_udfs_in_relational_queries(registry, spark):
         plan = _plan(spec.fn(spark, SF_SMOKE), "simple")
         assert "BatchEvalPython" not in plan, f"{name} uses a row UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_range_join_avoids_nested_loop(registry, spark):
+    plan = _plan(_q(registry, spark, "range_join_windows"), "simple")
+    # the binned form must hash-join on (key, bin), never nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_window_pass(registry, spark):
+    plan = _plan(_q(registry, spark, "asof_latest_quote"), "simple")
+    # union-window form: no join node at all, one window over the union
+    assert "Join" not in plan
+    assert "Window" in plan
