@@ -57,6 +57,8 @@ DECODED_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
         T.StructField("byte_mean", T.DoubleType(), True),
         T.StructField("byte_hist", T.ArrayType(T.LongType()), True),
     ]
@@ -140,13 +142,17 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            means, hists = [], []
+            ns, sums, means, hists = [], [], [], []
             for p in pdf["payload"]:
                 if p is None or len(p) == 0:
+                    ns.append(None)
+                    sums.append(None)
                     means.append(None)
                     hists.append(None)
                     continue
                 arr = np.frombuffer(p, dtype=np.uint8)
+                ns.append(len(p))
+                sums.append(int(arr.sum(dtype=np.int64)))
                 means.append(float(arr.mean()))
                 hists.append(
                     np.bincount(arr // (256 // n_bins), minlength=n_bins)
@@ -156,6 +162,8 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
+                    "n_bytes": pd.array(ns, dtype="Int32"),
+                    "byte_sum": pd.array(sums, dtype="Int64"),
                     "byte_mean": means,
                     "byte_hist": hists,
                 }

@@ -53,9 +53,23 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_decode_stats",
-    None,  # mapInPandas fake-codec path: rows-only check + unit tests
+    # The synthetic payload is utf-8 of ASCII fixture text, so the fake
+    # codec's byte math IS SQL-expressible: ord(substr) == payload byte.
+    """
+    SELECT doc_id AS media_id,
+           ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1))
+               AS decoded_width,
+           ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1))
+               AS decoded_height,
+           length(text) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
+    FROM documents
+    """,
     doc="Arrow-batched decode via mapInPandas (fake codec over the "
-    "synthetic header; real codec drops into the same plumbing).",
+    "synthetic header; real codec drops into the same plumbing). "
+    "Fully oracle-checked: the ASCII fixture makes byte arithmetic "
+    "expressible as ord(substr(...)) in DuckDB.",
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media(spark, sf_dir))
@@ -63,12 +77,39 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_extract",
-    None,  # numpy-over-Arrow feature UDF: rows-only check + unit tests
+    """
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, i, 1))) AS bs
+      FROM documents
+    )
+    SELECT media_id,
+           len(bs) AS n_bytes,
+           CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+           ROUND(CAST(list_sum(bs) AS DOUBLE) / len(bs), 6) AS byte_mean,
+           array_to_string(list_transform(range(0, 16),
+               h -> CAST(len(list_filter(bs, x -> x // 16 = h))
+                         AS VARCHAR)), ',') AS byte_hist_csv
+    FROM b
+    """,
     doc="Vectorized byte-histogram feature extraction per payload "
-    "(mapInPandas; the embedding-model slot in a real pipeline).",
+    "(mapInPandas; the embedding-model slot in a real pipeline). The "
+    "registered projection serializes the histogram to CSV so the "
+    "driver canonicalizer can sort it; the raw array<long> stays on "
+    "the operator API (operators/multimodal.py extract_features).",
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark, sf_dir))
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_sum",
+        F.round(F.col("byte_sum").cast("double") / F.col("n_bytes"), 6)
+        .alias("byte_mean"),
+        F.array_join(F.col("byte_hist").cast("array<string>"), ",")
+        .alias("byte_hist_csv"),
+    )
 
 
 @register(
