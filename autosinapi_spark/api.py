@@ -63,6 +63,7 @@ def _failure(cfg_or_none: EngineConfig | None, message: str) -> dict:
         "message": message,
         "tables_updated": [],
         "records_inserted": {},
+        "total_records_inserted": 0,
     }
 
 

@@ -49,7 +49,11 @@ def binned_range_join(
     p = points.withColumn(
         _BIN, (F.unix_micros(F.col(ts_col)) / width_us).cast("long")
     )
-    i = intervals.withColumn(
+    # empty/inverted intervals (end <= start) can never contain a
+    # point, and an inverted pair would make F.sequence descend —
+    # replicating one corrupt row into every bin between the two
+    # timestamps. Dropping them up front matches inner-join semantics.
+    i = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         _BIN,
         F.explode(
             F.sequence(

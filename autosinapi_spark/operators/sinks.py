@@ -237,8 +237,14 @@ def write_replace_period(
     other period's files are untouched — the scale-correct form of
     DELETE-month + append (no full-table rewrite).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    incoming.write.mode("overwrite").partitionBy(period_col).parquet(path)
+    # per-write option — does NOT mutate the shared session conf, so a
+    # later caller relying on static overwrite semantics is unaffected
+    (
+        incoming.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(period_col)
+        .parquet(path)
+    )
 
 
 def write_overwrite(incoming: DataFrame, path: str) -> None:

@@ -67,15 +67,27 @@ def _unpivot_uf(df: DataFrame, id_cols: list[str], value_name: str) -> DataFrame
 
 @dataclass
 class PipelineResult:
+    """Run outcome, mirroring the reference's result contract
+    (etl_pipeline.py:506-510): always carries ``status`` + ``message``.
+
+    Documented divergence: the reference's ``records_inserted`` is a
+    single integer total; here it is a per-table dict (more useful for
+    a multi-table warehouse). ``total_records_inserted`` preserves the
+    reference's integer-total shape for consumers of that contract.
+    """
+
     status: str = "SUCESSO"
+    message: str = "ETL concluído com sucesso"
     tables_updated: list[str] = field(default_factory=list)
     records_inserted: dict[str, int] = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return {
             "status": self.status,
+            "message": self.message,
             "tables_updated": self.tables_updated,
             "records_inserted": self.records_inserted,
+            "total_records_inserted": sum(self.records_inserted.values()),
         }
 
 
@@ -124,7 +136,9 @@ class SinapiPipeline:
         df = raw.select(
             normalize_code("CODIGO").alias("item_codigo"),
             upper_trim("TIPO").alias("tipo_item"),
-            first_of_month("REFERENCIA").alias("data_referencia"),
+            first_of_month(
+                "REFERENCIA", self.cfg.MANUTENCOES_DATE_FORMAT
+            ).alias("data_referencia"),
             upper_trim("MANUTENCAO").alias("tipo_manutencao"),
             F.trim("DESCRICAO").alias("descricao_item"),
         ).where(F.col("item_codigo").isNotNull())
@@ -169,7 +183,8 @@ class SinapiPipeline:
             self.spark, csv_path, self.cfg.CUSTOS_HEADER_KEYWORDS, two_row_header=True
         )
         typed = raw.withColumn(
-            "CODIGO", extract_code(F.col("CODIGO"))
+            "CODIGO",
+            extract_code(F.col("CODIGO"), self.cfg.CUSTOS_CODIGO_REGEX),
         ).where(F.col("CODIGO").isNotNull())
         catalog = dedup_keep_first(
             typed.select(

@@ -111,3 +111,22 @@ def test_run_id_log_filter_attaches_and_detaches(spark, tmp_path):
     rec = logging.LogRecord("autosinapi_spark.x", 20, "f", 1, "m", (), None)
     RunIdFilter("abc12345").filter(rec)
     assert rec.run_id == "abc12345"
+
+
+def test_result_contract_message_and_total(spark, csv_dir, tmp_path):  # noqa: F811
+    """Reference contract parity: success dict carries 'message' and an
+    integer total alongside the per-table records_inserted dict."""
+    result = run_etl(
+        storage_config={"warehouse": str(tmp_path / "wh")},
+        sinapi_config={"year": 2024, "month": 1},
+        inputs=_inputs(csv_dir),
+        spark=spark,
+    )
+    assert result["status"] == "SUCESSO" and result["message"]
+    assert result["total_records_inserted"] == sum(
+        result["records_inserted"].values()
+    )
+    assert result["total_records_inserted"] > 0
+
+    failure = run_etl(storage_config={}, sinapi_config={"year": 1, "month": 1})
+    assert failure["total_records_inserted"] == 0

@@ -151,3 +151,34 @@ def test_header_not_found_raises(spark, tmp_path):
     pipe = SinapiPipeline(spark, str(tmp_path / "wh"), 2024, 1)
     with pytest.raises(ValueError, match="header with keywords"):
         pipe.process_manutencoes(str(bad))
+
+
+def test_custom_constants_wire_into_transforms(spark, csv_dir, tmp_path):
+    """CUSTOS_CODIGO_REGEX and MANUTENCOES_DATE_FORMAT overrides must
+    actually reach extract_code / first_of_month (not just validate)."""
+    from autosinapi_spark.config import EngineConfig
+
+    (csv_dir / "m_iso.csv").write_text(
+        MANUT_CSV.replace("01/2024", "2024-01"), encoding="utf-8"
+    )
+    cfg = EngineConfig(
+        storage={"warehouse": str(tmp_path / "wh")},
+        sinapi={"year": 2024, "month": 1},
+        custom_constants={
+            "MANUTENCOES_DATE_FORMAT": "yyyy-MM",
+            # keep only the FIRST digit of the code tail — observably
+            # different from the default r",(\d+)\)$" (9001 -> 9)
+            "CUSTOS_CODIGO_REGEX": r",(\d)\d*\)$",
+        },
+    )
+    pipe = SinapiPipeline(spark, str(tmp_path / "wh"), 2024, 1, cfg)
+
+    manut = pipe.process_manutencoes(str(csv_dir / "m_iso.csv"))
+    assert {
+        r["data_referencia"].isoformat() for r in manut.collect()
+    } == {"2024-01-01"}
+
+    cat, _ = pipe.process_custos(
+        str(csv_dir / "SINAPI_Custos_CSD.csv"), "NAO_DESONERADO"
+    )
+    assert {r["codigo"] for r in cat.collect()} == {9}

@@ -103,3 +103,27 @@ def test_asof_join_is_single_window_pass(registry, spark):
     # union-window form: no join node at all, one window over the union
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    """end <= start can never contain a point; an inverted pair must be
+    filtered BEFORE the bin explode (a descending F.sequence would
+    otherwise replicate one corrupt row into every bin between the two
+    timestamps — e.g. an epoch-zero end = ~470k hourly bins)."""
+    from datetime import datetime
+
+    from autosinapi_spark.operators.ranges import binned_range_join
+
+    pts = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 12, 30))], "k string, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 2), datetime(1970, 1, 1), "inverted"),
+            ("k", datetime(2024, 1, 1), datetime(2024, 1, 1), "empty"),
+            ("k", datetime(2024, 1, 1), datetime(2024, 1, 2), "good"),
+        ],
+        "k string, start timestamp, end timestamp, tag string",
+    )
+    out = binned_range_join(pts, iv, ["k"], "ts", "start", "end")
+    assert [r["tag"] for r in out.collect()] == ["good"]
