@@ -13,6 +13,7 @@ pre-conversion detail rather than engine semantics).
 
 from __future__ import annotations
 
+import csv
 from collections.abc import Iterable
 from pathlib import Path
 
@@ -43,28 +44,25 @@ def excel_to_csv(
     out_dir: str | Path,
     sep: str = ";",
 ) -> list[Path]:
-    """S6 Excel->CSV pre-conversion — gated on an Excel reader.
+    """S4/S6 Excel->CSV pre-conversion (pre_processor.py:51-84).
 
-    pandas.read_excel needs openpyxl, which this container does not
-    ship; the function degrades to a clear error instead of a silent
-    stub. (pre_processor.py:51-84.)
+    Reads the workbook with the engine's stdlib xlsx reader (xlsx is a
+    public zip-of-XML format; no openpyxl needed) and writes one CSV
+    per requested sheet, header-less and index-less exactly like the
+    reference's ``df.to_csv(header=False, index=False)``. Fields
+    containing the separator, quotes, or newlines are quoted per RFC
+    4180, matching pandas' default quoting.
     """
-    try:
-        import pandas as pd
+    from .xlsx import read_xlsx_rows
 
-        pd.io.excel.ExcelFile  # probe the engine lazily
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel pre-conversion requires openpyxl, which is not "
-            "installed in this environment"
-        ) from exc
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     written = []
-    for sheet in sheets:  # pragma: no cover - needs openpyxl
-        df = pd.read_excel(xlsx_path, sheet_name=sheet, header=None)
+    for sheet in sheets:
+        rows = read_xlsx_rows(xlsx_path, sheet)
         dest = out / f"{sheet}.csv"
-        df.to_csv(dest, sep=sep, header=False, index=False)
+        with open(dest, "w", encoding="utf-8", newline="") as fh:
+            w = csv.writer(fh, delimiter=sep, lineterminator="\n")
+            w.writerows(rows)
         written.append(dest)
     return written
