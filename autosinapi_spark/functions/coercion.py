@@ -36,13 +36,27 @@ def decimal_comma_to_double(c: Column | str) -> Column:
     return cleaned.try_cast("double")
 
 
+# A string must LOOK numeric before we let the JVM cast touch it.
+# Spark's string->double cast Java-trims every char <= U+0020 (so
+# '0\x08' would cast to 0), but pandas to_numeric(errors='coerce')
+# returns NaN for embedded control chars — the semantics we mirror.
+# `$` (not `\z`) keeps parity for a single trailing newline, which
+# both float() and to_numeric accept.
+_NUMERIC_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
 def normalize_code(c: Column | str) -> Column:
     """Numeric-coerce an item code to nullable long (invalid -> NULL).
 
     pandas ``pd.to_numeric(errors='coerce').astype('Int64')``
     (``processor.py:191-193``).
     """
-    return F.trim(_col(c).cast("string")).try_cast("double").try_cast("long")
+    s = F.trim(_col(c).cast("string"))
+    return (
+        F.when(s.rlike(_NUMERIC_RE), s)
+        .try_cast("double")
+        .try_cast("long")
+    )
 
 
 def upper_trim(c: Column | str) -> Column:

@@ -59,6 +59,16 @@ def test_normalize_code_never_throws(spark, texts):
             assert float(raw.strip()) == float(out)
 
 
+def test_normalize_code_control_chars_null(spark):
+    # Round-3 falsifying example: Spark's bare string->double cast
+    # Java-trims chars <= U+0020, accepting '0\x08' where pandas
+    # to_numeric(errors='coerce') yields NaN. The validity gate must
+    # null these out while keeping ordinary padded numerics.
+    cases = ["0\x08", "1\x0b2", "\x0512", " 42 ", "+7", "3.5", "1e3", "abc"]
+    got = _roundtrip(spark, cases, normalize_code)
+    assert got == [None, None, None, 42, 7, 3, 1000, None]
+
+
 @given(st.lists(st.text(alphabet=" abcXYZ", max_size=15), min_size=1, max_size=30))
 @_settings
 def test_upper_trim_matches_python(spark, texts):
