@@ -1,11 +1,14 @@
 """Multimodal queries — binary payload plumbing over the media catalog.
 
-``media_binary_stats`` is fully oracle-checked (byte length + md5 of
-the payload match DuckDB hashing the same utf-8 bytes). The
-mapInPandas feature/decode/frame queries have no SQL-expressible
-oracle (Arrow-batched Python), so they register WITHOUT one — the
-driver records the weaker rows-only check — and their numeric
-behaviour is pinned by unit tests instead (tests/test_multimodal.py).
+``media_binary_stats``, ``media_decode_stats``, and
+``media_feature_extract`` are fully oracle-checked: the fake codec's
+byte math is deterministic over the utf-8 payload, so DuckDB can
+replay it with ``ord(substr(...))`` arithmetic (decode/feature got
+their oracles in round 3; the byte histogram is serialized to CSV in
+the registered projection so the canonicalizer can hash it). Only
+``media_frame_sample`` registers without one (one-to-many
+mapInPandas), and its numeric behaviour is pinned by unit tests
+(tests/test_multimodal.py).
 """
 
 from __future__ import annotations

@@ -5,10 +5,9 @@ workaround (``pre_processor.py:6-11``); the Spark-native equivalent is
 normalizing every raw input into Parquet ONCE at landing so all
 downstream scans get columnar pruning and pushdown for free.
 
-Excel itself is gated: this container ships no openpyxl, so the
-xlsx->csv step raises cleanly while the CSV/Parquet plumbing stays
-fully real (environment constraint, mirrors S4/S6 being a
-pre-conversion detail rather than engine semantics).
+Excel needs no external library: ``excel_to_csv`` reads workbooks
+through the engine's stdlib xlsx reader (``sources/xlsx.py``), so the
+whole S4/S6 pre-conversion path runs for real in this container.
 """
 
 from __future__ import annotations

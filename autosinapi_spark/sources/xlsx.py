@@ -15,6 +15,15 @@ of the format those workbooks need with ``zipfile`` + ``xml.etree``:
 - sparse cells (``r="C5"`` references) densified with empty strings,
   matching ``pd.read_excel(header=None)``'s NaN -> '' serialization.
 
+Documented divergences from ``pandas.read_excel``: date-styled
+numeric cells are emitted as raw Excel serials (e.g. ``45292``), not
+datetime strings — numFmt styles are not interpreted; formula cells
+yield their cached ``<v>`` value, not the formula text; booleans
+render ``TRUE``/``FALSE`` (not Python ``True``/``False``). SINAPI
+sheets carry dates as ``MM/yyyy`` text, so none of these affect the
+reference workbooks; a workbook with date-TYPED cells would need a
+styles.xml-aware reader.
+
 The writer emits the same subset so tests can synthesize
 reference-shaped workbooks (the ``startrow=9`` fixture pattern from
 ``reference/tests/core/test_processor.py:86-111``) without any Excel
