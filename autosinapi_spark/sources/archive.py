@@ -3,8 +3,10 @@
 The reference downloads ``SINAPI_{type}_{MM}_{YYYY}.zip`` over HTTP
 (``downloader.py:67-140``), normalizes the name and extracts
 (``etl_pipeline.py:212-241``). Network access is out of scope here;
-the local-zip path is implemented fully and the HTTP fetch is an
-explicit stub behind the same interface.
+the local-zip path is implemented fully and the HTTP fetch takes an
+injectable ``fetcher`` transport whose default raises (no network in
+this environment) — URL building, landing, and error wrapping are
+all real and tested with fake fetchers.
 """
 
 from __future__ import annotations
@@ -12,9 +14,20 @@ from __future__ import annotations
 import shutil
 import zipfile
 from pathlib import Path
+from typing import Callable
 
 ZIP_NAME_TEMPLATE = "SINAPI-{year}-{month:0>2}-formato-xlsx.zip"  # config.py:34
 ALLOWED_INPUT_EXTENSIONS = {".xlsx", ".xls", ".csv", ".zip"}  # config.py:24
+
+# S1 constants (reference config.py:21-26)
+BASE_URL = "https://www.caixa.gov.br/Downloads/sinapi-a-vista-composicoes"
+VALID_DOWNLOAD_TYPES = ("REFERENCIA", "DESONERADO")
+DOWNLOAD_FILENAME_TEMPLATE = "SINAPI_{type}_{month}_{year}"
+DOWNLOAD_TIMEOUT = 30
+
+
+class DownloadError(RuntimeError):
+    """Acquisition failure wrapper (reference exceptions.DownloadError)."""
 
 
 def validate_local_file(path: str | Path) -> Path:
@@ -50,15 +63,60 @@ def extract_zip(zip_path: str | Path, out_dir: str | Path) -> list[Path]:
         return [out / n for n in zf.namelist()]
 
 
-def download_sinapi_zip(year: int, month: int, save_dir: str | Path) -> Path:
-    """S1 HTTP download — STUB: this environment has no network access.
+def build_download_url(
+    year: int | str, month: int | str, sheet_type: str = "REFERENCIA"
+) -> str:
+    """S1 URL construction (downloader.py:123-142): zero-pad year to 4
+    and month to 2, validate the sheet type against the known set."""
+    tipo = str(sheet_type).upper()
+    if tipo not in VALID_DOWNLOAD_TYPES:
+        raise ValueError(f"Tipo de planilha inválido: {tipo}")
+    file_name = DOWNLOAD_FILENAME_TEMPLATE.format(
+        type=tipo, month=str(month).zfill(2), year=str(year).zfill(4)
+    )
+    return f"{BASE_URL}/{file_name}.zip"
 
-    The reference GETs the Caixa URL with a 30s timeout
-    (downloader.py:107, config.py:21-26). Wire `requests` here when
-    deploying; the rest of the ingestion path consumes the returned
-    local zip path and is fully implemented.
+
+def _no_network_fetcher(url: str) -> bytes:
+    """Default transport — this environment has no network access.
+
+    Wire ``requests.get(url, timeout=DOWNLOAD_TIMEOUT).content`` here
+    when deploying (downloader.py:101-121); everything downstream of
+    the returned bytes is fully implemented and tested via injected
+    fetchers.
     """
     raise NotImplementedError(
-        "network access unavailable; place the zip locally and call "
-        "extract_zip()"
+        "network access unavailable; pass fetcher= or place the zip "
+        "locally and call extract_zip()"
     )
+
+
+def download_sinapi_zip(
+    year: int,
+    month: int,
+    save_dir: str | Path,
+    sheet_type: str = "REFERENCIA",
+    *,
+    fetcher: Callable[[str], bytes] = _no_network_fetcher,
+) -> Path:
+    """S1: fetch the monthly zip and land it under ``save_dir``.
+
+    ``fetcher`` is the injectable transport (url -> response bytes),
+    mirroring the reference's mocked ``requests.Session``
+    (tests/core/test_downloader.py:52-115). Transport errors are
+    wrapped in :class:`DownloadError` like downloader.py:119-121;
+    the deliberate no-network ``NotImplementedError`` of the default
+    fetcher propagates as-is.
+    """
+    url = build_download_url(year, month, sheet_type)
+    try:
+        content = fetcher(url)
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — parity with reference wrap
+        raise DownloadError(f"Erro no download: {exc}") from exc
+    out_dir = Path(save_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    target = out_dir / ZIP_NAME_TEMPLATE.format(year=year, month=str(month))
+    target.write_bytes(content)
+    return target
