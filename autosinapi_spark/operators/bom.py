@@ -72,6 +72,9 @@ def explode_bom(
         )
     roots = roots.select(F.col(roots.columns[0]).alias("parent")).distinct()
 
+    # lazy localCheckpoint + count = ONE driver-synchronous job per
+    # level (the count materializes the checkpoint and tests emptiness
+    # in the same pass; eager checkpoint + isEmpty was two)
     frontier = (
         roots.join(e, "parent")
         .select(
@@ -80,11 +83,12 @@ def explode_bom(
             F.col("coef").alias("total_coef"),
             F.lit(1).alias("depth"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    frontier_rows = frontier.count()
     out = frontier
     depth = 1
-    while depth < max_depth and not frontier.isEmpty():
+    while depth < max_depth and frontier_rows > 0:
         # Fresh aliases per iteration: localCheckpoint preserves attribute
         # ids, so a plain self-join against the cached edges would be
         # ambiguous after the first step.
@@ -102,9 +106,10 @@ def explode_bom(
                 (F.col("__f_coef") * F.col("coef")).alias("total_coef"),
                 (F.col("__f_depth") + F.lit(1)).alias("depth"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
             break
         out = out.unionByName(frontier)
         depth += 1

@@ -207,6 +207,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(vector aggregate shape; extension).",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape deliberately kept as posexplode -> groupBy(label, dim):
+    # the hash aggregate partial-combines map-side over only
+    # |labels| x 64 keys, so the shuffle already carries at most
+    # (labels x 64 x partitions) rows regardless of corpus size — the
+    # 64x explode never reaches the exchange. The "wide" alternative
+    # (64 per-dimension decimal SUM aggregates + post-agg reshape) was
+    # measured 3x SLOWER at sf0.1 warm (65 decimal agg buffers defeat
+    # codegen) and shuffles the same bytes, so it was rejected.
     emb = load(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(as_double(F.col("embedding")))
