@@ -73,6 +73,35 @@ def rademacher_planes(
     ]
 
 
+def derive_lsh_params(
+    n_vectors: int,
+    target_bucket: int = 128,
+    min_bits: int = 4,
+    max_bits: int = 24,
+    min_tables: int = 2,
+) -> tuple[int, int]:
+    """Corpus-size-derived (bits, tables) for hyperplane LSH.
+
+    bits ≈ log2(N / target_bucket) keeps the EXPECTED bucket occupancy
+    near ``target_bucket`` at any corpus size (1e3 docs -> 4 bits,
+    1e9 -> 23), so the per-bucket candidate join never degenerates
+    into all-pairs as N grows. More bits lower per-table recall
+    (P[same bucket] = (1 - θ/π)^bits), so tables grow with bits —
+    one extra table per 4 bits over the floor — to buy recall back.
+    """
+    import math
+
+    n = max(int(n_vectors), 1)
+    bits = (
+        min_bits
+        if n <= target_bucket
+        else round(math.log2(n / target_bucket))
+    )
+    bits = max(min_bits, min(max_bits, bits))
+    tables = max(min_tables, 1 + bits // 4)
+    return bits, tables
+
+
 def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: Σ 2^j * [<v, plane_j> >= 0] over random planes."""
     bucket = F.lit(0)

@@ -19,6 +19,7 @@ from ..catalog import load
 from ..functions.vectors import (
     as_double,
     cosine,
+    derive_lsh_params,
     hyperplane_bucket,
     rademacher_planes,
 )
@@ -127,48 +128,84 @@ def _lsh_oracle() -> str:
     """
 
 
-@register(
-    "ann_lsh_topk",
-    _lsh_oracle(),
-    doc="Multi-table random-hyperplane LSH ANN: 2 tables x 8 bits of "
-    "seeded Rademacher projections over all dims; candidates only "
-    "within shared buckets, exact cosine re-rank — the 100 TB scale "
-    "path (extension).",
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-    )
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= radius over ``bits`` bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(bits), r):
+            m = 0
+            for j in flips:
+                m |= 1 << j
+            masks.append(m)
+    return masks
+
+
+def _lsh_topk_plan(
+    emb: DataFrame,
+    planes: list[list[float]],
+    bits: int,
+    tables: int,
+    n_queries: int,
+    k: int,
+    probe_radius: int = 0,
+) -> DataFrame:
+    """Shared LSH top-k plan over (vec_id, v): exploded (table, bucket)
+    keys -> pure equi-join (the form that hash-partitions at scale; an
+    OR-join over tables cannot), exact-cosine re-rank of candidates.
+
+    ``probe_radius`` > 0 enables multi-probe LSH: the QUERY side also
+    joins under every bucket within that Hamming distance. Probing
+    multiplies only the broadcast query keys (few queries x
+    C(bits, <=r) masks) — the corpus side stays at ``tables`` keys per
+    vector — so recall is bought without another pass over the corpus,
+    which is the knob that matters at 100 TB (vs stacking tables,
+    which re-keys every corpus vector).
+    """
     buckets = [
-        hyperplane_bucket(
-            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
-        )
-        for t in range(_LSH_TABLES)
+        hyperplane_bucket(F.col("v"), planes[t * bits : (t + 1) * bits])
+        for t in range(tables)
     ]
-    # exploded (table, bucket) keys -> pure equi-join: this is the form
-    # that hash-partitions at scale (an OR-join over tables cannot)
     keyed = emb.select(
         "vec_id",
         "v",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), b.alias("bucket")
-                    )
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
                     for t, b in enumerate(buckets)
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select(
+        "vec_id",
+        "v",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
 
-    q = keyed.where(F.col("vec_id") < _N_QUERIES).select(
+    q = keyed.where(F.col("vec_id") < n_queries).select(
         "tbl",
         "bucket",
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
     )
+    if probe_radius > 0:
+        masks = _probe_masks(bits, probe_radius)
+        q = q.select(
+            "tbl",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
+            "query_id",
+            "qv",
+        )
     cand = (
         keyed.join(broadcast(q), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -184,8 +221,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _TOP_K)
+        .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    _lsh_oracle(),
+    doc="Multi-table random-hyperplane LSH ANN: 2 tables x 8 bits of "
+    "seeded Rademacher projections over all dims; candidates only "
+    "within shared buckets, exact cosine re-rank — the 100 TB scale "
+    "path (extension). Parameters are PINNED here so the DuckDB "
+    "oracle replays identical plane literals; the corpus-size-derived "
+    "variant is ann_lsh_topk_auto (recall-tested vs brute force).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+    )
+    return _lsh_topk_plan(
+        emb, _PLANES, _LSH_BITS, _LSH_TABLES, _N_QUERIES, _TOP_K
+    )
+
+
+def ann_lsh_topk_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _TOP_K,
+    n_queries: int = _N_QUERIES,
+    dim: int = _DIM,
+) -> DataFrame:
+    """ANN top-k with corpus-size-derived LSH parameters.
+
+    One count() sizes the corpus, ``derive_lsh_params`` picks
+    bits ≈ log2(N / target_bucket) and tables = f(bits) so bucket
+    occupancy stays bounded at any scale (the round-2/3 ask: fixed
+    8-bit buckets collapse at 100 TB). Not registered as an oracle
+    query — the plane set depends on the runtime corpus size, which
+    static oracle SQL cannot replay across sf dirs — verified instead
+    by tests/test_ann.py's recall@k >= 0.9 bound vs the brute-force
+    baseline.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+    )
+    bits, tables = derive_lsh_params(emb.count())
+    planes = rademacher_planes(bits * tables, dim)
+    return _lsh_topk_plan(
+        emb, planes, bits, tables, n_queries, k, probe_radius=2
     )
 
 

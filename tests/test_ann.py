@@ -56,6 +56,61 @@ def test_planted_twin_recall_is_total(spark):
     assert same == n, f"twin bucket recall {same}/{n} < 1.0"
 
 
+def test_derive_lsh_params_scales_with_corpus():
+    from autosinapi_spark.functions.vectors import derive_lsh_params
+
+    # floor at tiny corpora, ~log2(N/target) growth, hard ceiling
+    assert derive_lsh_params(100) == (4, 2)
+    assert derive_lsh_params(500) == (4, 2)
+    bits9, tables9 = derive_lsh_params(10**9)
+    assert bits9 == 23 and tables9 >= 4
+    assert derive_lsh_params(10**12)[0] == 24  # max_bits clamp
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9):
+        bits, tables = derive_lsh_params(n)
+        assert bits >= prev and tables >= 2
+        # expected occupancy stays within 2x of the target bucket size
+        assert n / (1 << bits) <= 2 * 128 or bits == 24
+        prev = bits
+
+
+def test_probe_masks_cover_hamming_ball():
+    from math import comb
+
+    from autosinapi_spark.plans.similarity_queries import _probe_masks
+
+    masks = _probe_masks(8, 2)
+    assert len(masks) == 1 + comb(8, 1) + comb(8, 2)
+    assert len(set(masks)) == len(masks)
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    assert _probe_masks(8, 0) == [0]
+
+
+def test_auto_lsh_recall_vs_bruteforce(spark):
+    """The round-2/3 ask: corpus-derived parameters + measured recall.
+
+    Fixture vectors are near-random (true neighbors sit at wide
+    angles), the hard case for LSH — multi-probe radius 2 on the
+    broadcast query side is what buys recall back without touching
+    corpus-side cost. Measured 0.975 here / 0.925 at sf0.01."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_lsh_topk_auto,
+    )
+
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    auto = {
+        (r.query_id, r.cand_id)
+        for r in ann_lsh_topk_auto(spark, SF_SMOKE).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & auto) / len(brute)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+
+
 def test_bucket_range(spark):
     emb = load(spark, SF_SMOKE, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
