@@ -1,14 +1,12 @@
 """Multimodal queries — binary payload plumbing over the media catalog.
 
-``media_binary_stats``, ``media_decode_stats``, and
-``media_feature_extract`` are fully oracle-checked: the fake codec's
+All four media queries are fully oracle-checked: the fake codec's
 byte math is deterministic over the utf-8 payload, so DuckDB can
-replay it with ``ord(substr(...))`` arithmetic (decode/feature got
-their oracles in round 3; the byte histogram is serialized to CSV in
-the registered projection so the canonicalizer can hash it). Only
-``media_frame_sample`` registers without one (one-to-many
-mapInPandas), and its numeric behaviour is pinned by unit tests
-(tests/test_multimodal.py).
+replay it — ``ord(substr(...))`` arithmetic for decode/feature (the
+byte histogram is serialized to CSV in the registered projection so
+the canonicalizer can hash it), and ``range()`` stride offsets for
+the one-to-many frame explosion. Numeric behaviour is additionally
+pinned by unit tests (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -117,9 +115,27 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    None,  # one-to-many mapInPandas: rows-only check + unit tests
+    # Frames are deterministic fixed-size slices of the ASCII payload,
+    # so the one-to-many explosion IS SQL-expressible: one offset per
+    # 256-byte stride (empty payloads still yield one zero-byte frame,
+    # matching the chunker's max(len, 1) floor).
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, length(text) AS n
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT media_id,
+           CAST(off // 256 AS INT) AS frame_idx,
+           CAST(LEAST(256, n - off) AS INT) AS frame_bytes
+    FROM (
+      SELECT media_id, n, unnest(range(0, GREATEST(n, 1), 256)) AS off
+      FROM d
+    )
+    """,
     doc="Frame sampling: one media row explodes to N fixed-size frame "
-    "rows (video decode shape).",
+    "rows (video decode shape). Fully oracle-checked: the frames are "
+    "deterministic 256-byte strides, replayed in DuckDB with "
+    "range() offsets + length arithmetic.",
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(_media(spark, sf_dir), frame_bytes=256)
