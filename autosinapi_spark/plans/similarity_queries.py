@@ -352,13 +352,7 @@ def _embed_dedup_oracle() -> str:
     """
 
 
-@register(
-    "near_dedup_embedding",
-    _embed_dedup_oracle(),
-    doc="Embedding-cosine near-dup: hyperplane-LSH candidate pairs + "
-    "exact cosine threshold (the vector-space dedup path; extension).",
-)
-def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -366,12 +360,19 @@ def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
         F.transform("v", lambda x: x * 1.001).alias("v"),
     )
-    corpus = emb.unionByName(twins)
+    return emb.unionByName(twins)
+
+
+def _embedding_pair_plan(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    bits: int,
+    tables: int,
+    near_cos: float,
+) -> DataFrame:
     buckets = [
-        hyperplane_bucket(
-            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
-        )
-        for t in range(_LSH_TABLES)
+        hyperplane_bucket(F.col("v"), planes[t * bits : (t + 1) * bits])
+        for t in range(tables)
     ]
     keyed = corpus.select(
         "vec_id",
@@ -406,4 +407,47 @@ def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
     )
-    return pairs.where(F.col("cos_sim") >= _NEAR_COS)
+    return pairs.where(F.col("cos_sim") >= near_cos)
+
+
+@register(
+    "near_dedup_embedding",
+    _embed_dedup_oracle(),
+    doc="Embedding-cosine near-dup: hyperplane-LSH candidate pairs + "
+    "exact cosine threshold (the vector-space dedup path; extension). "
+    "Parameters PINNED for the DuckDB oracle; the scale path is "
+    "near_dedup_embedding_auto (bucket occupancy bounded at any N).",
+)
+def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_pair_plan(
+        _twin_corpus(spark, sf_dir), _PLANES, _LSH_BITS, _LSH_TABLES, _NEAR_COS
+    )
+
+
+def near_dedup_embedding_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    near_cos: float = _NEAR_COS,
+    dim: int = _DIM,
+    target_bucket: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with corpus-size-derived LSH parameters.
+
+    Pair enumeration costs O(buckets x occupancy^2) = O(N x occupancy),
+    so — unlike top-k search — dedup wants SMALL buckets
+    (target_bucket=16, not 128). The tight cosine threshold makes that
+    affordable: a true pair at cos >= 0.999 (theta <= 2.6 deg) agrees
+    with each random hyperplane w.p. ~1 - theta/pi ~= 0.986, so even
+    log2(N/16) bits keep per-table recall high and the extra tables
+    from derive_lsh_params push planted-twin recall to ~1. Measured at
+    10x sf0.1: fixed 8-bit buckets degrade 25x for 10x data (occupancy
+    grows linearly with N); this derived variant stays near-linear.
+    Not oracle-registered (planes depend on runtime N); verified by
+    tests/test_ann.py planted-twin recall.
+    """
+    corpus = _twin_corpus(spark, sf_dir)
+    bits, tables = derive_lsh_params(
+        corpus.count(), target_bucket=target_bucket
+    )
+    planes = rademacher_planes(bits * tables, dim)
+    return _embedding_pair_plan(corpus, planes, bits, tables, near_cos)

@@ -20,6 +20,12 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # local mode runs driver + all executor threads in ONE JVM; the
+    # 1g spark-submit default heap starves broadcast builds and
+    # shuffles well below the machine's actual memory. Env-tunable
+    # (and ignored when attaching to an existing session / a real
+    # cluster submit sets its own executor memory).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -111,6 +111,23 @@ def test_auto_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
 
 
+def test_auto_embedding_dedup_finds_all_planted_twins(spark):
+    """The derived-parameter dedup path must still catch every planted
+    twin: scalar multiples share hyperplane signs in EVERY table, so
+    candidate recall on twins is 1.0 by construction at any bits."""
+    from autosinapi_spark.plans.similarity_queries import (
+        near_dedup_embedding_auto,
+    )
+
+    pairs = near_dedup_embedding_auto(spark, SF_SMOKE).collect()
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    twin_pairs = {
+        (r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100000
+    }
+    assert len(twin_pairs) == n, f"{len(twin_pairs)}/{n} twins found"
+    assert all(r.cos_sim >= 0.999 for r in pairs)
+
+
 def test_bucket_range(spark):
     emb = load(spark, SF_SMOKE, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")

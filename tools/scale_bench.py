@@ -1,0 +1,150 @@
+"""sf1 spot-bench: 10x-replicate the sf0.1 fixtures and time the
+heaviest queries at both scales in one warm session.
+
+/root/testdata is read-only and ships no sf1, so the sf1-equivalent
+corpus is synthesized into /tmp by concatenating 10 key-offset copies
+of the sf0.1 tables the heavy queries read (documents, embeddings,
+lineitem, part), preserving the original parquet schemas byte-for-type
+(including the INT64 TIMESTAMP(NANOS) quirk catalog.load handles):
+
+- documents: doc_id offset per copy; a per-copy token is appended to
+  the text so replicas are near- but not byte-identical (exercises the
+  exact-Jaccard verify stage rather than trivial identity).
+- embeddings: vec_id offset; +0.01*copy added to every element so
+  replica directions differ slightly (keeps LSH buckets realistic
+  instead of 10 exact-cosine-1 twins per vector).
+- lineitem: l_orderkey offset (the coercion query is a pure
+  projection; no FK consumer among the benched queries).
+- part: p_partkey offset — each copy forms its own BOM forest.
+  bom_explode_auto_roots therefore does true 10x frontier work;
+  bom_cost_rollup (roots pinned < 10) sees 10x edge build + copy-0
+  explosion only, and both are reported.
+
+Run: python tools/scale_bench.py  [--rebuild]
+Prints one line per (query, sf) plus the sf1/sf0.1 ratio.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SRC = Path("/root/testdata/sf0.1")
+DST = Path("/tmp/sf1_scale")
+COPIES = 10
+
+QUERIES = [
+    "near_dedup_minhash",
+    "coercion_ptbr_roundtrip",
+    "near_dedup_embedding",  # oracle-pinned 8-bit buckets: DEGRADES by design
+    "near_dedup_embedding_auto",  # derived buckets: the actual scale path
+    "ann_lsh_topk",
+    "doc_simhash",
+    "bom_cost_rollup",
+    "bom_explode_auto_roots",
+]
+
+
+def _offset_col(t: pa.Table, name: str, off: int) -> pa.Table:
+    i = t.schema.get_field_index(name)
+    col = pc.add(t.column(name), pa.scalar(off, t.schema.field(name).type))
+    return t.set_column(i, t.schema.field(name), col.cast(t.schema.field(name).type))
+
+
+def _replicate(name: str, tweak) -> None:
+    t = pq.read_table(SRC / f"{name}.parquet")
+    parts = [tweak(t, c) for c in range(COPIES)]
+    out = pa.concat_tables(parts).combine_chunks()
+    pq.write_table(out, DST / f"{name}.parquet")
+    print(f"built {name}: {t.num_rows} -> {out.num_rows} rows", file=sys.stderr)
+
+
+def build() -> None:
+    DST.mkdir(parents=True, exist_ok=True)
+
+    def doc_tweak(t, c):
+        off = c * (pc.max(t.column("doc_id")).as_py() + 1)
+        t2 = _offset_col(t, "doc_id", off)
+        if c:
+            i = t2.schema.get_field_index("text")
+            text = pc.binary_join_element_wise(
+                t2.column("text").cast(pa.string()), f" c{c}", ""
+            )
+            t2 = t2.set_column(i, t2.schema.field("text"), text.cast(t2.schema.field("text").type))
+        return t2
+
+    def emb_tweak(t, c):
+        off = c * (pc.max(t.column("vec_id")).as_py() + 1)
+        t2 = _offset_col(t, "vec_id", off)
+        if c:
+            i = t2.schema.get_field_index("embedding")
+            col = t2.column("embedding").combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            vals = pc.add(arr.values, pa.scalar(0.01 * c, arr.values.type))
+            new = pa.ListArray.from_arrays(arr.offsets, vals.cast(arr.values.type))
+            t2 = t2.set_column(i, t2.schema.field("embedding"), new.cast(t2.schema.field("embedding").type))
+        return t2
+
+    def li_tweak(t, c):
+        off = c * (pc.max(t.column("l_orderkey")).as_py() + 1)
+        return _offset_col(t, "l_orderkey", off)
+
+    def part_tweak(t, c):
+        off = c * (pc.max(t.column("p_partkey")).as_py() + 1)
+        return _offset_col(t, "p_partkey", off)
+
+    _replicate("documents", doc_tweak)
+    _replicate("embeddings", emb_tweak)
+    _replicate("lineitem", li_tweak)
+    _replicate("part", part_tweak)
+
+
+def main() -> int:
+    if "--rebuild" in sys.argv or not (DST / "part.parquet").exists():
+        build()
+
+    import __spark_entry__ as entrymod
+    from autosinapi_spark.session import get_spark
+
+    from autosinapi_spark.plans.similarity_queries import (
+        near_dedup_embedding_auto,
+    )
+
+    spark = get_spark(app_name="scale_bench")
+    qs = dict(entrymod.queries())
+    qs["near_dedup_embedding_auto"] = near_dedup_embedding_auto
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm-up pass at sf0.1 so neither scale pays JVM/codegen cold start
+    for name in QUERIES:
+        run(name, str(SRC))
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    worst = 0.0
+    for name in QUERIES:
+        small = run(name, str(SRC))
+        big = run(name, str(DST))
+        ratio = big / small
+        if name != "near_dedup_embedding":  # pinned-param contrast row
+            worst = max(worst, ratio)
+        print(f"{name:28s} {small:7.2f}s {big:7.2f}s {ratio:5.1f}x")
+    print(f"worst ratio for 10x data: {worst:.1f}x", file=sys.stderr)
+    return 0 if worst < 10 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
