@@ -164,6 +164,105 @@ def simhash_from_hashes(hh: Column, bits: int = 16) -> Column:
     return acc
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT all-pairs word-ngram Jaccard >= threshold via prefix
+    filtering (AllPairs / PPJoin family, Bayardo et al. WWW'07).
+
+    Unlike MinHash-LSH (probabilistic recall), prefix filtering is
+    LOSSLESS: under one global token order, any pair with
+    J >= t must share a token within each side's first
+    |S| - ceil(t*|S|) + 1 tokens, so an inverted-index equi-join on
+    those prefixes alone yields every qualifying pair. Ordering tokens
+    by ascending global document frequency keeps the index postings
+    short (the rarest tokens carry the candidates), which is also what
+    kills join skew at scale: hot tokens sort to the END of each list
+    and drop out of the prefix. Shuffles carry (token, id) pairs and
+    the candidate set — never all-pairs.
+    """
+    sg = shingles(F.col(text_col), ngram)
+    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
+        F.size(F.col("sg")) >= 1
+    )
+    toks = base.select("id", F.explode("sg").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc token list sorted by (global df, token): deterministic
+    # rarest-first order shared by every document
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+    )
+    plen = (
+        F.size("st") - F.ceil(F.lit(threshold) * F.size("st")) + 1
+    ).cast("int")
+    # postings carry (token, 1-based position in the sorted list, set
+    # size) so the join can apply PPJoin's lossless filters
+    prefix = ordered.select(
+        "id",
+        F.size("st").alias("sz"),
+        F.posexplode(
+            F.slice(F.transform("st", lambda s: s["tok"]), F.lit(1), plen)
+        ).alias("pos0", "tok"),
+    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = prefix.select(
+        "tok",
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = prefix.select(
+        "tok",
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    # overlap needed for J >= t: alpha = ceil(t/(1+t) * (|A|+|B|))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t|B| <= |A| <= |B|/t
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            # positional filter: the FIRST common token (always inside
+            # both prefixes when J >= t) can head at most
+            # 1 + min(remaining suffix) common tokens
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("sz_a") - F.col("pos_a"),
+                    F.col("sz_b") - F.col("pos_b"),
+                )
+                >= alpha
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a")),
+        "id_a",
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sg_a", "sg_b")) / F.size(
+        F.array_union("sg_a", "sg_b")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

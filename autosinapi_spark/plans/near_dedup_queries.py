@@ -19,6 +19,7 @@ from ..operators.near_dedup import (
     MERSENNE_P,
     minhash_near_dup_pairs,
     minhash_params,
+    ngram_jaccard_pairs,
     shingles,
     simhash_from_hashes,
 )
@@ -129,6 +130,62 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         rows=ROWS,
         threshold=0.5,
+    )
+
+
+_JACCARD_T = 0.8
+
+
+def _ngram_jaccard_oracle() -> str:
+    # Brute force with the (lossless) length filter: prefix filtering
+    # returns EXACTLY the pairs with J >= t, so all-pairs is a valid
+    # oracle; t*|B| <= |A| <= |B|/t prunes the quadratic scan.
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET},
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) || '{SUFFIX}'
+      FROM documents
+    ),
+    tok AS (SELECT id, string_split(t, ' ') AS ts FROM corpus),
+    sh AS (
+      SELECT id, list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
+      FROM tok WHERE len(ts) >= 3
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                   / len(list_distinct(a.sg || b.sg)), 6) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.id < b.id
+       AND len(a.sg) >= {_JACCARD_T} * len(b.sg)
+       AND len(b.sg) >= {_JACCARD_T} * len(a.sg)
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {_JACCARD_T}
+    """
+
+
+@register(
+    "near_dedup_ngram_jaccard",
+    _ngram_jaccard_oracle(),
+    doc="Exact all-pairs word-trigram Jaccard >= 0.8 via LOSSLESS "
+    "prefix filtering (AllPairs/PPJoin): rarest-first global token "
+    "order, inverted-index join on each document's short prefix, "
+    "exact verify — deterministic recall, unlike MinHash "
+    "(extension; completes the dedup suite).",
+)
+def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        ngram=3,
+        threshold=_JACCARD_T,
     )
 
 

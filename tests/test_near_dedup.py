@@ -1,0 +1,54 @@
+"""Losslessness check for the prefix-filtered n-gram Jaccard join.
+
+The registered query is oracle-compared against brute force at
+sf0.01; this pins the operator itself on a tiny corpus with a
+Python-computed expected answer, so a future lossy "optimization"
+(shorter prefixes, broken positional filter) fails here with a
+readable diff.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from autosinapi_spark.operators.near_dedup import ngram_jaccard_pairs
+
+DOCS = [
+    (1, "a b c d e f g h"),
+    (2, "a b c d e f g h x"),  # near-dup of 1
+    (3, "a b c d e f g h x y z"),  # borderline vs 1/2
+    (4, "q r s t u v w"),  # unrelated
+    (5, "q r s t u v w"),  # exact dup of 4
+    (6, "one two"),  # shorter than a trigram: dropped
+]
+
+
+def _grams(text: str, n: int) -> frozenset:
+    ts = text.split()
+    return frozenset(
+        " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+    )
+
+
+def _expected(n: int, t: float) -> set:
+    sets = {i: _grams(s, n) for i, s in DOCS if len(s.split()) >= n}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 6) >= t:
+                    out.add((a, b, round(j, 6)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_ngram_jaccard_matches_bruteforce(spark, threshold):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, ngram=3, threshold=threshold
+        ).collect()
+    }
+    assert got == _expected(3, threshold)
