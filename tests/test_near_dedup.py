@@ -42,6 +42,35 @@ def _expected(n: int, t: float) -> set:
     return out
 
 
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_hash_families_find_planted_twins(spark, hash_fn):
+    """Both hash families must recover ~all planted twin pairs; the
+    xxhash64 deployment path only changes which BORDERLINE candidates
+    surface (banding recall is a per-family coin flip), never the
+    exact-Jaccard verification. 4x3 banding at the twins' J~0.9 has
+    ~99% pair recall (1-(1-J^3)^4) — deterministic per family, so the
+    0.98 bound is stable, and md5 measures 496/500 here."""
+    from autosinapi_spark.operators.near_dedup import minhash_near_dup_pairs
+    from autosinapi_spark.plans.near_dedup_queries import ID_OFFSET, _corpus
+    from tests.conftest import SF_SMOKE
+
+    corpus = _corpus(spark, SF_SMOKE)
+    pairs = minhash_near_dup_pairs(corpus, hash_fn=hash_fn).collect()
+    twins = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == ID_OFFSET}
+    n_docs = corpus.count() // 2
+    recall = len(twins) / n_docs
+    assert recall >= 0.98, f"{len(twins)}/{n_docs} twins via {hash_fn}"
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_base_hashes_rejects_unknown_family():
+    from autosinapi_spark.operators.near_dedup import base_hashes
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        base_hashes(F.col("sg"), "sha1")
+
+
 @pytest.mark.parametrize("threshold", [0.5, 0.8])
 def test_ngram_jaccard_matches_bruteforce(spark, threshold):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
