@@ -1,0 +1,56 @@
+"""Physical-plan regression tests for the round-4 similarity/dedup
+operators: the shapes that make them 100 TB-safe must survive future
+edits — no cartesian products in candidate generation, broadcast on
+the correct (small) sides, and pure equi-joins on the LSH keys."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from autosinapi_spark.operators.near_dedup import ngram_jaccard_pairs
+from autosinapi_spark.plans.near_dedup_queries import _corpus
+from autosinapi_spark.plans.similarity_queries import (
+    ann_lsh_topk,
+    near_dedup_embedding,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    plan = _plan(ngram_jaccard_pairs(_corpus(spark, SF_SMOKE)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_is_equijoin_with_broadcast_queries(spark):
+    plan = _plan(ann_lsh_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the few-rows query side broadcasts into the corpus-side join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_dedup_no_cartesian(spark):
+    plan = _plan(near_dedup_embedding(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_is_the_only_nested_loop(spark):
+    """ann_bruteforce_topk is the documented O(N*Q) baseline — it is
+    ALLOWED a nested-loop broadcast join; this test documents that the
+    exemption is deliberate and unique to it."""
+    from autosinapi_spark.plans.similarity_queries import ann_bruteforce_topk
+
+    plan = _plan(ann_bruteforce_topk(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
