@@ -35,6 +35,7 @@ def _registry():
     import autosinapi_spark.plans.skew_queries  # noqa: F401
     import autosinapi_spark.plans.asof_queries  # noqa: F401
     import autosinapi_spark.plans.range_queries  # noqa: F401
+    import autosinapi_spark.plans.curation_queries  # noqa: F401
 
     return registry.REGISTRY
 

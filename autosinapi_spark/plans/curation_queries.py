@@ -1,0 +1,386 @@
+"""Training-data curation queries (LLM-pipeline extensions).
+
+The operators a 100 TB pre-training corpus pipeline runs between raw
+ingest and tokenization, beyond dedup/similarity (covered in
+``near_dedup_queries`` / ``similarity_queries``):
+
+- benchmark decontamination (n-gram overlap vs a held-out eval set)
+- sequence packing (documents -> fixed-token-budget context bins)
+- deterministic stratified sampling (per-language keep rates)
+- repetition quality filters (Gopher-style duplicate-token and
+  top-bigram fractions; Rae et al. 2021, arXiv:2112.11446 §A1.1)
+- per-language length quantiles (corpus profiling)
+
+All pure Column expressions (JVM-side, whole-stage codegen) with full
+DuckDB oracles. Scale notes per query in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..functions.text import normalize_ws, tokens
+from ..operators.near_dedup import shingles
+from .registry import register
+
+# --- decontamination -------------------------------------------------
+
+# The synthetic corpus has no labeled eval split, so designate two
+# sources as the "benchmark" the trainer must not memorize.
+_EVAL_SOURCES = ("src0", "src1")
+_CONTAM_N = 5  # 5-gram overlap (13 is typical for real corpora, but
+# the fixture docs average ~50 tokens; the machinery is n-agnostic)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - {_CONTAM_N - 1}),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                    || ts[i+3] || ' ' || ts[i+4])) AS gs
+      FROM tok WHERE len(ts) >= {_CONTAM_N}
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams
+      WHERE source IN ('src0', 'src1')
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+      WHERE source NOT IN ('src0', 'src1')
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any word "
+    f"{_CONTAM_N}-gram with the eval split (extension; standard "
+    "pre-training hygiene step).",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side docs that leak eval-set n-grams.
+
+    Scale shape: the eval split is tiny relative to the corpus (GBs vs
+    100 TB), so its distinct-gram set is BROADCAST — the training side
+    streams through a broadcast hash join with no shuffle of the
+    exploded grams; the only shuffle is the final per-doc count
+    (partial-aggregated map-side). Grams are per-doc distinct, so a
+    doc repeating an eval gram k times counts it once.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sg = shingles(F.col("text"), _CONTAM_N)
+    grams = docs.where(F.size(sg) >= 1).select(
+        "doc_id", "source", F.explode(sg).alias("g")
+    )
+    bench = (
+        grams.where(F.col("source").isin(*_EVAL_SOURCES))
+        .select("g")
+        .distinct()
+    )
+    train = grams.where(~F.col("source").isin(*_EVAL_SOURCES))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+# --- sequence packing ------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per context bin
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_documents_bins",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                 ' ')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tok
+    ),
+    binned AS (
+      SELECT shard,
+             CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS bin,
+             doc_id, n_tokens
+      FROM cum
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM binned GROUP BY shard, bin
+    """,
+    doc=f"Sequence packing: prefix-sum binning of documents into "
+    f"~{_PACK_BUDGET}-token context bins within hash shards "
+    "(extension; the batch-assembly step before tokenization).",
+)
+def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> fixed-token-budget bins, per shard.
+
+    Bin assignment is prefix-sum binning: bin = floor(exclusive-prefix
+    -sum / budget). A deterministic one-window approximation of
+    next-fit packing — a doc can straddle a budget boundary (real
+    packers truncate or pad there), but assignment needs no recurrence,
+    so it stays a window function.
+
+    Scale shape: the window partitions by shard, NOT a global sort —
+    at 100 TB each shard's prefix sum runs independently after one
+    hash exchange (single-partition windows are the classic scale
+    killer here). Shard count scales with the cluster; doc order
+    within a shard is deterministic (doc_id), so reruns repack
+    identically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        nt.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = base.select(
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / float(_PACK_BUDGET)).alias("bin"),
+        "doc_id",
+        "n_tokens",
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- stratified sampling ---------------------------------------------
+
+_SAMPLE_SEED = 11
+_RATE_DEFAULT = 0.2
+_RATE_BY_LANG = {"en": 0.5}
+_HASH_SPACE = float(1 << 60)  # 15 hex digits
+
+
+def _uniform(c: Column, seed: int) -> Column:
+    """Deterministic uniform [0,1) from md5 — identical in DuckDB as
+    CAST('0x' || substr(md5(seed || ':' || x), 1, 15) AS BIGINT)
+    / POW(2, 60). Both engines convert the same bigint to double with
+    IEEE round-to-nearest and divide by an exact power of two, so the
+    comparison against the rate is bit-identical.
+    """
+    hx = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15)
+    return F.conv(hx, 16, 10).cast("bigint") / F.lit(_HASH_SPACE)
+
+
+def _sql_rate() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _RATE_BY_LANG.items()
+    )
+    return f"CASE lang {whens} ELSE {_RATE_DEFAULT} END"
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('{_SAMPLE_SEED}:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / POW(2, 60) AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, ROUND(u, 6) AS u
+    FROM u WHERE u < {_sql_rate()}
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "via a portable hash-derived uniform (extension; reproducible "
+    "corpus downsampling).",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each doc iff hash-uniform(doc_id) < rate(lang).
+
+    Scale shape: a pure row-local filter — no shuffle, no RNG state,
+    no sample() nondeterminism across retries/speculation (Spark's
+    sample() re-draws per task attempt; a content-hash never does).
+    Rates are data-independent so the filter pushes to the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id").cast("string"), _SAMPLE_SEED)
+    rate = F.lit(_RATE_DEFAULT)
+    for k, v in _RATE_BY_LANG.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", F.round(u, 6).alias("u"), u.alias("_u"), rate.alias("_r")
+    ).where(F.col("_u") < F.col("_r")).drop("_u", "_r")
+
+
+# --- repetition quality filter ---------------------------------------
+
+# Gopher-style thresholds (Rae et al. 2021 table A1, adapted to token
+# fractions over these short synthetic docs).
+_MAX_TOP_BIGRAM_FRAC = 0.20
+_MAX_DUP_TOKEN_FRAC = 0.50
+
+
+@register(
+    "doc_repetition_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(ts) AS n_tokens,
+             1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+               AS dup_token_frac,
+             list_transform(generate_series(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1]) AS bg
+      FROM tok WHERE len(ts) >= 2
+    ),
+    counts AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+      GROUP BY doc_id, g
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+      FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(b.dup_token_frac, 6) AS dup_token_frac,
+           ROUND(CAST(t.top_c AS DOUBLE) / t.n_bigrams, 6)
+             AS top_bigram_frac,
+           CASE WHEN CAST(t.top_c AS DOUBLE) / t.n_bigrams
+                     > {_MAX_TOP_BIGRAM_FRAC}
+                  OR b.dup_token_frac > {_MAX_DUP_TOKEN_FRAC}
+                THEN 'drop' ELSE 'keep' END AS rep_flag
+    FROM base b JOIN top t USING (doc_id)
+    """,
+    doc="Repetition quality filter: duplicate-token and top-bigram "
+    "fractions with Gopher-style drop thresholds (extension; Rae et "
+    "al. 2021 §A1.1).",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag docs dominated by repeated tokens/bigrams.
+
+    Scale shape: dup_token_frac is row-local (array_distinct — no
+    shuffle). The bigram mode needs a per-(doc,gram) count: explode ->
+    two partial-aggregated groupBys keyed by doc_id, so data stays
+    hash-partitioned by doc_id between them (one exchange, reused).
+    The join back to the row-local side is doc_id-keyed as well.
+    Bigrams here are NON-distinct (frequency matters), unlike
+    shingles() — built from the same shifted-slice zip so the split
+    is evaluated once per row, not per element.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.where(n >= 2).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct(ts)).cast("double") / n).alias(
+            "dup_token_frac"
+        ),
+        bigrams.alias("bg"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    frac = F.col("top_c").cast("double") / F.col("n_bigrams")
+    return (
+        base.select("doc_id", "n_tokens", "dup_token_frac")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("dup_token_frac", 6).alias("dup_token_frac"),
+            F.round(frac, 6).alias("top_bigram_frac"),
+            F.when(
+                (frac > _MAX_TOP_BIGRAM_FRAC)
+                | (F.col("dup_token_frac") > _MAX_DUP_TOKEN_FRAC),
+                F.lit("drop"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("rep_flag"),
+        )
+    )
+
+
+# --- corpus profiling ------------------------------------------------
+
+
+@register(
+    "doc_length_quantiles",
+    """
+    WITH tok AS (
+      SELECT lang,
+             CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                  'g')), ' ')) AS DOUBLE) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+    FROM tok GROUP BY lang
+    """,
+    doc="Per-language token-length quantiles: exact interpolated "
+    "percentiles for corpus profiling (extension).",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 token counts per language.
+
+    Exact ``percentile`` (not approx_percentile) so the DuckDB
+    quantile_cont oracle matches bit-for-bit: both engines sort the
+    group and linearly interpolate on doubles; ROUND(,6) absorbs any
+    last-ulp drift. At 100 TB profiling would switch to
+    approx_percentile (t-digest, mergeable, no per-group sort) — the
+    exact form is the oracle-checkable contract; group cardinality
+    (languages) is tiny so the per-group sort is bounded here.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text"))).cast("double")
+    return (
+        docs.select("lang", nt.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_tokens", 0.5), 6).alias("p50"),
+            F.round(F.percentile("n_tokens", 0.9), 6).alias("p90"),
+            F.round(F.percentile("n_tokens", 0.99), 6).alias("p99"),
+        )
+    )
