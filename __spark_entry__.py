@@ -36,6 +36,7 @@ def _registry():
     import autosinapi_spark.plans.asof_queries  # noqa: F401
     import autosinapi_spark.plans.range_queries  # noqa: F401
     import autosinapi_spark.plans.curation_queries  # noqa: F401
+    import autosinapi_spark.plans.session_queries  # noqa: F401
 
     return registry.REGISTRY
 

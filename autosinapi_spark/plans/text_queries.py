@@ -46,6 +46,49 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, SINGLE digits (GPT-style digit
+#: splitting), single punctuation marks. Deliberately regex-dialect
+#: neutral (no lookaround/classes that differ between Java regex and
+#: DuckDB's RE2).
+_BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+@register(
+    "doc_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_RE}')), 6)
+             AS chars_per_token
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_BPE_RE}')) > 0
+    """,
+    doc="BPE-ish token counting: regex pre-tokenizer (letter runs, "
+    "single digits, punctuation) vs whitespace tokens; chars/token "
+    "is the compression-ratio proxy (extension).",
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: row-local projection, zero shuffles; the regex
+    runs once per row inside codegen (both counts share the
+    subexpression)."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return (
+        docs.where(bpe > 0)
+        .select(
+            "doc_id",
+            token_count("text").alias("n_ws_tokens"),
+            bpe.alias("n_bpe_tokens"),
+            F.round(F.length("text").cast("double") / bpe, 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 @register(
     "doc_lang_id",
     f"""
