@@ -13,12 +13,14 @@ from .incremental import (
     dedup_events_stream,
     incremental_append_available_now,
     running_user_totals,
+    sessionized_event_stats,
     windowed_event_stats,
 )
 
 __all__ = [
     "incremental_append_available_now",
     "windowed_event_stats",
+    "sessionized_event_stats",
     "running_user_totals",
     "dedup_events_stream",
 ]

@@ -104,6 +104,50 @@ def windowed_event_stats(
     )
 
 
+def sessionized_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows: per-user sessions that close after
+    ``gap`` of silence, emitted once the watermark passes the session
+    end (the streaming twin of the registered batch
+    ``sessionize_events`` query — same 30-min gap rule).
+
+    Boundary note: ``session_window`` merges an event into a session
+    only while its timestamp is STRICTLY inside the previous window
+    (ts < prev_end = prev_ts + gap); the batch query keeps a gap of
+    exactly 30:00.000000 in-session (``diff > gap`` starts a new one).
+    A measure-zero divergence on real clocks, asserted against the
+    fixtures in tests.
+
+    Scale notes: state is keyed by (user, session) and partitioned;
+    the watermark both admits bounded lateness and lets completed
+    sessions leave state, so long-running streams don't accumulate.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sessao"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sessao.start").alias("session_start"),
+            F.col("sessao.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     pk: Sequence[str] = ("event_id",),

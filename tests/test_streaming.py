@@ -136,3 +136,57 @@ def test_stream_dedup_within_watermark(spark, events, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_stream")
     assert out.count() == events.count()  # every duplicate dropped
     assert out.distinct().count() == events.count()
+
+
+def test_session_windows_match_batch_and_sessionize_query(
+    spark, events, tmp_path
+):
+    from autosinapi_spark.plans.session_queries import _GAP_US
+    from autosinapi_spark.streaming import sessionized_event_stats
+
+    src = tmp_path / "events_sessions_src"
+    events.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        sessionized_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_stats").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionized_event_stats(events).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the exact-gap boundary (the one semantic divergence documented on
+    # sessionized_event_stats) does not occur in the fixture slice, so
+    # session COUNTS must agree with the batch sessionize query
+    us = sorted(
+        (r.user_id, r.us)
+        for r in events.select(
+            "user_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    )
+    assert all(
+        not (a[0] == b[0] and b[1] - a[1] == _GAP_US)
+        for a, b in zip(us, us[1:])
+    )
+    from collections import Counter
+
+    got_counts = Counter(u for (u, _s) in got)
+    want_counts: Counter = Counter()
+    prev: dict = {}
+    for u, t in us:  # same gap rule the batch sessionize query applies
+        if u not in prev or t - prev[u] > _GAP_US:
+            want_counts[u] += 1
+        prev[u] = t
+    assert dict(got_counts) == dict(want_counts)
