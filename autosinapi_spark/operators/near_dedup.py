@@ -61,6 +61,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     error).
     """
     ts = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    empty = F.array_except(F.array(F.lit("")), F.array(F.lit("")))
+    return (
+        F.when(F.size(ts) >= n, F.array_distinct(shingle_grams(ts, n)))
+        .otherwise(empty)
+    )
+
+
+def shingle_grams(ts: Column, n: int) -> Column:
+    """Ordered, NON-distinct word n-grams of a token array (the
+    positional form winnowing and frequency counts need; ``shingles``
+    wraps this with the set semantics Jaccard needs). Caller guards
+    ``size(ts) >= n`` — below that, ``slice`` sees a negative length
+    (ANSI error)."""
     cnt = F.size(ts) - (n - 1)
     grams = F.slice(ts, 1, cnt)
     for j in range(1, n):
@@ -69,8 +82,7 @@ def shingles(text: Column, n: int = 3) -> Column:
             F.slice(ts, j + 1, cnt),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    empty = F.array_except(F.array(F.lit("")), F.array(F.lit("")))
-    return F.when(F.size(ts) >= n, F.array_distinct(grams)).otherwise(empty)
+    return grams
 
 
 # Mersenne prime for the universal-hash family; (P-1)^2 < 2^62 so the

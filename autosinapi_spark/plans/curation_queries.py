@@ -231,9 +231,9 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(_RATE_DEFAULT)
     for k, v in _RATE_BY_LANG.items():
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    return docs.select(
-        "doc_id", "lang", F.round(u, 6).alias("u"), u.alias("_u"), rate.alias("_r")
-    ).where(F.col("_u") < F.col("_r")).drop("_u", "_r")
+    return docs.where(u < rate).select(
+        "doc_id", "lang", F.round(u, 6).alias("u")
+    )
 
 
 # --- repetition quality filter ---------------------------------------

@@ -18,6 +18,7 @@ from ..functions.text import (
     punct_ratio,
     stopword_hits,
     token_count,
+    tokens,
 )
 from .registry import register
 
@@ -183,6 +184,78 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+_WINNOW_K = 3  # k-gram size (words)
+_WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+
+@register(
+    "doc_winnow_fingerprint",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(ts) - {_WINNOW_K - 1}),
+               i -> CAST('0x' || substr(md5('0:' || ts[i] || ' ' || ts[i+1]
+                         || ' ' || ts[i+2]), 1, 15) AS BIGINT)) AS hh
+      FROM tok WHERE len(ts) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, len(hh) - {_WINNOW_W - 1}),
+               i -> list_min(hh[i:i+{_WINNOW_W - 1}])))) AS fp
+      FROM hashed
+    )
+    SELECT doc_id, len(fp) AS n_fingerprints,
+           md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)),
+               ',')) AS fp_digest
+    FROM fps
+    """,
+    doc="Winnowing document fingerprint (Schleimer et al. 2003): "
+    "min-hash of each sliding window of k-gram hashes; guarantees a "
+    "shared fingerprint for any sufficiently long common substring "
+    "(extension; the rolling-hash fingerprinting method).",
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: row-local array pipeline, zero shuffles. The
+    k-gram hash array is materialized as a real column BEFORE the
+    sliding-window lambda touches it — referencing an unmaterialized
+    expression inside a higher-order lambda re-evaluates it per
+    element (the O(n^2) trap documented on
+    ``operators/near_dedup.shingles``); an attribute reference is
+    evaluated once per row. Window minima cost O(n*w) with w=4."""
+    from ..operators.near_dedup import portable_hash64, shingle_grams
+
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    sg = shingle_grams(ts, _WINNOW_K)
+    hashed = docs.where(
+        F.size(ts) >= _WINNOW_K + _WINNOW_W - 1
+    ).select(
+        "doc_id",
+        F.transform(sg, lambda g: portable_hash64(g, 0)).alias("hh"),
+    )
+    win_min = F.transform(
+        F.sequence(F.lit(1), F.size("hh") - (_WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice("hh", i, _WINNOW_W)),
+    )
+    fps = hashed.select(
+        "doc_id", F.array_sort(F.array_distinct(win_min)).alias("fp")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fp").alias("n_fingerprints"),
+        F.md5(F.array_join(F.transform("fp", lambda x: x.cast("string")), ","))
+        .alias("fp_digest"),
+    )
+
+
 @register(
     "doc_ngram_profile",
     """
@@ -208,7 +281,7 @@ def doc_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shifted-slice zip, NOT element_at-in-lambda: the latter
     # re-evaluates the split per element (O(tokens²) per doc — see
     # operators/near_dedup.shingles)
-    from ..operators.near_dedup import shingles
+    from ..operators.near_dedup import shingle_grams, shingles
 
     docs = load(spark, sf_dir, "documents")
     ts = F.split(normalize_ws(F.col("text")), " ")

@@ -143,3 +143,58 @@ def test_repetition_filter_brute_force(spark):
         for r in doc_repetition_filter(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing's core guarantee (Schleimer et al. 2003): documents
+    sharing a token run of length >= w + k - 1 share at least one
+    fingerprint. Build synthetic pairs around the fixture corpus."""
+    from autosinapi_spark.plans.text_queries import (
+        _WINNOW_K,
+        _WINNOW_W,
+        doc_winnow_fingerprint,
+    )
+
+    need = _WINNOW_W + _WINNOW_K - 1
+    shared = " ".join(f"s{i}" for i in range(need + 2))
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} zeta eta theta iota kappa"),
+        (3, "totally different tokens here with no overlap at all x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in doc_winnow_fingerprint(spark, d).collect()
+        }
+    assert set(out) == {1, 2, 3}
+    # recompute raw fingerprint sets in Python to check the overlap
+    import hashlib
+
+    def fps(text):
+        ts = text.split()
+        hh = [
+            int(
+                hashlib.md5(
+                    ("0:" + " ".join(ts[i : i + _WINNOW_K])).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(ts) - _WINNOW_K + 1)
+        ]
+        return {
+            min(hh[i : i + _WINNOW_W])
+            for i in range(len(hh) - _WINNOW_W + 1)
+        }
+
+    f1, f2, f3 = fps(rows[0][1]), fps(rows[1][1]), fps(rows[2][1])
+    assert f1 & f2  # the guarantee
+    assert not (f1 & f3) and not (f2 & f3)
+    # and the Spark pipeline produced exactly these sets
+    assert out[1].n_fingerprints == len(f1)
+    assert out[2].n_fingerprints == len(f2)
+    assert out[3].n_fingerprints == len(f3)

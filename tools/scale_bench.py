@@ -53,6 +53,9 @@ QUERIES = [
     "doc_simhash",
     "bom_cost_rollup",
     "bom_explode_auto_roots",
+    "decontaminate_ngram_overlap",  # eval split replicates too (10x bcast)
+    "doc_repetition_filter",
+    "sessionize_events",
 ]
 
 
@@ -104,10 +107,19 @@ def build() -> None:
         off = c * (pc.max(t.column("p_partkey")).as_py() + 1)
         return _offset_col(t, "p_partkey", off)
 
+    def ev_tweak(t, c):
+        # offset user_id too: each copy is its own user population, so
+        # sessionization state/keys scale 10x (not 10 interleaved
+        # duplicates of the same users' timelines)
+        off = c * (pc.max(t.column("event_id")).as_py() + 1)
+        uoff = c * (pc.max(t.column("user_id")).as_py() + 1)
+        return _offset_col(_offset_col(t, "event_id", off), "user_id", uoff)
+
     _replicate("documents", doc_tweak)
     _replicate("embeddings", emb_tweak)
     _replicate("lineitem", li_tweak)
     _replicate("part", part_tweak)
+    _replicate("events", ev_tweak)
 
 
 def main() -> int:
