@@ -451,3 +451,74 @@ def near_dedup_embedding_auto(
     )
     planes = rademacher_planes(bits * tables, dim)
     return _embedding_pair_plan(corpus, planes, bits, tables, near_cos)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      FROM e
+      WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, len(v) AS n_dims, ROUND(scale, 6) AS scale,
+           list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS q_l1,
+           ROUND(list_max(list_transform(generate_series(1, len(v)),
+                 i -> abs(v[i] - qv[i] * scale))), 6) AS max_abs_err
+    FROM q
+    """,
+    doc="Symmetric int8 quantization of embeddings: per-vector "
+    "absmax/127 scale, quantized-codes L1 checksum, max "
+    "reconstruction error (extension; the 4x storage-reduction step "
+    "before shipping vectors to an index).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: row-local array pipeline, zero shuffles, zero
+    UDFs. ``scale`` is materialized as a real column BEFORE any
+    lambda references it — an unmaterialized array_max expression
+    inside ``transform`` would re-evaluate O(d) per element (the
+    O(d^2) trap documented on ``operators/near_dedup.shingles``).
+    absmax symmetric quantization needs no clamp: |x|/scale <= 127
+    by construction, so round() never exceeds the int8 range.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    amax = F.array_max(F.transform("v", F.abs))
+    s = base.where(amax > 0).select(
+        "vec_id", "v", (amax / 127).alias("scale")
+    )
+    q = s.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            "v", lambda x: F.round(x / F.col("scale")).cast("bigint")
+        ).alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with("v", "qv", lambda a, b: F.abs(a - b * F.col("scale")))
+    )
+    # the rounded display alias MUST come after every expression that
+    # reads the raw scale: Spark's lateral column aliases (4.x default)
+    # let a later select-list item resolve "scale" to the earlier
+    # rounded alias instead of the input column — putting
+    # round(scale) first silently recomputed the reconstruction error
+    # against the ROUNDED scale (caught by the DuckDB oracle).
+    return q.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.aggregate(
+            F.transform("qv", F.abs), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_l1"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round("scale", 6).alias("scale"),
+    )

@@ -147,3 +147,22 @@ def test_bucket_range(spark):
     assert 0 <= stats["lo1"] and stats["hi1"] < (1 << BITS)
     # random projections over all dims must actually spread the keys
     assert stats["nb"] > (1 << BITS) // 4
+
+
+def test_int8_quantization_bounds(spark):
+    """Symmetric absmax quantization invariants: codes within int8
+    range, reconstruction error <= scale/2 (nearest rounding), and
+    the max-magnitude element reconstructs exactly."""
+    from autosinapi_spark.plans.similarity_queries import (
+        embedding_quantize_int8,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = embedding_quantize_int8(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dims == 64
+        assert 0 < r.q_l1 <= 127 * r.n_dims
+        # scale column is rounded to 6 for the oracle; allow its
+        # half-ulp on the err bound
+        assert r.max_abs_err <= r.scale / 2 + 1e-6
