@@ -522,3 +522,135 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 6).alias("max_abs_err"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+# --- IVF-Flat ANN -----------------------------------------------------
+
+_IVF_PROBES = 3
+_COS6 = f"ROUND({_COS_SQL}, 6)"
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
+                      FROM e)
+    ),
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+      FROM e, c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cid
+      FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, d.vec_id AS cand_id,
+             ROUND(list_dot_product(p.qv, d.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS cos_sim
+      FROM probes p JOIN cells d
+        ON d.cid = p.cid AND d.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_ORACLE,
+    doc="IVF-Flat ANN: deterministic coarse codebook (K ~ sqrt(N) "
+    "anchor vectors), every vector assigned to its nearest cell, "
+    f"queries probe their {_IVF_PROBES} nearest cells, exact cosine "
+    "rerank inside the probed cells (extension; the inverted-file "
+    "counterpart to the hyperplane-LSH scale path).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat search structure on a deterministic codebook.
+
+    The codebook here is the first K ~ sqrt(N) vectors — chosen so the
+    DuckDB oracle replays the whole structure bit-for-bit (k-means is
+    iteration-order-dependent and would break the value-hash compare).
+    At deployment the codebook would come from ``pyspark.ml`` KMeans;
+    everything downstream — assignment, inverted cells, probe-P
+    search, in-cell exact rerank — is identical.
+
+    Scale shape: the codebook rides a one-row broadcast (an array of
+    K structs); assignment is row-local O(K*d) inside codegen — the
+    honest IVF assignment cost — so the corpus is never shuffled to be
+    assigned. Each vector lands in exactly ONE cell (probes never
+    produce duplicate candidates), the probe join is an equi-join on
+    cell id, and per-query rerank is a bounded window. Cells are
+    hash-partitionable; K grows as sqrt(N), keeping expected cell
+    size sqrt(N) — the classic IVF balance point.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    k = max(4, round(n**0.5))
+    cents = (
+        emb.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+    # 1-row broadcast: every partition scores its rows against the
+    # codebook array locally
+    scored = emb.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "v",
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias("ncos"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias("ranked"),
+    )
+    cells = scored.select(
+        "vec_id", "v", F.element_at("ranked", 1)["cid"].alias("cid")
+    )
+    probes = (
+        scored.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice("ranked", 1, _IVF_PROBES)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p")["cid"].alias("cid"))
+    )
+    cand = (
+        cells.join(broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )

@@ -166,3 +166,38 @@ def test_int8_quantization_bounds(spark):
         # scale column is rounded to 6 for the oracle; allow its
         # half-ulp on the err bound
         assert r.max_abs_err <= r.scale / 2 + 1e-6
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with probe-3 of ~sqrt(N) cells must recover a solid share
+    of the true top-5 (the codebook is untrained anchors, so the bar
+    is recall, not exactness; exactness comes from the in-cell
+    rerank). Self-cell membership guarantees each query's own cell is
+    always probed first."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+    from tests.conftest import SF_CORRECT
+
+    truth = {}
+    for r in ann_bruteforce_topk(spark, SF_CORRECT).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got = {}
+    for r in ann_ivf_topk(spark, SF_CORRECT).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    # measured 0.90 at sf0.01 / 0.93 at sf0.001 with probe-3 anchors
+    assert recall >= 0.8, f"IVF recall@5 {recall:.2f} < 0.8"
+    # the in-cell rerank is EXACT: every cosine IVF reports must equal
+    # the brute-force cosine for that same pair
+    true_cos = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in ann_bruteforce_topk(spark, SF_CORRECT).collect()
+    }
+    for r in ann_ivf_topk(spark, SF_CORRECT).collect():
+        key = (r.query_id, r.cand_id)
+        if key in true_cos:
+            assert r.cos_sim == true_cos[key]
