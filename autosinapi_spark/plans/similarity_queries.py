@@ -598,26 +598,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitionable; K grows as sqrt(N), keeping expected cell
     size sqrt(N) — the classic IVF balance point.
     """
+    from ..functions.vectors import dot, norm
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     n = emb.count()
     k = max(4, round(n**0.5))
+    # norms are precomputed ONCE per vector and per centroid — a bare
+    # cosine() inside the assignment lambda would re-evaluate norm(v)
+    # per centroid (K extra O(d) passes per row; measured ~2x on this
+    # query). The quotient dot/(nv*cn) performs the exact same double
+    # ops as dot/(sqrt(dot)*sqrt(dot)), so the rounded values the
+    # oracle compares are bit-identical.
     cents = (
         emb.where(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            norm(F.col("v")).alias("cn"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
     )
     # 1-row broadcast: every partition scores its rows against the
     # codebook array locally
-    scored = emb.crossJoin(broadcast(cents)).select(
+    scored = emb.select(
+        "vec_id", "v", norm(F.col("v")).alias("nv")
+    ).crossJoin(broadcast(cents)).select(
         "vec_id",
         "v",
         F.array_sort(
             F.transform(
                 "cents",
                 lambda c: F.struct(
-                    (-F.round(cosine(F.col("v"), c["cv"]), 6)).alias("ncos"),
+                    (
+                        -F.round(
+                            dot(F.col("v"), c["cv"])
+                            / (F.col("nv") * c["cn"]),
+                            6,
+                        )
+                    ).alias("ncos"),
                     c["cid"].alias("cid"),
                 ),
             )
