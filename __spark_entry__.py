@@ -37,6 +37,7 @@ def _registry():
     import autosinapi_spark.plans.range_queries  # noqa: F401
     import autosinapi_spark.plans.curation_queries  # noqa: F401
     import autosinapi_spark.plans.session_queries  # noqa: F401
+    import autosinapi_spark.plans.graph_queries  # noqa: F401
 
     return registry.REGISTRY
 

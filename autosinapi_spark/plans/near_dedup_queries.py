@@ -47,7 +47,14 @@ def _sql_hash(seed: int, expr: str) -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_pairs_ctes(threshold: float = 0.5) -> str:
+    """CTE chain ``tok .. scored`` replaying the banded-MinHash pipeline
+    in DuckDB over an upstream ``corpus(id, t)`` CTE; the caller embeds
+    it as ``WITH [RECURSIVE] corpus AS (...), {minhash_pairs_ctes()},
+    ...`` and reads qualifying pairs from ``scored``. Shared by the
+    pair query here and the cluster-resolution query in
+    ``graph_queries`` so both replays stay mirror-identical.
+    """
     # universal-hash signatures over one base-hash array (mirrors
     # operators/near_dedup.py minhash_signature exactly)
     sig_cols = ",\n           ".join(
@@ -65,17 +72,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-    WITH corpus AS (
-      SELECT doc_id AS id,
-             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-      FROM documents
-      UNION ALL
-      SELECT doc_id + {ID_OFFSET},
-             trim(regexp_replace(text, '\\s+', ' ', 'g')) || '{SUFFIX}'
-      FROM documents
-    ),
-    tok AS (SELECT id, string_split(t, ' ') AS ts FROM corpus),
+    return f"""tok AS (SELECT id, string_split(t, ' ') AS ts FROM corpus),
     sh AS (
       SELECT id, list_distinct(list_transform(
                generate_series(1, len(ts) - 2),
@@ -108,8 +105,27 @@ def _minhash_oracle() -> str:
       FROM cand c
       JOIN sh sa ON sa.id = c.id_a
       JOIN sh sb ON sb.id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+      WHERE ROUND(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                  / len(list_distinct(sa.sg || sb.sg)), 6) >= {threshold}
+    )"""
+
+
+CORPUS_SQL = f"""corpus AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET},
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) || '{SUFFIX}'
+      FROM documents
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {CORPUS_SQL},
+    {minhash_pairs_ctes(0.5)}
+    SELECT id_a, id_b, jaccard FROM scored
     """
 
 
