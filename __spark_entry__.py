@@ -38,6 +38,7 @@ def _registry():
     import autosinapi_spark.plans.curation_queries  # noqa: F401
     import autosinapi_spark.plans.session_queries  # noqa: F401
     import autosinapi_spark.plans.graph_queries  # noqa: F401
+    import autosinapi_spark.plans.corpus_queries  # noqa: F401
 
     return registry.REGISTRY
 

@@ -1,0 +1,420 @@
+"""Corpus-hygiene queries: line dedup, TF-IDF, PII, URLs, LM scoring.
+
+The second tranche of LLM-pipeline curation operators (first tranche:
+``curation_queries``). All pure Column expressions with full DuckDB
+oracles:
+
+- C4-style line-level dedup: lines duplicated across the corpus are
+  kept only at their first occurrence (Raffel et al. 2020, C4 §2.2).
+- TF-IDF top terms per document (classic salient-term extraction).
+- PII detection + redaction counts (emails/phones), the scrub step
+  every public-data pipeline runs before training.
+- URL/domain extraction + per-domain stats (C4/CCNet provenance
+  profiling).
+- Unigram log-probability scoring (CCNet-style LM quality signal,
+  Wenzek et al. 2020 — a full KenLM is out of scope, the unigram
+  variant is the same two-pass shape).
+
+Fixture adapters, each marked inline: the synthetic docs are flat
+word streams, so "lines" are fixed 8-token chunks, and no document
+carries real PII/URLs, so deterministic doc_id-derived emails/phones/
+URLs are appended in-query (the same perturbation idiom as
+``near_dedup_queries``'s twin corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..functions.text import tokens
+from .registry import davg, register, sql_davg
+
+# --- C4-style line-level dedup ---------------------------------------
+
+_LINE_TOKENS = 8  # fixture adapter: a "line" = 8 consecutive tokens
+
+
+def _lines(ts: Column) -> Column:
+    """Token array -> array of 8-token chunk strings (trailing chunk
+    may be shorter). ``ts`` must be a materialized attribute — a
+    lambda referencing a split expression re-evaluates it per element
+    (the O(n²) pitfall from ``operators/near_dedup.shingles``)."""
+    n_chunks = F.ceil(F.size(ts) / F.lit(float(_LINE_TOKENS))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(ts, i * _LINE_TOKENS + 1, _LINE_TOKENS), " "
+        ),
+    )
+
+
+@register(
+    "dedup_lines_c4",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0,
+                 CAST(ceil(len(ts) / {float(_LINE_TOKENS)}) AS INT) - 1),
+               i -> array_to_string(
+                 ts[i * {_LINE_TOKENS} + 1 :
+                    least((i + 1) * {_LINE_TOKENS}, len(ts))], ' '))
+               AS lines
+      FROM tok
+    ),
+    expl AS (
+      SELECT doc_id, u.line, u.pos
+      FROM lined,
+           LATERAL (SELECT unnest(lines) AS line,
+                           generate_subscripts(lines, 1) AS pos) u
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM expl
+    ),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(line, ' ' ORDER BY pos)) AS kept_hash
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT l.doc_id, len(l.lines) AS n_lines,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_hash, '') AS kept_hash
+    FROM lined l LEFT JOIN kept k ON k.doc_id = l.doc_id
+    """,
+    doc="C4-style line-level dedup: corpus-global keep-first over "
+    f"{_LINE_TOKENS}-token lines, documents reassembled from their "
+    "surviving lines (extension; Raffel et al. 2020 §2.2).",
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc line counts after corpus-global line dedup.
+
+    Scale shape: one explode -> one hash exchange keyed by line text
+    for the keep-first window -> one doc_id-keyed reassembly agg. At
+    100 TB the window key would be a line HASH (16 bytes) rather than
+    the line text, and the reassembly joins the hash verdicts back —
+    same plan shape, narrower shuffle; the text key here keeps the
+    oracle trivially portable. Window partitions by line (not a global
+    sort), so skew is bounded by the count of one repeated line.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ts")).select(
+        "doc_id", _lines(F.col("ts")).alias("lines")
+    )
+    expl = base.select(
+        "doc_id", F.posexplode("lines").alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = (
+        expl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("lines").alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_hash", F.lit("")).alias("kept_hash"),
+        )
+    )
+
+
+# --- TF-IDF top terms ------------------------------------------------
+
+_TOP_TERMS = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_TERMS}
+    """,
+    doc=f"TF-IDF top-{_TOP_TERMS} terms per document: smoothed idf, "
+    "deterministic (score, term) ranking (extension; salient-term "
+    "extraction).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per doc (score rounded BEFORE ranking so the
+    rank order is identical cross-engine).
+
+    Scale shape: tf is one doc_id+term-keyed aggregate; df reuses tf
+    (already partial-aggregated) with a term-keyed reduce; the corpus
+    size joins in as a 1-row broadcast. The ranking window partitions
+    by doc_id — no global sort. The df side is vocabulary-sized; it
+    enters a plain hash join (broadcastable when the vocabulary fits,
+    AQE decides at runtime).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+           + F.lit(1.0)),
+        6,
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# --- PII detection / redaction ---------------------------------------
+
+# Character-class-only patterns: identical semantics in Java regex
+# (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{2} \d{4,5}-\d{4}\b"
+
+
+def _pii_augmented(doc_id: Column, text: Column) -> Column:
+    """Fixture adapter: deterministic synthetic PII appended to a
+    subset of docs (the corpus itself is PII-free)."""
+    email = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit(" contato user"), doc_id, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 5 == 0,
+        F.concat(
+            F.lit(" fone 11 9"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((doc_id * 7) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(text, email, phone)
+
+
+_SQL_PII_AUG = """text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contato user' || doc_id || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' fone 11 9' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                     4, '0') || '-'
+                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END"""
+
+
+@register(
+    "pii_redact_documents",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_PII_AUG} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>',
+               'g'), '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+    FROM aug
+    """,
+    doc="PII scrub: email/phone detection counts + md5 of the "
+    "redacted text (extension; standard pre-training privacy pass).",
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact synthetic emails/phones per document.
+
+    Scale shape: pure row-local projection — zero shuffles; the regex
+    work stays inside whole-stage codegen. Patterns restrict to
+    constructs with identical Java-regex/RE2 semantics so the oracle
+    replays exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = _pii_augmented(F.col("doc_id"), F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("clean_hash"),
+    )
+
+
+# --- URL / domain profiling ------------------------------------------
+
+_URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def _url_augmented(doc_id: Column, text: Column) -> Column:
+    """Fixture adapter: deterministic synthetic URLs (corpus has none)."""
+    u1 = F.when(
+        doc_id % 2 == 0,
+        F.concat(
+            F.lit(" ver https://site"),
+            (doc_id % 20),
+            F.lit(".example.org/p/"),
+            doc_id,
+        ),
+    ).otherwise(F.lit(""))
+    u2 = F.when(
+        doc_id % 7 == 0,
+        F.concat(F.lit(" cdn http://cdn"), (doc_id % 5), F.lit(".example.net/x")),
+    ).otherwise(F.lit(""))
+    return F.concat(text, u1, u2)
+
+
+_SQL_URL_AUG = """text
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' ver https://site' || (doc_id % 20)
+                   || '.example.org/p/' || doc_id
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' cdn http://cdn' || (doc_id % 5) || '.example.net/x'
+              ELSE '' END"""
+
+
+@register(
+    "url_domain_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_URL_AUG} AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t, '{_URL_DOMAIN_RE}', 1)) AS domain
+      FROM aug
+    )
+    SELECT domain, COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM hits GROUP BY domain
+    """,
+    doc="URL/domain profiling: extract all URLs, aggregate per "
+    "registered domain (extension; C4/CCNet-style provenance stats).",
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL and document counts.
+
+    Scale shape: row-local extract-all + explode, then one
+    domain-keyed aggregate (count partial-aggregates map-side;
+    COUNT(DISTINCT doc_id) expands to a two-phase exact distinct —
+    at 100 TB this would switch to approx_count_distinct, kept exact
+    here for the oracle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = _url_augmented(F.col("doc_id"), F.col("text"))
+    hits = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(_URL_DOMAIN_RE), 1)).alias(
+            "domain"
+        ),
+    )
+    return hits.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# --- unigram LM scoring ----------------------------------------------
+
+
+@register(
+    "doc_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT SUM(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             ln(CAST(v.cnt AS DOUBLE) / total.total) AS logp
+      FROM tok t JOIN vocab v USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           {sql_davg('logp', 'lm_score')}
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram LM quality score: per-doc mean token log-probability "
+    "under the corpus unigram model (extension; CCNet-style LM "
+    "filtering, Wenzek et al. 2020).",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass LM scoring: build the unigram model, score every doc.
+
+    Scale shape: pass 1 is a term-keyed count (vocabulary-sized
+    output); pass 2 re-joins tokens to the model on term and reduces
+    per doc_id. The model side is vocabulary-scale, so the join is a
+    plain hash join (broadcast when it fits). The mean uses the exact
+    decimal-sum pattern (``registry.davg``) so token order never
+    changes the hash; ln() ulp drift across engines is quantized away
+    by the decimal(28,10) cast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    scored = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        davg(F.col("logp"), "lm_score"),
+    )

@@ -1,0 +1,112 @@
+"""Semantics + plan shapes for the corpus-hygiene queries
+(plans/corpus_queries.py)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from autosinapi_spark.plans.corpus_queries import (
+    dedup_lines_c4,
+    doc_unigram_logprob,
+    pii_redact_documents,
+    tfidf_top_terms,
+    url_domain_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_line_dedup_removes_cross_doc_duplicates(spark):
+    rows = dedup_lines_c4(spark, SF_SMOKE).collect()
+    assert all(r["n_kept"] <= r["n_lines"] for r in rows)
+    # the tiny shared vocabulary guarantees cross-doc line collisions
+    assert sum(r["n_lines"] - r["n_kept"] for r in rows) > 0
+    # a doc that kept everything hashes its full line sequence
+    assert all((r["kept_hash"] == "") == (r["n_kept"] == 0) for r in rows)
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    # global keep-first: total kept lines == count of distinct lines
+    df = dedup_lines_c4(spark, SF_SMOKE)
+    kept_total = df.agg(F.sum("n_kept")).first()[0]
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.functions.text import tokens
+    from autosinapi_spark.plans.corpus_queries import _lines
+
+    docs = load(spark, SF_SMOKE, "documents")
+    distinct_lines = (
+        docs.select(tokens(F.col("text")).alias("ts"))
+        .select(F.explode(_lines(F.col("ts"))).alias("line"))
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_lines
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    rows = tfidf_top_terms(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_pii_counts_match_injection_rule(spark):
+    rows = pii_redact_documents(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
+
+
+def test_pii_redaction_is_row_local(spark):
+    plan = _plan(pii_redact_documents(spark, SF_SMOKE))
+    assert "Exchange" not in plan  # pure projection, zero shuffles
+
+
+def test_url_domains_match_injection_rule(spark):
+    rows = {r["domain"]: r for r in url_domain_stats(spark, SF_SMOKE).collect()}
+    assert all(
+        d.endswith(".example.org") or d.endswith(".example.net")
+        for d in rows
+    )
+    # every even doc contributes exactly one site URL
+    assert sum(
+        r["n_urls"] for d, r in rows.items() if d.endswith(".example.org")
+    ) == sum(
+        1 for r in rows.values()
+    ) * 0 + _even_doc_count(spark)
+
+
+def _even_doc_count(spark) -> int:
+    from autosinapi_spark.catalog import load
+
+    return (
+        load(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .count()
+    )
+
+
+def test_unigram_logprob_is_negative_and_finite(spark):
+    rows = doc_unigram_logprob(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["lm_score"] < 0.0
+        assert r["n_tokens"] > 0
+
+
+def test_no_cartesian_anywhere(spark):
+    for fn in (dedup_lines_c4, tfidf_top_terms, doc_unigram_logprob):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
