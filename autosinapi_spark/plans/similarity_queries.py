@@ -674,3 +674,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection — distance-to-centroid z-scores. The
+# quality-filter twin of the centroid query: vectors far from their
+# label's centroid are mislabeled/corrupt candidates a curation
+# pipeline reviews or drops (standard embedding-space outlier pass).
+# ---------------------------------------------------------------------------
+
+_Z_OUTLIER = 2.0
+
+
+@register(
+    "embedding_outlier_zscore",
+    f"""
+    WITH expl AS (
+      SELECT vec_id, label, u.pos - 1 AS dim, u.val
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, i) -> {{pos: i, val: x}})) AS u
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, dim,
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 8) AS cval
+      FROM expl GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             sqrt(CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+                   AS DECIMAL(28,10))) AS DOUBLE)) AS dist
+      FROM expl e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) AS sum_d,
+             CAST(SUM(CAST(dist * dist AS DECIMAL(28,10))) AS DOUBLE)
+               AS sum_d2
+      FROM dists GROUP BY label
+    )
+    SELECT d.vec_id, d.label, ROUND(d.dist, 6) AS dist,
+           ROUND((d.dist - s.sum_d / s.n)
+                 / sqrt((s.sum_d2 - s.sum_d * s.sum_d / s.n) / (s.n - 1)),
+                 4) AS zscore,
+           CASE WHEN abs(ROUND((d.dist - s.sum_d / s.n)
+                 / sqrt((s.sum_d2 - s.sum_d * s.sum_d / s.n) / (s.n - 1)),
+                 4)) > {_Z_OUTLIER} THEN 1 ELSE 0 END AS is_outlier
+    FROM dists d JOIN stats s ON d.label = s.label
+    """,
+    doc="Embedding outlier detection: per-label distance-to-centroid "
+    f"z-scores, |z| > {_Z_OUTLIER} flagged (extension; embedding-"
+    "space curation pass).",
+)
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag vectors unusually far from their label centroid.
+
+    Scale shape: centroids are a (labels x dims)-sized aggregate ->
+    BROADCAST back into the exploded frame (no shuffle of the corpus
+    for the distance join); per-label stats are another tiny
+    aggregate, broadcast again. The only corpus-sized exchanges are
+    the two partial-aggregated groupBys keyed by (label, dim) /
+    (vec_id, label). All sums run through exact decimals so neither
+    engine's accumulation order shows up in the hash; z-scores and
+    flags derive from the ROUNDED values on both sides.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding")))
+    ).toDF("vec_id", "label", "dim", "val")
+    cent = expl.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("cval")
+    )
+    diff = F.col("val") - F.col("cval")
+    dists = (
+        expl.join(broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((diff * diff).cast("decimal(28,10)")).cast("double")
+            ).alias("dist")
+        )
+    )
+    stats = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dist").cast("decimal(28,10)")).cast("double").alias(
+            "sum_d"
+        ),
+        F.sum((F.col("dist") * F.col("dist")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_d2"),
+    )
+    mean = F.col("sum_d") / F.col("n")
+    var = (F.col("sum_d2") - F.col("sum_d") * F.col("sum_d") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.round((F.col("dist") - mean) / F.sqrt(var), 4)
+    return dists.join(broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("dist", 6).alias("dist"),
+        z.alias("zscore"),
+        F.when(F.abs(z) > _Z_OUTLIER, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_outlier"
+        ),
+    )
