@@ -56,6 +56,10 @@ QUERIES = [
     "decontaminate_ngram_overlap",  # eval split replicates too (10x bcast)
     "doc_repetition_filter",
     "sessionize_events",
+    "dedup_cluster_resolution",  # 3-gen twin corpus + CC rounds
+    "dedup_lines_c4",  # corpus-global line window
+    "tfidf_top_terms",
+    "doc_unigram_logprob",
 ]
 
 
