@@ -50,9 +50,13 @@ def connected_components(
     EVERY document, not just the ones with duplicates.
     """
     verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    # Materialize the edge list ONCE before symmetrizing: both branches
+    # of the union share the checkpointed partitions, otherwise an
+    # expensive upstream pair pipeline (MinHash-LSH here) executes
+    # twice on the first pass.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # undirected: propagate both ways
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
