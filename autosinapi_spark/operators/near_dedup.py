@@ -291,6 +291,41 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def banded_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    ngram: int = 3,
+    hash_fn: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: (base, keyed) frames.
+
+    ``base`` = (id, sg) shingle sets (for exact-Jaccard verification),
+    ``keyed`` = (id, band, bkey) LSH keys — the banded frame carries
+    only the id plus a 16-byte key, so shingle arrays stay OUT of the
+    LSH shuffle; they rejoin only for the (much smaller) candidate
+    verification. Self-join consumers: :func:`minhash_near_dup_pairs`;
+    cross-corpus consumers: :func:`minhash_incremental_matches`.
+    """
+    sg = shingles(F.col(text_col), ngram)
+    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
+        F.size(F.col("sg")) >= 1
+    )
+    # materialize the hash pass once as an attribute, THEN fan out to
+    # the k signature mixes
+    hashed = base.select("id", base_hashes(F.col("sg"), hash_fn).alias("hh"))
+    sig = minhash_signature(F.col("hh"), num_hashes)
+    keyed = hashed.select(
+        "id", F.explode(band_keys(sig, bands, rows)).alias("bk")
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    return base, keyed
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -309,20 +344,9 @@ def minhash_near_dup_pairs(
     family (see :func:`base_hashes`): md5 for oracle portability,
     xxhash64 as the faster deployment path.
     """
-    sg = shingles(F.col(text_col), ngram)
-    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
-        F.size(F.col("sg")) >= 1
+    base, keyed = banded_minhash(
+        docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
     )
-    # materialize the hash pass once as an attribute, THEN fan out to
-    # the k signature mixes
-    hashed = base.select("id", base_hashes(F.col("sg"), hash_fn).alias("hh"))
-    sig = minhash_signature(F.col("hh"), num_hashes)
-    # the banded frame carries only (id, band, bkey) — shingle arrays
-    # stay OUT of the LSH shuffle; they rejoin only for the (much
-    # smaller) candidate verification
-    keyed = hashed.select(
-        "id", F.explode(band_keys(sig, bands, rows)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
     a = keyed.select("band", "bkey", F.col("id").alias("id_a"))
     b = keyed.select("band", "bkey", F.col("id").alias("id_b"))
@@ -345,4 +369,75 @@ def minhash_near_dup_pairs(
     return (
         pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_incremental_matches(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental dedup: match NEW documents against an EXISTING corpus.
+
+    The ingestion-time variant of :func:`minhash_near_dup_pairs` — a
+    new crawl batch is checked against the already-accepted corpus,
+    and only cross-side (old, new) candidates are generated: the join
+    is old x new within each (band, bkey), never new x new or
+    old x old, so a batch of B docs against a corpus of N costs the
+    banding of B + N plus the cross-bucket candidates — not the
+    (N+B)^2/2 self-join space. In steady state the corpus side's band
+    keys are precomputed and persisted; only the batch side hashes
+    fresh.
+
+    Returns (new_id, matched_id, jaccard): per new doc, its
+    best-matching existing doc (highest exact Jaccard >= threshold,
+    ties to the smallest matched_id — deterministic). New docs with no
+    match are absent (they are the ones to ACCEPT into the corpus).
+    """
+    base_old, keyed_old = banded_minhash(
+        old_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
+    )
+    base_new, keyed_new = banded_minhash(
+        new_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
+    )
+    cand = (
+        keyed_old.select(
+            "band", "bkey", F.col("id").alias("matched_id")
+        )
+        .join(
+            keyed_new.select("band", "bkey", F.col("id").alias("new_id")),
+            ["band", "bkey"],
+        )
+        .select("new_id", "matched_id")
+        .distinct()
+    )
+    pairs = cand.join(
+        base_old.select(F.col("id").alias("matched_id"), F.col("sg").alias("sg_a")),
+        "matched_id",
+    ).join(
+        base_new.select(F.col("id").alias("new_id"), F.col("sg").alias("sg_b")),
+        "new_id",
+    )
+    jac = F.size(F.array_intersect("sg_a", "sg_b")) / F.size(
+        F.array_union("sg_a", "sg_b")
+    )
+    scored = pairs.select(
+        "new_id", "matched_id", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("matched_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -418,3 +418,96 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         davg(F.col("logp"), "lm_score"),
     )
+
+
+# --- deterministic training-order shuffle ----------------------------
+
+_SHUF_SEED = 23
+_SHUF_SHARDS = 16
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(hkey, 1, 15) AS BIGINT) % {_SHUF_SHARDS}
+             AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY CAST('0x' || substr(hkey, 1, 15) AS BIGINT)
+                          % {_SHUF_SHARDS}
+             ORDER BY hkey, doc_id) AS ord
+    FROM keyed
+    """,
+    doc=f"Deterministic corpus shuffle: hash-derived {_SHUF_SHARDS}-way "
+    "shard + in-shard order for reproducible training-data ordering "
+    "(extension; the pre-tokenization shuffle step).",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: (shard, ord) from a content hash.
+
+    Unlike ``orderBy(rand())`` (nondeterministic across retries and
+    engines), a hash of the key gives a permutation that is stable
+    under task retry/speculation and identical on every engine. Scale
+    shape: the in-shard ranking windows partition by shard — shard
+    count scales with the cluster, there is NO global sort; writing
+    shard files is then a partitioned write.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hkey = F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", hkey.alias("hkey")).select(
+        "doc_id",
+        "hkey",
+        (F.conv(F.substring("hkey", 1, 15), 16, 10).cast("bigint")
+         % _SHUF_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("ord")
+    )
+
+
+# --- global vocabulary head ------------------------------------------
+
+_TOP_TOKENS = 20
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {_TOP_TOKENS}
+    """,
+    doc=f"Global top-{_TOP_TOKENS} token frequencies (vocabulary head) "
+    "with deterministic tie order (extension; tokenizer-training / "
+    "stopword-discovery profiling).",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global most-frequent tokens.
+
+    Scale shape: explode -> token-keyed count (partial-aggregated
+    map-side), then ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k merged on the
+    driver, NOT a single-partition global sort; the deterministic
+    (count desc, token) tiebreak keeps the cut identical across
+    engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_TOP_TOKENS)
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators.near_dedup import (
     MERSENNE_P,
+    minhash_incremental_matches,
     minhash_near_dup_pairs,
     minhash_params,
     ngram_jaccard_pairs,
@@ -47,14 +48,11 @@ def _sql_hash(seed: int, expr: str) -> str:
     )
 
 
-def minhash_pairs_ctes(threshold: float = 0.5) -> str:
-    """CTE chain ``tok .. scored`` replaying the banded-MinHash pipeline
-    in DuckDB over an upstream ``corpus(id, t)`` CTE; the caller embeds
-    it as ``WITH [RECURSIVE] corpus AS (...), {minhash_pairs_ctes()},
-    ...`` and reads qualifying pairs from ``scored``. Shared by the
-    pair query here and the cluster-resolution query in
-    ``graph_queries`` so both replays stay mirror-identical.
-    """
+def minhash_band_ctes() -> str:
+    """CTE chain ``tok .. bands`` replaying shingling, signatures and
+    LSH band keys in DuckDB over an upstream ``corpus(id, t)`` CTE.
+    Composed by :func:`minhash_pairs_ctes` (self-join pairs) and the
+    incremental-match oracle (cross-side join)."""
     # universal-hash signatures over one base-hash array (mirrors
     # operators/near_dedup.py minhash_signature exactly)
     sig_cols = ",\n           ".join(
@@ -92,7 +90,18 @@ def minhash_pairs_ctes(threshold: float = 0.5) -> str:
     ),
     bands AS (
 {band_selects}
-    ),
+    )"""
+
+
+def minhash_pairs_ctes(threshold: float = 0.5) -> str:
+    """CTE chain ``tok .. scored`` replaying the banded-MinHash pipeline
+    in DuckDB over an upstream ``corpus(id, t)`` CTE; the caller embeds
+    it as ``WITH [RECURSIVE] corpus AS (...), {minhash_pairs_ctes()},
+    ...`` and reads qualifying pairs from ``scored``. Shared by the
+    pair query here and the cluster-resolution query in
+    ``graph_queries`` so both replays stay mirror-identical.
+    """
+    return f"""{minhash_band_ctes()},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -256,4 +265,84 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hashed.select(
         "doc_id", simhash_from_hashes(F.col("hh"), 16).alias("fp")
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus ------------------
+
+# Every 5th "new" doc is token-REVERSED instead of suffixed: its
+# trigram shingle set shares ~nothing with the original, so it must
+# NOT match (it is the genuinely-new content the batch should accept);
+# the rest are suffix twins that must match their original.
+
+
+def _incremental_oracle() -> str:
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, {norm} AS t FROM documents
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET},
+             CASE WHEN doc_id % 5 = 0
+                  THEN array_to_string(
+                         list_reverse(string_split({norm}, ' ')), ' ')
+                  ELSE {norm} || '{SUFFIX}' END
+      FROM documents
+    ),
+    {minhash_band_ctes()},
+    cand AS (
+      SELECT DISTINCT a.id AS matched_id, b.id AS new_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.id < {ID_OFFSET} AND b.id >= {ID_OFFSET}
+    ),
+    scored AS (
+      SELECT c.new_id, c.matched_id,
+             ROUND(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                   / len(list_distinct(sa.sg || sb.sg)), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.id = c.matched_id
+      JOIN sh sb ON sb.id = c.new_id
+      WHERE ROUND(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                  / len(list_distinct(sa.sg || sb.sg)), 6) >= 0.5
+    ),
+    ranked AS (
+      SELECT new_id, matched_id, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, matched_id) AS rn
+      FROM scored
+    )
+    SELECT new_id, matched_id, jaccard FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "near_dedup_incremental",
+    _incremental_oracle(),
+    doc="Incremental dedup: a new crawl batch LSH-matched against the "
+    "existing corpus only (old x new within buckets, never the full "
+    "self-join); best existing match per new doc, unmatched docs are "
+    "the ones to accept (extension; the steady-state ingestion flow).",
+)
+def near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    old = docs.select("doc_id", norm.alias("text"))
+    ts = F.split(norm, " ")
+    new = docs.select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.array_join(F.reverse(ts), " ")
+        )
+        .otherwise(F.concat(norm, F.lit(SUFFIX)))
+        .alias("text"),
+    )
+    return minhash_incremental_matches(
+        old,
+        new,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
     )

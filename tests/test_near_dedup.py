@@ -81,3 +81,52 @@ def test_ngram_jaccard_matches_bruteforce(spark, threshold):
         ).collect()
     }
     assert got == _expected(3, threshold)
+
+
+def test_incremental_matches_twins_not_reversals(spark):
+    from autosinapi_spark.operators.near_dedup import (
+        minhash_incremental_matches,
+    )
+
+    base = [
+        (i, f"w{i} " + " ".join(f"tok{j} common{j % 3} x{i*j % 7}"
+                                for j in range(12)))
+        for i in range(8)
+    ]
+    old = spark.createDataFrame(base, "doc_id long, text string")
+    # new batch: suffix twins of docs 0-5, token-reversed copies of 6-7
+    new_rows = []
+    for i, t in base:
+        if i < 6:
+            new_rows.append((i + 100, t + " fim do documento"))
+        else:
+            new_rows.append((i + 100, " ".join(reversed(t.split()))))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        r["new_id"]: r["matched_id"]
+        for r in minhash_incremental_matches(old, new).collect()
+    }
+    # every suffix twin resolves to its own original...
+    for i in range(6):
+        assert got.get(i + 100) == i
+    # ...and reversed docs match nothing
+    assert (100 + 6) not in got and (100 + 7) not in got
+
+
+def test_incremental_output_is_one_row_per_new_doc(spark):
+    from autosinapi_spark.operators.near_dedup import (
+        minhash_incremental_matches,
+    )
+
+    # two identical old docs: the new twin must match BOTH as
+    # candidates but emit exactly one row, tie broken to the min id
+    text = " ".join(f"alpha{j} beta{j} gamma{j}" for j in range(10))
+    old = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(50, text + " fim")], "doc_id long, text string"
+    )
+    rows = minhash_incremental_matches(old, new).collect()
+    assert len(rows) == 1
+    assert rows[0]["new_id"] == 50 and rows[0]["matched_id"] == 1
