@@ -384,3 +384,89 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("n_tokens", 0.99), 6).alias("p99"),
         )
     )
+
+
+# --- per-source curation report --------------------------------------
+
+
+@register(
+    "corpus_curation_report",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts,
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    fpc AS (SELECT fp, COUNT(*) AS n_fp FROM tok GROUP BY fp),
+    toks AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    total AS (SELECT SUM(cnt) AS total FROM vocab),
+    lm AS (
+      SELECT t.doc_id,
+             ROUND(CAST(SUM(CAST(ln(CAST(v.cnt AS DOUBLE) / total.total)
+                   AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      FROM toks t JOIN vocab v USING (term) CROSS JOIN total
+      GROUP BY t.doc_id
+    )
+    SELECT k.source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(len(k.ts) AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_tokens,
+           SUM(CASE WHEN f.n_fp > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
+           ROUND(CAST(SUM(CAST(lm.lm_score AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_lm_score
+    FROM tok k
+    JOIN fpc f ON f.fp = k.fp
+    JOIN lm ON lm.doc_id = k.doc_id
+    GROUP BY k.source
+    """,
+    doc="Per-source curation report: doc counts, mean length, exact-"
+    "duplicate counts, mean unigram LM score — the funnel dashboard a "
+    "corpus pipeline reviews per ingestion source (extension).",
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per ingestion source with composite quality signals.
+
+    Scale shape: fingerprint counts and the unigram model are both
+    narrow keyed aggregates (16-byte digests / vocabulary terms); the
+    final rollup groups by source (a handful of keys, partial-
+    aggregated map-side). Mean-of-per-doc-means for the LM score uses
+    the per-doc ROUNDED score on both sides so engine accumulation
+    order cancels out.
+    """
+    from .registry import davg
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        "source",
+        tokens(F.col("text")).alias("ts"),
+        F.md5(norm).alias("fp"),
+    )
+    fpc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    toks = base.select("doc_id", F.explode("ts").alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    lm = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(davg(logp, "lm_score"))
+    )
+    return (
+        base.join(fpc, "fp")
+        .join(lm, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.size("ts").cast("double"), "mean_tokens"),
+            F.sum(
+                F.when(F.col("n_fp") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_exact_dup"),
+            davg(F.col("lm_score").cast("double"), "mean_lm_score"),
+        )
+    )
