@@ -346,3 +346,157 @@ def near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows=ROWS,
         threshold=0.5,
     )
+
+
+# --- exact duplicate-substring spans (Lee et al. 2022) ----------------
+
+# "Deduplicating Training Data Makes Language Models Better" removes
+# exact duplicate token spans >= 50 tokens found via a suffix array;
+# the distributed equivalent detects spans through rolling L-gram
+# matches: a maximal run of consecutive positions whose L-grams each
+# occur more than once in the corpus IS a duplicated span (any
+# duplicated span of length >= L produces exactly such a run). L=10
+# here (fixture docs are short; the machinery is L-agnostic).
+_SPAN_L = 10
+# Fixture adapter: every 4th doc is prefixed with a shared 24-token
+# boilerplate clause, the classic licence-header duplication case.
+_BOILER = (
+    "clausula padrao de licenca aberta numero um dois tres quatro "
+    "cinco seis sete oito nove dez onze doze treze catorze quinze "
+    "dezesseis dezessete dezoito"
+)
+
+
+def _substring_span_oracle() -> str:
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '{_BOILER} ' || {norm}
+                  ELSE {norm} END AS t
+      FROM documents
+    ),
+    tok AS (SELECT id, string_split(t, ' ') AS ts FROM corpus),
+    grams AS (
+      SELECT id, i AS gpos,
+             md5(array_to_string(ts[i : i + {_SPAN_L} - 1], ' ')) AS gh
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - {_SPAN_L} + 1)) AS i
+      )
+      WHERE len(ts) >= {_SPAN_L}
+    ),
+    dupg AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+    covered AS (
+      SELECT DISTINCT g.id, u.tokpos
+      FROM grams g JOIN dupg USING (gh),
+           LATERAL (
+             SELECT unnest(generate_series(g.gpos,
+                                           g.gpos + {_SPAN_L} - 1)) AS tokpos
+           ) u
+    ),
+    runs AS (
+      SELECT id, tokpos,
+             tokpos - ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY tokpos) AS run
+      FROM covered
+    ),
+    spans AS (
+      SELECT id, run, COUNT(*) AS span_len
+      FROM runs GROUP BY id, run
+    ),
+    per_doc AS (
+      SELECT id, COUNT(*) AS n_dup_spans, SUM(span_len) AS dup_tokens
+      FROM spans GROUP BY id
+    )
+    SELECT k.id AS doc_id, len(k.ts) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) / CAST(len(k.ts) AS DOUBLE), 6)
+             AS dup_frac
+    FROM tok k LEFT JOIN per_doc p ON p.id = k.id
+    """
+
+
+@register(
+    "dedup_substring_spans",
+    _substring_span_oracle(),
+    doc=f"Exact duplicate-substring spans >= {_SPAN_L} tokens via "
+    "rolling L-gram matches + maximal-run merging (extension; the "
+    "distributed shape of Lee et al. 2022 suffix-array span dedup).",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span count, token coverage and fraction.
+
+    Scale shape: grams shuffle as 16-byte md5 keys (never the L-token
+    strings); the duplicate-gram set joins back on that key; coverage
+    positions and the run-merging window stay partitioned by doc_id.
+    The L-fold position explode is the known cost — Lee et al.'s
+    suffix array avoids it at the price of a global sort; the gram
+    form partitions freely and needs no order, which is the better
+    trade on a shuffle-rich cluster.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    t = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit(_BOILER + " "), norm)
+    ).otherwise(norm)
+    ts = F.split(t, " ")
+    base = docs.select("doc_id", ts.alias("ts")).select(
+        "doc_id", "ts", F.size("ts").alias("n_tokens")
+    )
+    from ..operators.near_dedup import shingle_grams
+
+    grams = (
+        base.where(F.col("n_tokens") >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.posexplode(shingle_grams(F.col("ts"), _SPAN_L)).alias(
+                "gpos0", "g"
+            ),
+        )
+        .select("doc_id", (F.col("gpos0") + 1).alias("gpos"), F.md5("g").alias("gh"))
+    )
+    dupg = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dupg, "gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(_SPAN_L - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tokpos")
+    spans = (
+        covered.withColumn("run", F.col("tokpos") - F.row_number().over(w))
+        .groupBy("doc_id", "run")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
