@@ -511,3 +511,107 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(_TOP_TOKENS)
     )
+
+
+# --- mixed-language (code-switching) detection -----------------------
+
+# Fixture adapter: every 6th doc gets a Portuguese-stopword-rich tail
+# so the corpus actually contains code-switched documents.
+_PT_TAIL = "de da do que em para com um uma os de da do que em para"
+
+
+def _chunk_langs(lines: Column) -> Column:
+    """Per-chunk language vote over the stopword lists (row-local)."""
+    from ..functions.text import EN_STOPWORDS, PT_STOPWORDS
+
+    def vote(c: Column) -> Column:
+        ts = F.split(c, " ")
+        en = F.size(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS)))
+        pt = F.size(F.filter(ts, lambda t: t.isin(*PT_STOPWORDS)))
+        return (
+            F.when(en > pt, F.lit("en"))
+            .when(pt > en, F.lit("pt"))
+            .otherwise(F.lit("und"))
+        )
+
+    return F.transform(lines, vote)
+
+
+def _sql_mixed_lang() -> str:
+    from ..functions.text import EN_STOPWORDS, PT_STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    pt = ", ".join(f"'{w}'" for w in PT_STOPWORDS)
+    lines = f"""list_transform(
+               generate_series(0,
+                 CAST(ceil(len(ts) / {float(_LINE_TOKENS)}) AS INT) - 1),
+               i -> array_to_string(
+                 ts[i * {_LINE_TOKENS} + 1 :
+                    least((i + 1) * {_LINE_TOKENS}, len(ts))], ' '))"""
+    vote = f"""list_transform({lines}, c ->
+               CASE
+                 WHEN len(list_filter(string_split(c, ' '),
+                          t -> list_contains([{en}], t)))
+                      > len(list_filter(string_split(c, ' '),
+                            t -> list_contains([{pt}], t))) THEN 'en'
+                 WHEN len(list_filter(string_split(c, ' '),
+                          t -> list_contains([{pt}], t)))
+                      > len(list_filter(string_split(c, ' '),
+                            t -> list_contains([{en}], t))) THEN 'pt'
+                 ELSE 'und'
+               END)"""
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g'))
+             || CASE WHEN doc_id % 6 = 0 THEN ' {_PT_TAIL}' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM aug),
+    voted AS (SELECT doc_id, {vote} AS cl FROM tok)
+    SELECT doc_id,
+           len(cl) AS n_chunks,
+           len(list_filter(cl, x -> x = 'en')) AS n_en,
+           len(list_filter(cl, x -> x = 'pt')) AS n_pt,
+           len(list_filter(cl, x -> x = 'und')) AS n_und,
+           CASE WHEN len(list_filter(cl, x -> x = 'en')) > 0
+                 AND len(list_filter(cl, x -> x = 'pt')) > 0
+                THEN 1 ELSE 0 END AS is_mixed
+    FROM voted
+    """
+
+
+@register(
+    "doc_mixed_language",
+    _sql_mixed_lang(),
+    doc="Code-switching detection: per-chunk stopword language votes; "
+    "docs with both en and pt chunks flagged mixed (extension; "
+    "chunk-level refinement of doc_lang_id).",
+)
+def doc_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level language consistency per document.
+
+    Scale shape: entirely row-local (chunking, per-chunk votes and
+    the aggregation all run inside one projection over arrays) — zero
+    shuffles, pushes to the scan like ``pii_redact_documents``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    t = F.when(
+        F.col("doc_id") % 6 == 0, F.concat(norm, F.lit(" " + _PT_TAIL))
+    ).otherwise(norm)
+    base = docs.select("doc_id", F.split(t, " ").alias("ts")).select(
+        "doc_id", _chunk_langs(_lines(F.col("ts"))).alias("cl")
+    )
+    n_of = lambda lang: F.size(F.filter("cl", lambda x: x == lang))  # noqa: E731
+    return base.select(
+        "doc_id",
+        F.size("cl").alias("n_chunks"),
+        n_of("en").alias("n_en"),
+        n_of("pt").alias("n_pt"),
+        n_of("und").alias("n_und"),
+        F.when((n_of("en") > 0) & (n_of("pt") > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_mixed"),
+    )
