@@ -30,7 +30,10 @@ def decimal_comma_to_double(c: Column | str) -> Column:
     numbers parse; try_cast gives the errors='coerce' semantics.
     """
     c = _col(c)
-    cleaned = F.regexp_replace(
+    # translate, not regexp_replace: the comma->dot step is a 1-char
+    # map, so it can skip the regex engine (the thousands-dot strip
+    # ahead of it still needs the lookahead regex)
+    cleaned = F.translate(
         F.regexp_replace(c.cast("string"), r"\.(?=\d{3}(\D|$))", ""), ",", "."
     )
     return cleaned.try_cast("double")
