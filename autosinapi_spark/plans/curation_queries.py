@@ -470,3 +470,43 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("lm_score").cast("double"), "mean_lm_score"),
         )
     )
+
+
+# --- approximate profiling (the actual 100 TB path) -------------------
+
+
+@register(
+    "profile_approx_stats",
+    None,  # approx sketches are engine-specific; rows-only check —
+    # the exact twins (doc_length_quantiles, heavy_hitter_tokens,
+    # url_domain_stats) carry the full oracles, and
+    # tests/test_curation.py bounds the approximation error vs exact.
+    doc="Approximate corpus profile: HLL distinct counts + t-digest "
+    "token-length percentiles per language — the mergeable, "
+    "sort-free forms the exact profiling queries switch to at "
+    "100 TB (extension; rows-only check by design).",
+)
+def profile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approx profile via mergeable sketches.
+
+    ``approx_count_distinct`` (HyperLogLog++) and
+    ``percentile_approx`` (t-digest style) both partial-aggregate
+    map-side into fixed-size sketch buffers and merge on the reduce
+    side — no per-group sort, no exact-distinct double exchange;
+    memory is O(sketch) per group regardless of corpus size. That is
+    the trade the exact twins cannot make, and why they flip to these
+    forms at scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text")))
+    return (
+        docs.select("lang", "source", nt.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("source").alias("approx_sources"),
+            F.approx_count_distinct("n_tokens").alias("approx_len_card"),
+            F.percentile_approx("n_tokens", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("n_tokens", 0.9, 1000).alias("p90_approx"),
+        )
+    )

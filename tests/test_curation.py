@@ -198,3 +198,38 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
     assert out[1].n_fingerprints == len(f1)
     assert out[2].n_fingerprints == len(f2)
     assert out[3].n_fingerprints == len(f3)
+
+
+def test_profile_approx_stats_error_bounds(spark):
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.functions.text import tokens as _tokens
+    from autosinapi_spark.plans.curation_queries import profile_approx_stats
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r["lang"]: r for r in profile_approx_stats(spark, SF_SMOKE).collect()
+    }
+    docs = load(spark, SF_SMOKE, "documents")
+    nt = F.size(_tokens(F.col("text")))
+    exact = {
+        r["lang"]: r
+        for r in docs.select("lang", "source", nt.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("sources"),
+            F.countDistinct("n_tokens").alias("len_card"),
+            F.expr("percentile(n_tokens, 0.5)").alias("p50"),
+            F.expr("percentile(n_tokens, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, a in approx.items():
+        e = exact[lang]
+        # HLL++ standard error ~2.3% at default precision; generous 10%
+        assert abs(a["approx_sources"] - e["sources"]) <= max(1, 0.1 * e["sources"])
+        assert abs(a["approx_len_card"] - e["len_card"]) <= max(2, 0.1 * e["len_card"])
+        # percentile_approx returns an actual data point near the rank
+        assert abs(a["p50_approx"] - e["p50"]) <= 0.1 * max(e["p50"], 1)
+        assert abs(a["p90_approx"] - e["p90"]) <= 0.1 * max(e["p90"], 1)
