@@ -293,3 +293,76 @@ def doc_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(shingles(F.col("text"), 3)).alias("n_distinct_trigrams"),
         )
     )
+
+
+# --- character entropy (gibberish / compressibility signal) -----------
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH cs AS (
+      SELECT doc_id, string_split(text, '') AS cs FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, cs, len(cs) AS n,
+             list_sort(list_distinct(cs)) AS dch
+      FROM cs
+    ),
+    cnt AS (
+      SELECT doc_id, n, dch,
+             list_transform(dch,
+               c -> len(list_filter(cs, x -> x = c))) AS cnts
+      FROM dc
+    )
+    SELECT doc_id, n AS n_chars, len(dch) AS n_distinct_chars,
+           ROUND(-list_aggregate(
+             list_transform(cnts, k -> (k / CAST(n AS DOUBLE))
+                                       * ln(k / CAST(n AS DOUBLE))),
+             'sum'), 6) AS char_entropy
+    FROM cnt
+    """,
+    doc="Character-level Shannon entropy per document — low entropy "
+    "flags repetitive/gibberish text, a cheap compression-ratio "
+    "proxy (extension; quality-filter family).",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local char entropy: H = -sum p_c ln p_c.
+
+    Scale shape: zero shuffles — the char histogram builds inside one
+    projection (distinct chars are sorted so both engines fold the
+    double sum in the same order; the alphabet is small, so the
+    O(distinct x n) row-local filter scan is bounded). Each stage
+    materializes its array as a real column so no lambda re-evaluates
+    an upstream expression per element.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", "").alias("cs"))
+    staged = base.select(
+        "doc_id",
+        "cs",
+        F.size("cs").alias("n"),
+        F.array_sort(F.array_distinct("cs")).alias("dch"),
+    ).select(
+        "doc_id",
+        "n",
+        F.size("dch").alias("n_distinct_chars"),
+        F.transform(
+            "dch",
+            lambda c: F.size(F.filter("cs", lambda x: x == c)),
+        ).alias("cnts"),
+    )
+    p = lambda k: k / F.col("n").cast("double")  # noqa: E731
+    return staged.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_distinct_chars",
+        F.round(
+            -F.aggregate(
+                F.transform("cnts", lambda k: p(k) * F.log(p(k))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("char_entropy"),
+    )
