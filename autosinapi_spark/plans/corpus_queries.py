@@ -14,6 +14,9 @@ oracles:
 - Unigram log-probability scoring (CCNet-style LM quality signal,
   Wenzek et al. 2020 — a full KenLM is out of scope, the unigram
   variant is the same two-pass shape).
+- Deterministic corpus shuffle-sharding (hash-derived training order).
+- Global top-k vocabulary head (distributed TakeOrdered).
+- Chunk-level mixed-language (code-switching) detection.
 
 Fixture adapters, each marked inline: the synthetic docs are flat
 word streams, so "lines" are fixed 8-token chunks, and no document

@@ -1,12 +1,14 @@
-"""Near-dedup queries: banded MinHash-LSH pairs + SimHash fingerprints.
+"""Near-dedup queries: MinHash-LSH pairs, exact-Jaccard pairs, SimHash
+fingerprints, incremental batch-vs-corpus matching, and exact
+duplicate-substring spans.
 
-The fixtures' ``documents`` table has no near-duplicates, so the
-corpus unions each document with a deterministic perturbation (same
-text plus a three-word suffix, id offset +1000000): every original
-then has exactly one high-Jaccard partner the LSH must recover, and
-the DuckDB oracle reproduces the whole pipeline — portable md5-based
-hashes make the signatures identical across engines (see
-``operators/near_dedup.py``).
+The fixtures' ``documents`` table has no near-duplicates, so each
+query plants its own deterministic perturbations (suffix twins with
+id offset +1000000, token-reversed decoys, shared boilerplate
+prefixes): the duplicates the detectors must recover are known by
+construction, and the DuckDB oracle reproduces the whole pipeline —
+portable md5-based hashes make the signatures identical across
+engines (see ``operators/near_dedup.py``).
 """
 
 from __future__ import annotations

@@ -60,6 +60,8 @@ QUERIES = [
     "dedup_lines_c4",  # corpus-global line window
     "tfidf_top_terms",
     "doc_unigram_logprob",
+    "near_dedup_incremental",  # old x new cross-side LSH
+    "dedup_substring_spans",  # rolling L-gram spans
 ]
 
 
