@@ -75,27 +75,22 @@ def test_pii_redaction_is_row_local(spark):
 
 
 def test_url_domains_match_injection_rule(spark):
+    from autosinapi_spark.catalog import load
+
     rows = {r["domain"]: r for r in url_domain_stats(spark, SF_SMOKE).collect()}
     assert all(
         d.endswith(".example.org") or d.endswith(".example.net")
         for d in rows
     )
     # every even doc contributes exactly one site URL
-    assert sum(
-        r["n_urls"] for d, r in rows.items() if d.endswith(".example.org")
-    ) == sum(
-        1 for r in rows.values()
-    ) * 0 + _even_doc_count(spark)
-
-
-def _even_doc_count(spark) -> int:
-    from autosinapi_spark.catalog import load
-
-    return (
+    n_even = (
         load(spark, SF_SMOKE, "documents")
         .where(F.col("doc_id") % 2 == 0)
         .count()
     )
+    assert sum(
+        r["n_urls"] for d, r in rows.items() if d.endswith(".example.org")
+    ) == n_even
 
 
 def test_unigram_logprob_is_negative_and_finite(spark):
