@@ -123,3 +123,101 @@ def resolve_clusters(
             .alias("is_canonical"),
         )
     )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star.
+
+    The O(log n)-round algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14) — the variant of
+    :func:`connected_components` for graphs whose components can have
+    LONG PATHS (min-label propagation needs O(diameter) rounds; dedup
+    clusters are shallow so the simple operator wins there, but e.g.
+    citation/link graphs are not).
+
+    Each round rewrites the edge set:
+
+    - large-star: per center u, hook every LARGER neighbor to
+      m = min(N(u) ∪ {u});
+    - small-star: per center u, hook u and its smaller-or-equal
+      neighbors to their minimum.
+
+    At fixpoint every component is a star rooted at its minimum id;
+    the root is each non-root vertex's unique neighbor. Per round:
+    two groupBy-min + join passes over the edge list (always keyed by
+    vertex id) and ONE materializing count — edge frames shrink
+    toward n-1 star edges, so rounds get cheaper as they converge.
+    """
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    ed = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # center at u; neighbors from both directions
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        side = (
+            nbrs.where(F.col("v") > F.col("u"))
+            if large
+            else nbrs.where(F.col("v") < F.col("u"))
+        )
+        hooked = side.join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        # small-star also hooks the center itself to its min
+        if not large:
+            hooked = hooked.unionByName(
+                m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            hooked.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"),
+            )
+            .distinct()
+        )
+
+    prev_n = ed.count()
+    for _ in range(max_iter):
+        ed_new = _star(_star(ed, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        n = ed_new.count()
+        # star rounds only ever REWIRE endpoints downward; when the
+        # edge multiset stops changing the structure is a stable star
+        changed = (
+            n != prev_n
+            or ed_new.exceptAll(ed).limit(1).count() > 0
+        )
+        ed = ed_new
+        prev_n = n
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} rounds"
+        )
+    # at fixpoint ed holds (root, member) star edges with root = min id
+    labels = ed.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+    return verts.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )

@@ -141,3 +141,43 @@ def test_substring_spans_match_bruteforce(spark, tmp_path):
     for d, (exp_spans, exp_cov) in expected.items():
         assert got_spans.get(d, 0) == exp_spans, f"doc {d} spans"
         assert got_cov.get(d, 0) == exp_cov, f"doc {d} coverage"
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    from autosinapi_spark.operators.graph import connected_components_star
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        verts = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(0, n * 2))
+        ]
+        expected = _union_find(verts, edges)
+        vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if not edges:
+            edf = edf.where("src < 0")
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components_star(vdf, edf).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_star_cc_handles_long_path(spark):
+    """A 120-vertex path: min-label needs ~120 rounds (> max_iter);
+    the star variant converges in O(log n)."""
+    from autosinapi_spark.operators.graph import connected_components_star
+
+    n = 120
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(vdf, edf).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
