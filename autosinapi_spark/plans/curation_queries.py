@@ -510,3 +510,106 @@ def profile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("n_tokens", 0.9, 1000).alias("p90_approx"),
         )
     )
+
+
+# --- temperature-based source mixing ---------------------------------
+
+_MIX_ALPHA = 0.7  # exponent alpha < 1 flattens: rare groups upsample
+_MIX_KEEP = 0.5  # overall corpus keep fraction
+_MIX_SEED = 29
+
+
+@register(
+    "temperature_mix_sources",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n, ROUND(pow(n, {_MIX_ALPHA!r}), 6) AS w
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS tw,
+             SUM(n) AS tn
+      FROM weighted
+    ),
+    rates AS (
+      SELECT w.lang, w.n,
+             ROUND(least(1.0, ({_MIX_KEEP} * tot.tn) * w.w
+                              / (tot.tw * w.n)), 6) AS rate
+      FROM weighted w CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE CAST('0x' || substr(md5('{_MIX_SEED}:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            / POW(2, 60) < r.rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n AS n_docs, r.rate,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+    """,
+    doc=f"Temperature-based mixing (alpha={_MIX_ALPHA}): keep rates "
+    "proportional to n^alpha / n, so with alpha < 1 rare languages "
+    "upsample relative to their share (XLM/mBERT-style data-recipe "
+    "mixing), applied as a hash-deterministic filter (extension).",
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates under temperature reweighting + achieved
+    counts.
+
+    With weights w_i = n_i^alpha (alpha < 1), a group's keep rate is
+    K * N * w_i / (W * n_i) — decreasing in n_i — so rare groups keep
+    a larger fraction: the distribution flattens toward uniform as
+    alpha -> 0 and stays proportional at alpha = 1.
+
+    Scale shape: the recipe math runs on a groups-sized aggregate
+    (broadcast everywhere); the corpus-side work is one row-local
+    hash filter plus a keyed count — deterministic under retries,
+    unlike ``sample()``. Weights are ROUNDED before the exact-decimal
+    total so pow() ulp differences between engines cannot reach the
+    rates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.select(
+        "lang",
+        "n",
+        F.round(F.pow("n", F.lit(_MIX_ALPHA)), 6).alias("w"),
+    )
+    tot = weighted.agg(
+        F.sum(F.col("w").cast("decimal(28,10)")).cast("double").alias("tw"),
+        F.sum("n").alias("tn"),
+    )
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(_MIX_KEEP) * F.col("tn"))
+                * F.col("w")
+                / (F.col("tw") * F.col("n")),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = _uniform(F.col("doc_id").cast("string"), _MIX_SEED)
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .where(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
