@@ -105,3 +105,32 @@ def test_no_cartesian_anywhere(spark):
     for fn in (dedup_lines_c4, tfidf_top_terms, doc_unigram_logprob):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan
+
+
+def test_entropy_and_mixed_language_are_row_local(spark):
+    from autosinapi_spark.plans.text_queries import doc_char_entropy
+    from autosinapi_spark.plans.corpus_queries import doc_mixed_language
+
+    for fn in (doc_char_entropy, doc_mixed_language):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_recipe_queries_have_no_cartesian(spark):
+    from autosinapi_spark.plans.curation_queries import (
+        corpus_curation_report,
+        temperature_mix_sources,
+    )
+    from autosinapi_spark.plans.near_dedup_queries import (
+        dedup_substring_spans,
+        near_dedup_incremental,
+    )
+
+    for fn in (
+        temperature_mix_sources,
+        corpus_curation_report,
+        dedup_substring_spans,
+        near_dedup_incremental,
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
