@@ -618,3 +618,99 @@ def doc_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_mixed"),
     )
+
+
+# --- bigram LM scoring (interpolated) --------------------------------
+
+_LM_LAMBDA = 0.8  # bigram weight; (1-lambda) backs off to unigram
+
+
+@register(
+    "doc_bigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.term, COUNT(*) AS c1
+      FROM (SELECT unnest(ts) AS term FROM tok) u GROUP BY u.term
+    ),
+    total AS (SELECT SUM(c1) AS n FROM uni),
+    bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ts) - 1),
+                            i -> {{prev: ts[i], cur: ts[i+1]}}) AS bgs
+      FROM tok WHERE len(ts) >= 2
+    ),
+    inst AS (
+      SELECT doc_id, u.bgr.prev AS prev, u.bgr.cur AS cur
+      FROM bg, LATERAL (SELECT unnest(bgs) AS bgr) u
+    ),
+    big AS (SELECT prev, cur, COUNT(*) AS c2 FROM inst GROUP BY prev, cur),
+    scored AS (
+      SELECT i.doc_id,
+             ln({_LM_LAMBDA} * b.c2 / CAST(cp.c1 AS DOUBLE)
+                + {1.0 - _LM_LAMBDA!r} * cc.c1 / CAST(total.n AS DOUBLE))
+               AS logp
+      FROM inst i
+      JOIN big b ON b.prev = i.prev AND b.cur = i.cur
+      JOIN uni cp ON cp.term = i.prev
+      JOIN uni cc ON cc.term = i.cur
+      CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           {sql_davg('logp', 'bigram_score')}
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"Interpolated bigram LM score (lambda={_LM_LAMBDA} bigram + "
+    "unigram backoff): per-doc mean token log-probability under the "
+    "corpus bigram model (extension; one step closer to CCNet's "
+    "KenLM filter than doc_unigram_logprob).",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass bigram LM: corpus model, then per-doc scoring.
+
+    Scale shape: the unigram model is vocabulary-sized (broadcast);
+    the bigram model is corpus-bounded and joins hash-partitioned on
+    (prev, cur); bigram instances build ROW-LOCALLY via shifted-slice
+    zips (no self-join on position). Mean uses the exact decimal-sum
+    pattern; ln() ulp drift is quantized away.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    base = docs.select("doc_id", ts.alias("ts"))
+    uni = base.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    total = uni.agg(F.sum("c1").alias("n"))
+    inst = (
+        docs.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    big = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cp = uni.select(F.col("term").alias("prev"), F.col("c1").alias("c1_prev"))
+    cc = uni.select(F.col("term").alias("cur"), F.col("c1").alias("c1_cur"))
+    p = F.lit(_LM_LAMBDA) * F.col("c2") / F.col("c1_prev").cast("double") + F.lit(
+        1.0 - _LM_LAMBDA
+    ) * F.col("c1_cur") / F.col("n").cast("double")
+    scored = (
+        inst.join(big, ["prev", "cur"])
+        .join(F.broadcast(cp), "prev")
+        .join(F.broadcast(cc), "cur")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(p).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        davg(F.col("logp"), "bigram_score"),
+    )
