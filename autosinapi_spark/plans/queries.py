@@ -448,3 +448,118 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), "receita", scale=2),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event windows + trailing moving averages — the two analytic
+# window shapes SURVEY §7 promised beyond tumbling (hourly_event_stats):
+# overlapping time windows (each event lands in window_size/slide
+# buckets) and per-key ROWS-frame trailing aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_event_stats",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - (k.k * INTERVAL '15 minutes'), '%Y-%m-%d %H:%M')
+             AS janela,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'soma_valor')}
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window event stats: 1-hour windows sliding every "
+    "15 minutes — each event contributes to 4 overlapping windows "
+    "(extension; the overlapping-window twin of hourly_event_stats).",
+)
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping time windows via F.window(size, slide).
+
+    Scale shape: Spark expands each row into size/slide window
+    assignments BEFORE the hash aggregate (same 4x factor the oracle
+    replays with generate_series); the aggregate partial-combines
+    map-side on (window, type), so the exchange carries only group
+    rows. Window starts align to the epoch 15-minute grid in both
+    engines (DuckDB's time_bucket origin sits on that grid).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "soma_valor"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("janela"),
+            "event_type",
+            "n",
+            "soma_valor",
+        )
+    )
+
+
+@register(
+    "customer_revenue_moving_avg",
+    """
+    WITH monthly AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mes,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                   AS DOUBLE), 2) AS receita
+      FROM orders GROUP BY o_custkey, 2
+    )
+    SELECT o_custkey, mes, receita,
+           ROUND(CAST(SUM(CAST(receita AS DECIMAL(28,10))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS receita_mm3,
+           COUNT(*) OVER w AS n_meses
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY mes
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-customer 3-month trailing moving average of monthly "
+    "revenue: ROWS-frame window over a keyed monthly aggregate "
+    "(extension; the trailing-aggregate analytic shape).",
+)
+def customer_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-month mean per customer.
+
+    Scale shape: the window partitions by customer (hash exchange,
+    no global sort) and the monthly aggregate upstream reuses the
+    same key, so AQE can co-locate both on one exchange. The frame
+    sum goes through exact decimals — a 3-double frame is small, but
+    frame-order float addition is still engine-dependent; the decimal
+    form removes the question.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("mes")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"),
+            2,
+        ).alias("receita")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("mes")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        "o_custkey",
+        "mes",
+        "receita",
+        # scale=6, not 2: a 2-decimal sum divided by the frame count
+        # lands exactly on x.xx5 ties where the engines' double-round
+        # directions differ; at 6 decimals the quotient (<= 3 decimal
+        # digits) is never a tie.
+        F.round(
+            F.sum(F.col("receita").cast("decimal(28,10)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("receita_mm3"),
+        F.count(F.lit(1)).over(w).alias("n_meses"),
+    )
