@@ -563,3 +563,84 @@ def customer_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("receita_mm3"),
         F.count(F.lit(1)).over(w).alias("n_meses"),
     )
+
+
+@register(
+    "pivot_qty_by_status",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END",
+                     'qty_F')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END",
+                     'qty_O')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (long -> wide): per-returnflag quantity totals spread "
+    "across linestatus columns — the inverse of the R1 unpivot "
+    "(extension; Spark .pivot with an explicit value list).",
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot with a PINNED value list.
+
+    Passing the domain explicitly (['F', 'O']) matters at scale: an
+    unpinned ``.pivot(col)`` first runs a distinct scan over the
+    pivot column to discover values — an extra corpus pass and a
+    nondeterministic column order. Pinned values compile straight to
+    conditional aggregates (exactly the oracle's CASE WHEN form).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity"), "q"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@register(
+    "cube_revenue",
+    f"""
+    SELECT strftime(o_orderdate, '%Y') AS ano,
+           o_orderstatus AS situacao,
+           GROUPING(strftime(o_orderdate, '%Y')) AS g_ano,
+           GROUPING(o_orderstatus) AS g_situacao,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'receita', scale=2)}
+    FROM orders
+    GROUP BY CUBE (strftime(o_orderdate, '%Y'), o_orderstatus)
+    """,
+    doc="CUBE grouping sets: all 2^2 subtotal combinations over "
+    "(year, status) with GROUPING() markers (extension; completes "
+    "the grouping-sets family next to rollup_revenue).",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube with grouping-id disambiguation.
+
+    GROUPING() columns distinguish a real NULL key from a subtotal
+    row — the standard cube-consumer contract. Spark expands the
+    cube into grouping sets before the hash aggregate; each set
+    partial-aggregates map-side like any groupBy.
+    """
+    orders = load(spark, sf_dir, "orders")
+    # project the grouping keys to plain attributes FIRST: F.grouping()
+    # must reference the exact cube column, and an expression aliased
+    # inline in .cube() is not resolvable from .agg()
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy").alias("ano"),
+        F.col("o_orderstatus").alias("situacao"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("ano", "situacao")
+        .agg(
+            F.grouping("ano").alias("g_ano"),
+            F.grouping("situacao").alias("g_situacao"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "receita", scale=2),
+        )
+        .select("ano", "situacao", "g_ano", "g_situacao", "n", "receita")
+    )
