@@ -23,7 +23,7 @@ from ..functions.vectors import (
     hyperplane_bucket,
     rademacher_planes,
 )
-from .registry import register
+from .registry import davg, register
 
 _N_QUERIES = 8
 _TOP_K = 5
@@ -786,4 +786,232 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(z) > _Z_OUTLIER, F.lit(1)).otherwise(F.lit(0)).alias(
             "is_outlier"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then prune near-identical vectors
+# WITHIN each cluster only — the clustering bounds the pair search so
+# the quadratic stage never sees the whole corpus. Here the codebook
+# is the first K vectors refined by ONE deterministic Lloyd step
+# (assign -> exact-decimal per-dim mean -> reassign), which the DuckDB
+# oracle replays bit-for-bit; k-means++ with data-dependent iteration
+# counts would be the deployment codebook (pyspark.ml KMeans), with
+# everything downstream unchanged.
+# ---------------------------------------------------------------------------
+
+_SEM_K = 32
+_SEM_TAU = 0.99
+
+
+def _sem_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET},
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM corpus
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+      FROM corpus WHERE vec_id < {_SEM_K}
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 6)
+                 DESC, c.cid) AS rn
+      FROM e, c0 c
+    ),
+    assign1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+    cmean AS (
+      SELECT cid, u.pos - 1 AS dim,
+             ROUND(CAST(SUM(CAST(u.val AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 8) AS val
+      FROM (
+        SELECT cid,
+               unnest(list_transform(v, (x, i) -> {{pos: i, val: x}})) AS u
+        FROM assign1
+      )
+      GROUP BY cid, u.pos - 1
+    ),
+    c1 AS (
+      SELECT cid, list(val ORDER BY dim) AS cv FROM cmean GROUP BY cid
+    ),
+    c1n AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1
+    ),
+    a2 AS (
+      SELECT e.vec_id, e.v, e.nv, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 6)
+                 DESC, c.cid) AS rn
+      FROM e, c1n c
+    ),
+    assign2 AS (SELECT vec_id, v, nv, cid FROM a2 WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_sim
+      FROM assign2 a JOIN assign2 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
+              >= {_SEM_TAU}
+    ),
+    dup AS (
+      SELECT id_b AS vec_id, id_a AS dup_of, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      FROM pairs
+    )
+    SELECT s.vec_id, s.cid,
+           COALESCE(d.dup_of, -1) AS dup_of,
+           COALESCE(d.cos_sim, -1.0) AS cos_to_dup,
+           CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign2 s
+    LEFT JOIN (SELECT vec_id, dup_of, cos_sim FROM dup WHERE rn = 1) d
+      ON d.vec_id = s.vec_id
+    """
+
+
+def _nearest_cell(corpus_n: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Row-local nearest-centroid assignment against a one-row
+    broadcast codebook (the IVF pattern: no shuffle to assign)."""
+    from ..functions.vectors import dot
+
+    return corpus_n.crossJoin(broadcast(cents_row)).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.element_at(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (
+                            -F.round(
+                                dot(F.col("v"), c["cv"])
+                                / (F.col("nv") * c["cn"]),
+                                6,
+                            )
+                        ).alias("ncos"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"].alias("cid"),
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    _sem_oracle(),
+    doc="SemDeDup-style semantic dedup: deterministic codebook + one "
+    "Lloyd refinement step, then near-identical vectors pruned "
+    f"within their cluster only (cos >= {_SEM_TAU}, keep-min-id). "
+    "The clustering bounds the quadratic stage to per-cluster "
+    "occupancy (extension; the embedding-space curation pass).",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster id + keep/prune decision.
+
+    Scale shape: both assignment passes are row-local against a
+    broadcast codebook (O(K*d) per row inside codegen — the corpus is
+    never shuffled to be assigned); the Lloyd mean is a (K x dims)-key
+    hash aggregate with map-side partial combine; the pair stage is an
+    equi-join on cid, so its cost is per-cluster occupancy squared —
+    at deployment K grows as N/target_cluster_size to hold occupancy
+    flat, and the codebook comes from pyspark.ml KMeans (the oracle
+    pins first-K + one Lloyd step only so DuckDB can replay it).
+    Keep-min-id pruning: a vector is pruned iff a smaller-id vector
+    sits within cos >= tau in the SAME cluster (the paper keeps one
+    representative per within-cluster duplicate group; min-id is the
+    deterministic choice of representative).
+    """
+    from ..functions.vectors import dot, norm
+
+    corpus = _twin_corpus(spark, sf_dir).select(
+        "vec_id", "v", norm(F.col("v")).alias("nv")
+    )
+    cents0 = (
+        corpus.where(F.col("vec_id") < _SEM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("cn"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+    )
+    assign1 = _nearest_cell(corpus, cents0)
+
+    exploded = assign1.select(
+        "cid", F.posexplode("v").alias("dim", "val")
+    )
+    cmean = exploded.groupBy("cid", "dim").agg(davg(F.col("val"), "val", 8))
+    cents1 = (
+        cmean.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cv")
+        )
+        .select("cid", "cv", norm(F.col("cv")).alias("cn"))
+        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+    )
+    assign2 = _nearest_cell(corpus, cents1)
+
+    pa = assign2.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    pb = assign2.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = (
+        pa.join(pb, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= _SEM_TAU)
+    )
+    w = Window.partitionBy("id_b").orderBy("id_a")
+    dup = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+    return (
+        assign2.select("vec_id", "cid")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.coalesce("cos_sim", F.lit(-1.0)).alias("cos_to_dup"),
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
     )
