@@ -714,3 +714,114 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         davg(F.col("logp"), "bigram_score"),
     )
+
+
+# --- BM25 document ranking -------------------------------------------
+
+# Okapi BM25 with the Lucene idf variant (ln(1 + (N - df + .5)/(df + .5)),
+# always positive). Query terms are the corpus's own top-N terms by
+# document frequency — deterministic, so the oracle derives the same
+# query set. k1/b are the standard defaults.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QTERMS = 5
+_BM25_TOP_DOCS = 10
+
+
+@register(
+    "bm25_doc_ranking",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT term, df FROM df
+      ORDER BY df DESC, term LIMIT {_BM25_QTERMS}
+    ),
+    scored AS (
+      SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+             ROUND(
+               (ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                * (tf.tf * ({_BM25_K1} + 1.0)))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + ({_BM25_B} * dl.dl) / s.avgdl)),
+               6) AS score
+      FROM tf
+      JOIN qterms q USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT term, doc_id, tf, dl, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOP_DOCS}
+    """,
+    doc=f"Okapi BM25 (k1={_BM25_K1}, b={_BM25_B}): top-{_BM25_TOP_DOCS} "
+    f"documents per query term, query = the corpus's top-{_BM25_QTERMS} "
+    "df terms (extension; the ranked-retrieval complement to TF-IDF).",
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked documents for the corpus's highest-df query terms.
+
+    Scale shape: tf/dl/df are the same partial-combining aggregates as
+    tfidf_top_terms; the query-term set is a {_BM25_QTERMS}-row
+    broadcast, so the scoring join prunes tf to |qterms| postings
+    lists BEFORE the doc-length join (equi-join on doc_id); corpus
+    stats ride a 1-row broadcast. The rank window partitions by term
+    — bounded by the postings list, never a global sort. Score is
+    rounded before ranking; ties break on doc_id (cross-engine
+    stable).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = df.orderBy(F.col("df").desc(), F.col("term")).limit(_BM25_QTERMS)
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    score = F.round(
+        (idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + (F.lit(_BM25_B) * F.col("dl")) / F.col("avgdl")
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", "dl", score.alias("score"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOP_DOCS)
+        .select("term", "doc_id", "tf", "dl", "score", "rank")
+    )
