@@ -11,6 +11,7 @@ partition columns; locally they are single parquet files per table.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,12 +20,22 @@ from .schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixture parquet stores timestamps as INT64 TIMESTAMP(NANOS) (pandas
-# datetime64[ns]), which Spark's reader rejects outright. We read them
-# as raw nanos (legacy nanosAsLong) and floor-divide to micros — the
-# exact truncation DuckDB applies when it scans the same files, so
-# oracle comparisons stay bit-identical.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+# The driver's fixture parquet has shipped timestamps in two different
+# physical encodings across rounds; ``load`` normalizes BOTH to plain
+# TIMESTAMP (session tz pinned UTC) so every downstream call site —
+# unix_micros, withWatermark, window/session_window — sees one type:
+#
+#   * INT64 TIMESTAMP(NANOS) (pandas datetime64[ns]): Spark's reader
+#     rejects it outright, so we read raw nanos (legacy nanosAsLong)
+#     and floor-divide to micros — the exact truncation DuckDB applies
+#     when it scans the same files.
+#   * timestamp[us] with no UTC flag: Spark 4.x reads it as
+#     TIMESTAMP_NTZ, which unix_micros/withWatermark reject
+#     (DATATYPE_MISMATCH / EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+#     Cast to TIMESTAMP; with the session tz pinned UTC the wall-clock
+#     is unchanged, so unix_micros stays equal to DuckDB's epoch_us
+#     over the same naive values.
+_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -59,10 +70,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
+    df = normalize_ts_columns(df, _TS_COLS.get(name, ()))
+    return df
+
+
+def normalize_ts_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Normalize declared timestamp columns to plain TIMESTAMP.
+
+    Handles every fixture encoding seen so far: raw nanos-as-long
+    (floor-div to micros, DuckDB's truncation), TIMESTAMP_NTZ (cast;
+    wall-clock preserved under the UTC session tz), and already-
+    TIMESTAMP (no-op). Idempotent, so safe on both driver-vanilla and
+    engine-owned sessions.
+    """
     dtypes = dict(df.dtypes)
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if dtypes.get(c) == "bigint":
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -291,6 +291,44 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def corpus_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, sg, hh) — the persistable per-document LSH state.
+
+    This is the frame a steady-state ingestion pipeline writes to its
+    signature store (parquet, partitioned by ingestion batch): ``sg``
+    feeds exact-Jaccard verification, ``hh`` feeds the k signature
+    mixes. Re-banding from it is pure integer arithmetic, so (bands,
+    rows, num_hashes) can be retuned WITHOUT re-reading the corpus
+    text — the expensive shingle+hash pass happens exactly once per
+    document lifetime.
+    """
+    sg = shingles(F.col(text_col), ngram)
+    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
+        F.size(F.col("sg")) >= 1
+    )
+    return base.select("id", "sg", base_hashes(F.col("sg"), hash_fn).alias("hh"))
+
+
+def banded_from_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int, rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """(base, keyed) from a precomputed/persisted signature frame."""
+    base = sigs.select("id", "sg")
+    sig = minhash_signature(F.col("hh"), num_hashes)
+    keyed = sigs.select(
+        "id", F.explode(band_keys(sig, bands, rows)).alias("bk")
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    return base, keyed
+
+
 def banded_minhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -309,21 +347,19 @@ def banded_minhash(
     LSH shuffle; they rejoin only for the (much smaller) candidate
     verification. Self-join consumers: :func:`minhash_near_dup_pairs`;
     cross-corpus consumers: :func:`minhash_incremental_matches`.
+
+    The (id, sg, hh) frame is lazily localCheckpoint-ed: base and
+    keyed both reference it, and each appears twice downstream (a/b
+    join sides, verify rejoin), so without the checkpoint the
+    shingle+hash pass re-executes ~4x per query. The checkpoint pins
+    one materialization (MEMORY_AND_DISK blocks on the executors) —
+    the in-query analogue of the persisted signature store
+    (:func:`corpus_signatures`).
     """
-    sg = shingles(F.col(text_col), ngram)
-    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
-        F.size(F.col("sg")) >= 1
+    sigs = corpus_signatures(docs, text_col, id_col, ngram, hash_fn)
+    return banded_from_signatures(
+        sigs.localCheckpoint(eager=False), num_hashes, bands, rows
     )
-    # materialize the hash pass once as an attribute, THEN fan out to
-    # the k signature mixes
-    hashed = base.select("id", base_hashes(F.col("sg"), hash_fn).alias("hh"))
-    sig = minhash_signature(F.col("hh"), num_hashes)
-    keyed = hashed.select(
-        "id", F.explode(band_keys(sig, bands, rows)).alias("bk")
-    ).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
-    return base, keyed
 
 
 def minhash_near_dup_pairs(
@@ -383,6 +419,7 @@ def minhash_incremental_matches(
     ngram: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    old_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: match NEW documents against an EXISTING corpus.
 
@@ -392,18 +429,25 @@ def minhash_incremental_matches(
     is old x new within each (band, bkey), never new x new or
     old x old, so a batch of B docs against a corpus of N costs the
     banding of B + N plus the cross-bucket candidates — not the
-    (N+B)^2/2 self-join space. In steady state the corpus side's band
-    keys are precomputed and persisted; only the batch side hashes
-    fresh.
+    (N+B)^2/2 self-join space. In steady state pass
+    ``old_signatures`` — a persisted :func:`corpus_signatures` frame
+    (read back from the signature store) — and the corpus side skips
+    text shingling entirely; only the batch side hashes fresh.
+    ``old_docs`` is ignored when ``old_signatures`` is given.
 
     Returns (new_id, matched_id, jaccard): per new doc, its
     best-matching existing doc (highest exact Jaccard >= threshold,
     ties to the smallest matched_id — deterministic). New docs with no
     match are absent (they are the ones to ACCEPT into the corpus).
     """
-    base_old, keyed_old = banded_minhash(
-        old_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
-    )
+    if old_signatures is not None:
+        base_old, keyed_old = banded_from_signatures(
+            old_signatures, num_hashes, bands, rows
+        )
+    else:
+        base_old, keyed_old = banded_minhash(
+            old_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
+        )
     base_new, keyed_new = banded_minhash(
         new_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
     )

@@ -326,8 +326,56 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TWIN_OFFSET = 100000
 _NEAR_COS = 0.999
 
+# Corpus-size-derived LSH for the REGISTERED dedup query (round-4 ask:
+# the pinned 8-bit variant is superlinear — fixed bucket count means
+# occupancy, and thus the per-bucket pair join, grows linearly with N).
+# Replayability trick: a FIXED master plane set laid out with stride
+# max_bits per table, so any derived (bits, tables) uses literal
+# PREFIXES of it — the oracle embeds the static literals and derives
+# bits/tables in SQL from COUNT(*), exactly mirroring
+# derive_lsh_params(n, target_bucket=16, max_bits=12). Python's
+# round() is banker's at .5 vs SQL FLOOR(x+0.5) half-up, but
+# log2(n/16) can only hit an exact .5 for irrational n, so the two
+# derivations agree for every integer corpus size.
+_DEDUP_TARGET_BUCKET = 16
+_DEDUP_MAX_BITS = 12
+_DEDUP_T_MAX = max(2, 1 + _DEDUP_MAX_BITS // 4)
+_DEDUP_MASTER = rademacher_planes(_DEDUP_T_MAX * _DEDUP_MAX_BITS, _DIM)
+
+
+def _dedup_params(n_corpus: int) -> tuple[int, int]:
+    return derive_lsh_params(
+        n_corpus, target_bucket=_DEDUP_TARGET_BUCKET, max_bits=_DEDUP_MAX_BITS
+    )
+
+
+def _dedup_planes(bits: int, tables: int) -> list[list[float]]:
+    """Contiguous (tables x bits) plane list from the strided master."""
+    return [
+        _DEDUP_MASTER[t * _DEDUP_MAX_BITS + j]
+        for t in range(tables)
+        for j in range(bits)
+    ]
+
+
+def _sql_dedup_bucket(table: int) -> str:
+    """Bucket for one table with RUNTIME bit count (p.bits in scope)."""
+    terms = " + ".join(
+        f"(CASE WHEN {j} < p.bits AND list_dot_product(v, "
+        f"{_sql_plane(_DEDUP_MASTER[table * _DEDUP_MAX_BITS + j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_DEDUP_MAX_BITS)
+    )
+    return f"({terms})"
+
 
 def _embed_dedup_oracle() -> str:
+    buckets = ", ".join(
+        f"{_sql_dedup_bucket(t)} AS b{t}" for t in range(_DEDUP_T_MAX)
+    )
+    join_cond = " OR ".join(
+        f"({t} < p.tables AND a.b{t} = b.b{t})" for t in range(_DEDUP_T_MAX)
+    )
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -336,17 +384,28 @@ def _embed_dedup_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
       FROM embeddings
     ),
+    p AS (
+      SELECT bits,
+             GREATEST(2, 1 + CAST(FLOOR(bits / 4.0) AS INT)) AS tables
+      FROM (
+        SELECT CASE WHEN n <= {_DEDUP_TARGET_BUCKET} THEN 4
+               ELSE GREATEST(4, LEAST({_DEDUP_MAX_BITS},
+                 CAST(FLOOR(log2(n / {_DEDUP_TARGET_BUCKET}.0) + 0.5) AS INT)))
+               END AS bits
+        FROM (SELECT 2 * COUNT(*) AS n FROM embeddings)
+      )
+    ),
     eb AS (
-      SELECT vec_id, v, {_sql_bucket(0)} AS b0, {_sql_bucket(1)} AS b1
-      FROM corpus
+      SELECT vec_id, v, {buckets}
+      FROM corpus, p
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-      FROM eb a JOIN eb b
-        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+      FROM eb a JOIN eb b ON a.vec_id < b.vec_id, p
+      WHERE {join_cond}
     )
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEAR_COS}
     """
@@ -415,21 +474,20 @@ def _embedding_pair_plan(
     _embed_dedup_oracle(),
     doc="Embedding-cosine near-dup: hyperplane-LSH candidate pairs + "
     "exact cosine threshold (the vector-space dedup path; extension). "
-    "Parameters PINNED for the DuckDB oracle; the scale path is "
-    "near_dedup_embedding_auto (bucket occupancy bounded at any N).",
+    "LSH bits/tables derived from corpus size (expected bucket "
+    "occupancy pinned at ~16 at any N, so the per-bucket pair join "
+    "stays near-linear); the oracle replays the derivation from "
+    "COUNT(*) over a fixed strided master plane set.",
 )
 def near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _embedding_pair_plan(
-        _twin_corpus(spark, sf_dir), _PLANES, _LSH_BITS, _LSH_TABLES, _NEAR_COS
-    )
+    return near_dedup_embedding_auto(spark, sf_dir)
 
 
 def near_dedup_embedding_auto(
     spark: SparkSession,
     sf_dir: str,
     near_cos: float = _NEAR_COS,
-    dim: int = _DIM,
-    target_bucket: int = 16,
+    target_bucket: int = _DEDUP_TARGET_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with corpus-size-derived LSH parameters.
 
@@ -442,15 +500,17 @@ def near_dedup_embedding_auto(
     from derive_lsh_params push planted-twin recall to ~1. Measured at
     10x sf0.1: fixed 8-bit buckets degrade 25x for 10x data (occupancy
     grows linearly with N); this derived variant stays near-linear.
-    Not oracle-registered (planes depend on runtime N); verified by
-    tests/test_ann.py planted-twin recall.
+    Since round 5 this IS the registered query: planes come from the
+    fixed strided master set (prefix per (bits, tables)), which static
+    oracle SQL can replay at any sf dir. The one plan-time count() is
+    parameter derivation, not a data collect. Twin-planted recall is
+    additionally asserted in tests/test_ann.py.
     """
     corpus = _twin_corpus(spark, sf_dir)
-    bits, tables = derive_lsh_params(
-        corpus.count(), target_bucket=target_bucket
+    bits, tables = _dedup_params(corpus.count())
+    return _embedding_pair_plan(
+        corpus, _dedup_planes(bits, tables), bits, tables, near_cos
     )
-    planes = rademacher_planes(bits * tables, dim)
-    return _embedding_pair_plan(corpus, planes, bits, tables, near_cos)
 
 
 @register(
@@ -504,23 +564,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: F.round(x / F.col("scale")).cast("bigint")
         ).alias("qv"),
     )
-    err = F.array_max(
-        F.zip_with("v", "qv", lambda a, b: F.abs(a - b * F.col("scale")))
+    # materialize the reconstruction error BEFORE the output projection:
+    # Spark's lateral column aliases (4.x default) would otherwise let
+    # the err expression's "scale" reference resolve to the ROUNDED
+    # display alias when that alias precedes it in the select list
+    # (caught by the DuckDB oracle in round 3). With err a real column,
+    # the final select is free to match the oracle's column ORDER —
+    # the driver's row hash is order-sensitive even though its schema
+    # check is name-sorted (round-4 hash mismatch was exactly this).
+    w = q.withColumn(
+        "err",
+        F.array_max(
+            F.zip_with("v", "qv", lambda a, b: F.abs(a - b * F.col("scale")))
+        ),
     )
-    # the rounded display alias MUST come after every expression that
-    # reads the raw scale: Spark's lateral column aliases (4.x default)
-    # let a later select-list item resolve "scale" to the earlier
-    # rounded alias instead of the input column — putting
-    # round(scale) first silently recomputed the reconstruction error
-    # against the ROUNDED scale (caught by the DuckDB oracle).
-    return q.select(
+    return w.select(
         "vec_id",
         F.size("v").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
         F.aggregate(
             F.transform("qv", F.abs), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("q_l1"),
-        F.round(err, 6).alias("max_abs_err"),
-        F.round("scale", 6).alias("scale"),
+        F.round("err", 6).alias("max_abs_err"),
     )
 
 

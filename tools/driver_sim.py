@@ -84,16 +84,24 @@ def main():
         ocols = [d[0] for d in cur.description]
         orows = [tuple(r) for r in cur.fetchall()]
         ok_cols = sorted(scols) == sorted(ocols)
+        # The real driver's value hash is ORDER-sensitive even though
+        # its schema check is name-sorted (round-4 embedding_quantize_
+        # int8 lesson: identical values, different select-list order ->
+        # hash mismatch). Enforce positional equality here too.
+        ok_order = scols == ocols
         ok_cnt = len(srows) == len(orows)
         ok_vals = ok_cols and ok_cnt and canon(scols, srows) == canon(ocols, orows)
-        status = "OK" if (ok_cols and ok_cnt and ok_vals) else "MISMATCH"
+        status = "OK" if (ok_cols and ok_order and ok_cnt and ok_vals) else "MISMATCH"
         print(
             f"{name}: {status} rows={len(srows)}/{len(orows)} "
             f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"order={'ok' if ok_order else f'{scols} vs {ocols}'} "
             f"vals={'ok' if ok_vals else 'DIFF'} ({dt:.1f}s)"
         )
         if status != "OK":
             failed.append(name)
+            if not ok_order:
+                continue
             s, o = canon(scols, srows), canon(ocols, orows)
             diffs = [(a, b) for a, b in zip(s, o) if a != b][:3]
             for a, b in diffs:
