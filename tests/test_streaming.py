@@ -138,6 +138,49 @@ def test_stream_dedup_within_watermark(spark, events, tmp_path):
     assert out.distinct().count() == events.count()
 
 
+@pytest.mark.parametrize("encoding", ["ntz_us", "nanos_long"])
+def test_watermark_works_on_both_fixture_ts_encodings(
+    spark, events, tmp_path, encoding
+):
+    """The driver's fixture parquet has shipped ``ts`` as both
+    INT64-nanos and timestamp[us]-NTZ across rounds; the round-4 shift
+    broke every watermark call site. Pin the repair recipe for BOTH
+    encodings: declare the raw physical schema, route the stream
+    through ``normalize_ts_columns``, and the watermarked agg must
+    match the batch twin bit-for-bit."""
+    from autosinapi_spark.catalog import normalize_ts_columns
+
+    src = tmp_path / f"events_{encoding}"
+    small = events.limit(500)
+    if encoding == "ntz_us":
+        raw = small.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:
+        raw = small.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    raw.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(raw.schema).parquet(str(src))
+    norm = normalize_ts_columns(stream, ["ts"])
+    assert dict(norm.dtypes)["ts"] == "timestamp"
+    q = (
+        windowed_event_stats(norm)
+        .writeStream.format("memory")
+        .queryName(f"enc_{encoding}")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["inicio"], r["event_type"]): (r["n"], r["soma_valor"])
+        for r in spark.sql(f"SELECT * FROM enc_{encoding}").collect()
+    }
+    want = {
+        (r["inicio"], r["event_type"]): (r["n"], r["soma_valor"])
+        for r in windowed_event_stats(small).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_session_windows_match_batch_and_sessionize_query(
     spark, events, tmp_path
 ):
