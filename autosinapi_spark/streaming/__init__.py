@@ -16,6 +16,7 @@ from .incremental import (
     sessionized_event_stats,
     windowed_event_stats,
 )
+from .ingest import accept_batch, ingest_dedup_available_now
 
 __all__ = [
     "incremental_append_available_now",
@@ -23,4 +24,6 @@ __all__ = [
     "sessionized_event_stats",
     "running_user_totals",
     "dedup_events_stream",
+    "accept_batch",
+    "ingest_dedup_available_now",
 ]
