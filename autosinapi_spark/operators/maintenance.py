@@ -92,3 +92,48 @@ def write_range_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int,
+) -> None:
+    """Save as a bucketed+sorted managed table (hash-clustered files).
+
+    Bucketing pre-shuffles ONCE at write time: every row with the same
+    key hash lands in the same bucket file, so a later join or
+    aggregation on the bucket key needs NO exchange — the single
+    biggest shuffle eliminator for repeated large-x-large joins (fact
+    tables joined every run). Both sides must bucket on the join key
+    with the same bucket count. Plan-asserted in
+    tests/test_layout.py: the join of two such tables contains no
+    Exchange operator.
+    """
+    (
+        df.repartition(n_buckets, bucket_key)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Hive-style directory partitioning (`col=value/` directories).
+
+    Equality/IN predicates on the partition columns prune entire
+    directories at PLAN time (PartitionFilters in the scan node —
+    never opens a pruned file's footer), which is the first-line
+    defense at 100 TB: a per-source or per-date filter touches only
+    its slice. Keep partition columns low-cardinality (source, date,
+    lang) — per-key directories explode small files otherwise; use
+    bucketing or range layout for high-cardinality keys.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

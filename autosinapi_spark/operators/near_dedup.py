@@ -348,17 +348,21 @@ def banded_minhash(
     verification. Self-join consumers: :func:`minhash_near_dup_pairs`;
     cross-corpus consumers: :func:`minhash_incremental_matches`.
 
-    The (id, sg, hh) frame is lazily localCheckpoint-ed: base and
+    The (id, sg, hh) frame is localCheckpoint-ed EAGERLY: base and
     keyed both reference it, and each appears twice downstream (a/b
     join sides, verify rejoin), so without the checkpoint the
-    shingle+hash pass re-executes ~4x per query. The checkpoint pins
-    one materialization (MEMORY_AND_DISK blocks on the executors) —
-    the in-query analogue of the persisted signature store
+    shingle+hash pass re-executes ~4x per query. Eager (not lazy)
+    because the a/b exchange stages of the self-join run CONCURRENTLY
+    under AQE — with a lazy checkpoint both race to compute the same
+    partitions (observed as duplicate shingle work + "Block already
+    exists" churn, a 3x swing in bench runs); eager pins exactly one
+    materialization before any consumer stage starts — the in-query
+    analogue of the persisted signature store
     (:func:`corpus_signatures`).
     """
     sigs = corpus_signatures(docs, text_col, id_col, ngram, hash_fn)
     return banded_from_signatures(
-        sigs.localCheckpoint(eager=False), num_hashes, bands, rows
+        sigs.localCheckpoint(eager=True), num_hashes, bands, rows
     )
 
 

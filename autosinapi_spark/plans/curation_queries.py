@@ -613,3 +613,60 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# --- deterministic train/holdout split -------------------------------
+
+_SPLIT_SEED = 37
+_TEST_FRAC = 0.05
+_VAL_FRAC = 0.05
+
+
+@register(
+    "split_train_holdout",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('{_SPLIT_SEED}:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / POW(2, 60) AS u
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN u < {_TEST_FRAC} THEN 'test'
+                WHEN u < {_TEST_FRAC + _VAL_FRAC} THEN 'validation'
+                ELSE 'train' END AS split,
+           ROUND(u, 6) AS u
+    FROM u
+    """,
+    doc="Deterministic train/validation/test assignment via a "
+    "content-hash uniform (extension; the reproducible holdout split "
+    "every training pipeline needs — stable under re-runs, retries, "
+    "and corpus growth, unlike randomSplit).",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket split: u = md5-uniform(doc_id); test < 5% <=
+    validation < 10% <= train.
+
+    Scale shape: row-local, shuffle-free, no RNG state. Unlike
+    ``randomSplit`` (per-task-attempt redraws => docs can land in TWO
+    splits under speculation/retries) the assignment is a pure
+    function of the id, so the split is stable across engines, runs,
+    and incremental corpus growth — the property that prevents
+    train/test leakage at 100 TB where re-runs are routine. The
+    boundary constants are data-independent, so Catalyst folds them
+    and the projection pushes to the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id").cast("string"), _SPLIT_SEED)
+    split = (
+        F.when(u < _TEST_FRAC, F.lit("test"))
+        .when(u < _TEST_FRAC + _VAL_FRAC, F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.round(u, 6).alias("u"),
+    )

@@ -20,7 +20,9 @@ from ..functions.vectors import (
     as_double,
     cosine,
     derive_lsh_params,
+    dot_fixed,
     hyperplane_bucket,
+    norm,
     rademacher_planes,
 )
 from .registry import davg, register
@@ -338,14 +340,22 @@ _NEAR_COS = 0.999
 # log2(n/16) can only hit an exact .5 for irrational n, so the two
 # derivations agree for every integer corpus size.
 _DEDUP_TARGET_BUCKET = 16
-_DEDUP_MAX_BITS = 12
+# cap chosen so the cap does NOT bind until ~16 * 2^20 ≈ 17M vectors
+# (sf1's 200k corpus derives 14 bits — a 12-bit cap was measured to
+# cost 2.5x at sf1 by inflating bucket occupancy to ~4x target);
+# beyond 17M vectors call near_dedup_embedding_auto with a higher cap
+# through derive_lsh_params directly — the oracle literal set just
+# grows with the cap.
+_DEDUP_MAX_BITS = 20
 _DEDUP_T_MAX = max(2, 1 + _DEDUP_MAX_BITS // 4)
 _DEDUP_MASTER = rademacher_planes(_DEDUP_T_MAX * _DEDUP_MAX_BITS, _DIM)
 
 
-def _dedup_params(n_corpus: int) -> tuple[int, int]:
+def _dedup_params(
+    n_corpus: int, target_bucket: int = _DEDUP_TARGET_BUCKET
+) -> tuple[int, int]:
     return derive_lsh_params(
-        n_corpus, target_bucket=_DEDUP_TARGET_BUCKET, max_bits=_DEDUP_MAX_BITS
+        n_corpus, target_bucket=target_bucket, max_bits=_DEDUP_MAX_BITS
     )
 
 
@@ -428,14 +438,31 @@ def _embedding_pair_plan(
     bits: int,
     tables: int,
     near_cos: float,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
+    """Same discipline as the MinHash pipeline: VECTORS STAY OUT OF
+    THE LSH SHUFFLE. The candidate self-join carries only
+    (tbl, bucket, vec_id) — 16 bytes/row — and the 64-double vectors
+    rejoin only for the (much smaller) distinct-pair verification.
+    The previous shape attached both vectors before the join +
+    dropDuplicates and was measured 5x slower at 10x sf0.1 (the
+    dedup exchange carried ~1 KB/pair of vector payload).
+
+    ``bucket_cap``: hyperplane buckets are NOT uniformly occupied
+    (sign patterns concentrate around data clusters; at web scale,
+    boilerplate/template content makes some buckets enormous), and
+    pair enumeration is quadratic in bucket size. A cap drops buckets
+    with more than ``bucket_cap`` members from candidate generation —
+    the standard recall-for-worst-case trade (the members of a
+    dropped bucket still pair in their OTHER tables' buckets). The
+    over-full bucket list is tiny by construction, so it broadcasts.
+    None (the oracle-registered path) disables the cap."""
     buckets = [
         hyperplane_bucket(F.col("v"), planes[t * bits : (t + 1) * bits])
         for t in range(tables)
     ]
     keyed = corpus.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -446,27 +473,55 @@ def _embedding_pair_plan(
         ).alias("tb"),
     ).select(
         "vec_id",
-        "v",
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
-    a = keyed.select(
-        "tbl", "bucket", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = keyed.select(
-        "tbl", "bucket", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
-    pairs = (
+    if bucket_cap is not None:
+        hot = (
+            keyed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("tbl", "bucket")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+    a = keyed.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
+    b = keyed.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return pairs.where(F.col("cos_sim") >= near_cos)
+    # norms are per-VECTOR, so compute them once per corpus row (N of
+    # them) rather than twice per candidate pair (2 x ~30N); the
+    # arithmetic is unchanged — sqrt(dot(v,v)) on the same doubles —
+    # so the rounded cosine stays bit-identical to the oracle's.
+    vecs = corpus.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    pairs = cand.join(
+        vecs.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+        ),
+        "id_b",
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot_fixed(F.col("va"), F.col("vb"), _DIM)
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.where(F.col("cos_sim") >= near_cos)
 
 
 @register(
@@ -488,6 +543,7 @@ def near_dedup_embedding_auto(
     sf_dir: str,
     near_cos: float = _NEAR_COS,
     target_bucket: int = _DEDUP_TARGET_BUCKET,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with corpus-size-derived LSH parameters.
 
@@ -507,9 +563,14 @@ def near_dedup_embedding_auto(
     additionally asserted in tests/test_ann.py.
     """
     corpus = _twin_corpus(spark, sf_dir)
-    bits, tables = _dedup_params(corpus.count())
+    bits, tables = _dedup_params(corpus.count(), target_bucket)
     return _embedding_pair_plan(
-        corpus, _dedup_planes(bits, tables), bits, tables, near_cos
+        corpus,
+        _dedup_planes(bits, tables),
+        bits,
+        tables,
+        near_cos,
+        bucket_cap=bucket_cap,
     )
 
 

@@ -201,3 +201,31 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         key = (r.query_id, r.cand_id)
         if key in true_cos:
             assert r.cos_sim == true_cos[key]
+
+
+def test_bucket_cap_bounds_candidates_and_keeps_subset(spark):
+    """The skew guard: capped output must be a subset of the uncapped
+    pairs, and a cap far above any fixture bucket size must change
+    nothing (the cap only ever REMOVES candidate generation)."""
+    from autosinapi_spark.plans.similarity_queries import (
+        near_dedup_embedding_auto,
+    )
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in near_dedup_embedding_auto(spark, SF_SMOKE).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b)
+        for r in near_dedup_embedding_auto(
+            spark, SF_SMOKE, bucket_cap=4
+        ).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b)
+        for r in near_dedup_embedding_auto(
+            spark, SF_SMOKE, bucket_cap=1_000_000
+        ).collect()
+    }
+    assert tight <= uncapped
+    assert loose == uncapped
