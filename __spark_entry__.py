@@ -72,8 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitter_tokens",
     "doc_mixed_language",
     "profile_approx_stats",
-    # new in round 5 — needs its first driver row
+    # new in round 5 — need their first driver rows
     "split_train_holdout",
+    "dup_overlap_by_source",
     # (a') green in r03 only, outside the r04 window
     "asof_latest_quote",
     "range_join_windows",

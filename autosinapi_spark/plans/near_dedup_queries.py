@@ -26,7 +26,7 @@ from ..operators.near_dedup import (
     shingles,
     simhash_from_hashes,
 )
-from .registry import register
+from .registry import davg, register, sql_davg
 
 K, BANDS, ROWS = 12, 4, 3
 SUFFIX = " fim do documento"
@@ -500,5 +500,79 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_tokens").cast("double"),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+# --- cross-source duplication overlap --------------------------------
+
+
+def _dup_overlap_oracle() -> str:
+    return f"""
+    WITH {CORPUS_SQL},
+    {minhash_pairs_ctes(0.5)},
+    srcmap AS (
+      SELECT doc_id AS id, source FROM documents
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET}, source FROM documents
+    )
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           {sql_davg('jaccard', 'avg_jaccard')}
+    FROM scored
+    JOIN srcmap sa ON sa.id = scored.id_a
+    JOIN srcmap sb ON sb.id = scored.id_b
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "dup_overlap_by_source",
+    _dup_overlap_oracle(),
+    doc="Cross-source duplication matrix: MinHash near-dup pairs "
+    "rolled up by unordered (source, source) — the provenance view "
+    "that tells a curation team WHICH feeds re-crawl each other "
+    "(extension).",
+)
+def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the heavy lifting is the shared banded-LSH pair
+    pipeline (vectors/shingles never in the candidate shuffle — see
+    operators/near_dedup.py); this rollup adds two id-equi joins
+    against a 2-column (id, source) dim — broadcast when small, plain
+    hash join at scale — and a (source x source)-key hash aggregate
+    whose key space is tiny (sources^2), so the map-side partial
+    aggregation collapses it before the exchange."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
+    )
+    docs = load(spark, sf_dir, "documents")
+    srcmap = docs.select(F.col("doc_id").alias("id"), "source").unionByName(
+        docs.select((F.col("doc_id") + ID_OFFSET).alias("id"), "source")
+    )
+    j = pairs.join(
+        srcmap.select(F.col("id").alias("id_a"), F.col("source").alias("sa")),
+        "id_a",
+    ).join(
+        srcmap.select(F.col("id").alias("id_b"), F.col("source").alias("sb")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg(F.col("jaccard"), "avg_jaccard"),
         )
     )
