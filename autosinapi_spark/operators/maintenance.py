@@ -137,3 +137,77 @@ def write_partitioned(
     bucketing or range layout for high-cardinality keys.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def _zvalue(cols: list, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` of each
+    column's rank-space value. Pure Column arithmetic — no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("bigint"), j).bitwiseAND(1)
+            z = z + (bit.cast("bigint") * F.lit(1 << (j * len(cols) + i)))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` clustered by a Morton (Z-order) curve over ``keys``.
+
+    ``write_range_layout`` gives perfect file-level skipping on ONE
+    key; a filter on any other key still scans every file. Z-ordering
+    interleaves the bits of several keys so each file covers a small
+    hyper-rectangle of the key space — per-file min/max parquet stats
+    then prune files for predicates on ANY of the keys (the layout
+    idea behind Delta/Iceberg OPTIMIZE ZORDER, built from plain Spark
+    primitives: bounded bucket space, bit interleave,
+    repartitionByRange on the curve position).
+
+    Each key is mapped to a bounded 2^bits bucket space with
+    equal-width binning over its (min, max) — ONE aggregate, no
+    global-window rank (an ``ntile`` rank space would be a
+    single-partition sort, exactly the shape this module exists to
+    avoid). Heavy key skew makes the buckets uneven (rank-space
+    binning via sampled quantile boundaries is the refinement) but
+    pruning stays correct: min/max stats never lie, skew only costs
+    some pruning efficiency. The two scalars per key collected here
+    are layout parameters, not data.
+    """
+    from pyspark.sql import functions as F
+
+    n_tiles = 1 << bits
+    bounds = df.agg(
+        *[
+            f
+            for k in keys
+            for f in (
+                F.min(F.col(k).cast("double")).alias(f"lo_{k}"),
+                F.max(F.col(k).cast("double")).alias(f"hi_{k}"),
+            )
+        ]
+    ).collect()[0]
+    bucket_cols = []
+    for k in keys:
+        lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(n_tiles - 1),
+            F.floor((F.col(k).cast("double") - F.lit(lo)) / F.lit(span) * n_tiles),
+        ).cast("bigint")
+        bucket_cols.append(b)
+    z = _zvalue(bucket_cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

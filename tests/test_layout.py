@@ -89,3 +89,69 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
         list((__import__("pathlib").Path(path) / "lang=en").rglob("*.parquet"))
     )
     assert 0 < n_en < n_all
+
+
+def test_zorder_layout_prunes_on_both_keys(spark, tmp_path):
+    """File-level min/max skipping must work on BOTH z-ordered keys,
+    where a 1-D range layout only serves its single sort key."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from autosinapi_spark.operators.maintenance import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zorder_layout(li, zpath, ["l_orderkey", "l_partkey"], 16)
+    write_range_layout(li, rpath, "l_orderkey", 16)
+
+    def overlapping(path, col, lo, hi):
+        files = sorted(pathlib.Path(path).rglob("*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            mn = min(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if mn <= hi and mx >= lo:
+                hit += 1
+        return hit, len(files)
+
+    stats = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    ok_lo, ok_hi = stats[0], stats[1]
+    pk_lo, pk_hi = stats[2], stats[3]
+    # a ~5%-wide slice of each key's domain
+    o_a = ok_lo + (ok_hi - ok_lo) * 40 // 100
+    o_b = ok_lo + (ok_hi - ok_lo) * 45 // 100
+    p_a = pk_lo + (pk_hi - pk_lo) * 40 // 100
+    p_b = pk_lo + (pk_hi - pk_lo) * 45 // 100
+
+    z_o, z_n = overlapping(zpath, "l_orderkey", o_a, o_b)
+    z_p, _ = overlapping(zpath, "l_partkey", p_a, p_b)
+    r_o, r_n = overlapping(rpath, "l_orderkey", o_a, o_b)
+    r_p, _ = overlapping(rpath, "l_partkey", p_a, p_b)
+
+    # range layout: perfect on its sort key, useless on the other
+    assert r_o <= max(2, r_n // 4)
+    assert r_p == r_n
+    # z-order: prunes meaningfully on BOTH keys
+    assert z_o < z_n and z_p < z_n
+    assert z_o <= z_n // 2 and z_p <= z_n // 2
