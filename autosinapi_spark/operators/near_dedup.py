@@ -479,13 +479,21 @@ def minhash_incremental_matches(
     scored = pairs.select(
         "new_id", "matched_id", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("new_id").orderBy(
-        F.desc("jaccard"), F.asc("matched_id")
+    # argmax as a hash aggregate, not a row_number window: a window
+    # would SORT every candidate group (full sort shuffle of the pair
+    # stream); max(struct) partial-aggregates map-side and ships one
+    # row per (partition, new_id). Struct comparison is lexicographic,
+    # so (jaccard, -matched_id) encodes "highest jaccard, ties to the
+    # smallest matched_id" exactly.
+    best = scored.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"), (-F.col("matched_id")).alias("neg_id")
+            )
+        ).alias("m")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    return best.select(
+        "new_id",
+        (-F.col("m.neg_id")).alias("matched_id"),
+        F.col("m.jaccard").alias("jaccard"),
     )
