@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 5 — need their first driver rows
     "split_train_holdout",
     "dup_overlap_by_source",
+    "embedding_pq_codes",
     # (a') green in r03 only, outside the r04 window
     "asof_latest_quote",
     "range_join_windows",

@@ -25,7 +25,7 @@ from ..functions.vectors import (
     norm,
     rademacher_planes,
 )
-from .registry import davg, register
+from .registry import davg, dsum, register
 
 _N_QUERIES = 8
 _TOP_K = 5
@@ -1140,4 +1140,177 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into M subvectors,
+# learn a small codebook per subspace, store M one-byte codes instead
+# of d floats (here 8 codes vs 64 doubles = 64x compression). The
+# deterministic codebook (first-K subvectors + ONE exact-decimal Lloyd
+# step, the same convention as semdedup_embeddings) lets the DuckDB
+# oracle replay encoding bit-for-bit; a deployment codebook would come
+# from pyspark.ml KMeans with everything downstream unchanged.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DS = 8  # dims per subspace (M * DS = _DIM)
+_PQ_K = 16  # centroids per subspace
+
+
+def _pq_oracle() -> str:
+    sub_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {m} AS m,"
+        f" v[{m * _PQ_DS + 1}:{(m + 1) * _PQ_DS}] AS sv FROM e"
+        for m in range(_PQ_M)
+    )
+    dist = (
+        "list_aggregate(list_transform(generate_series(1, "
+        f"{_PQ_DS}), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum')"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    subs AS (
+{sub_selects}
+    ),
+    init AS (
+      SELECT m, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    a1 AS (
+      SELECT s.vec_id, s.m, s.sv, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY ROUND({dist}, 6), c.cid) AS rn
+      FROM subs s JOIN init c ON c.m = s.m
+    ),
+    assign1 AS (SELECT vec_id, m, sv, cid FROM a1 WHERE rn = 1),
+    cmean AS (
+      SELECT a.m, a.cid, d.dim,
+             ROUND(CAST(SUM(CAST(a.sv[d.dim] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), 8) AS val
+      FROM assign1 a,
+           LATERAL (SELECT unnest(generate_series(1, {_PQ_DS})) AS dim) d
+      GROUP BY a.m, a.cid, d.dim
+    ),
+    cb AS (
+      SELECT m, cid, list(val ORDER BY dim) AS cv
+      FROM cmean GROUP BY m, cid
+    ),
+    a2 AS (
+      SELECT s.vec_id, s.m, c.cid,
+             ROUND({dist}, 6) AS dist6,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY ROUND({dist}, 6), c.cid) AS rn
+      FROM subs s JOIN cb c ON c.m = s.m
+    )
+    SELECT vec_id,
+           array_to_string(list(CAST(cid AS VARCHAR) ORDER BY m), ',')
+             AS codes,
+           ROUND(CAST(SUM(CAST(dist6 AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS recon_err
+    FROM a2 WHERE rn = 1
+    GROUP BY vec_id
+    """
+
+
+def _pq_sub_dist(sv, cv) -> Column:
+    return F.aggregate(
+        F.zip_with(sv, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, m, sv, cid, dist6): nearest centroid per subvector via
+    a broadcast per-subspace codebook — row-local, no shuffle."""
+    cents = codebook.groupBy("m").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cents")
+    )
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.round(_pq_sub_dist(F.col("sv"), c["cv"]), 6).alias(
+                        "dist6"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+    return subs.join(broadcast(cents), "m").select(
+        "vec_id",
+        "m",
+        "sv",
+        best["cid"].alias("cid"),
+        best["dist6"].alias("dist6"),
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_oracle(),
+    doc="Product quantization: 8 subspaces x 16-centroid codebooks "
+    "(deterministic first-K init + one exact-decimal Lloyd step), "
+    "per-vector PQ codes + reconstruction error — 64x storage "
+    "compression ahead of an ADC index (extension).",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: subvector explode is row-local (M small structs
+    per row); BOTH assignment passes are broadcast-codebook row-local
+    scans (M x K x DS floats ~ 4 KB broadcast — no shuffle to
+    assign); the Lloyd mean is a (M x K x DS)-key hash aggregate with
+    map-side partial combine; the final rollup groups by vec_id. The
+    quadratic-in-K argmin runs inside one codegen'd array_sort per
+    row, K=16 being the classic PQ byte-code size.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * _PQ_DS + 1, _PQ_DS).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", F.col("ms.m").alias("m"), F.col("ms.sv").alias("sv"))
+    init = subs.where(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    assign1 = _pq_assign(subs, init)
+    cmean = (
+        assign1.select("m", "cid", F.posexplode("sv").alias("dim0", "val"))
+        .select("m", "cid", (F.col("dim0") + 1).alias("dim"), "val")
+        .groupBy("m", "cid", "dim")
+        .agg(davg(F.col("val"), "val", 8))
+    )
+    cb = cmean.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s["val"],
+        ).alias("cv")
+    )
+    a2 = _pq_assign(subs, cb)
+    return a2.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        dsum(F.col("dist6"), "recon_err", 6),
     )
