@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "split_train_holdout",
     "dup_overlap_by_source",
     "embedding_pq_codes",
+    "ann_pq_adc_topk",
     # (a') green in r03 only, outside the r04 window
     "asof_latest_quote",
     "range_join_windows",

@@ -1159,18 +1159,23 @@ _PQ_DS = 8  # dims per subspace (M * DS = _DIM)
 _PQ_K = 16  # centroids per subspace
 
 
-def _pq_oracle() -> str:
+_PQ_SQL_DIST = (
+    "list_aggregate(list_transform(generate_series(1, "
+    f"{_PQ_DS}), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum')"
+)
+
+
+def _pq_ctes() -> str:
+    """CTE chain ``e .. a2`` replaying the deterministic PQ pipeline
+    (subvector split, first-K codebook, one Lloyd step, final
+    assignment) — shared by the codes and ADC-search oracles."""
     sub_selects = "\n      UNION ALL\n".join(
         f"      SELECT vec_id, {m} AS m,"
         f" v[{m * _PQ_DS + 1}:{(m + 1) * _PQ_DS}] AS sv FROM e"
         for m in range(_PQ_M)
     )
-    dist = (
-        "list_aggregate(list_transform(generate_series(1, "
-        f"{_PQ_DS}), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum')"
-    )
-    return f"""
-    WITH e AS (
+    dist = _PQ_SQL_DIST
+    return f"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     subs AS (
@@ -1206,7 +1211,12 @@ def _pq_oracle() -> str:
                PARTITION BY s.vec_id, s.m
                ORDER BY ROUND({dist}, 6), c.cid) AS rn
       FROM subs s JOIN cb c ON c.m = s.m
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()}
     SELECT vec_id,
            array_to_string(list(CAST(cid AS VARCHAR) ORDER BY m), ',')
              AS codes,
@@ -1254,22 +1264,14 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "embedding_pq_codes",
-    _pq_oracle(),
-    doc="Product quantization: 8 subspaces x 16-centroid codebooks "
-    "(deterministic first-K init + one exact-decimal Lloyd step), "
-    "per-vector PQ codes + reconstruction error — 64x storage "
-    "compression ahead of an ADC index (extension).",
-)
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: subvector explode is row-local (M small structs
-    per row); BOTH assignment passes are broadcast-codebook row-local
-    scans (M x K x DS floats ~ 4 KB broadcast — no shuffle to
-    assign); the Lloyd mean is a (M x K x DS)-key hash aggregate with
-    map-side partial combine; the final rollup groups by vec_id. The
-    quadratic-in-K argmin runs inside one codegen'd array_sort per
-    row, K=16 being the classic PQ byte-code size.
+def _pq_encode(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared PQ pipeline: (e, subs, codebook, assignments).
+
+    ``e`` = (vec_id, v), ``subs`` = (vec_id, m, sv) subvectors,
+    ``codebook`` = (m, cid, cv) after the deterministic Lloyd step,
+    ``assignments`` = (vec_id, m, sv, cid, dist6) against it.
     """
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
@@ -1304,6 +1306,27 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cv")
     )
     a2 = _pq_assign(subs, cb)
+    return e, subs, cb, a2
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_oracle(),
+    doc="Product quantization: 8 subspaces x 16-centroid codebooks "
+    "(deterministic first-K init + one exact-decimal Lloyd step), "
+    "per-vector PQ codes + reconstruction error — 64x storage "
+    "compression ahead of an ADC index (extension).",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: subvector explode is row-local (M small structs
+    per row); BOTH assignment passes are broadcast-codebook row-local
+    scans (M x K x DS floats ~ 4 KB broadcast — no shuffle to
+    assign); the Lloyd mean is a (M x K x DS)-key hash aggregate with
+    map-side partial combine; the final rollup groups by vec_id. The
+    quadratic-in-K argmin runs inside one codegen'd array_sort per
+    row, K=16 being the classic PQ byte-code size.
+    """
+    _e, subs, cb, a2 = _pq_encode(spark, sf_dir)
     return a2.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -1313,4 +1336,124 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("codes"),
         dsum(F.col("dist6"), "recon_err", 6),
+    )
+
+
+# --- PQ asymmetric-distance search (ADC) -----------------------------
+
+_ADC_R = 20  # ADC shortlist size before exact rerank
+
+
+def _pq_adc_oracle() -> str:
+    dist = _PQ_SQL_DIST
+    return f"""
+    WITH {_pq_ctes()},
+    codes AS (SELECT vec_id, m, cid FROM a2 WHERE rn = 1),
+    qsubs AS (
+      SELECT vec_id AS query_id, m, sv FROM subs
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    lut AS (
+      SELECT s.query_id, s.m, c.cid, ROUND({dist}, 6) AS d6
+      FROM (SELECT query_id, m, sv FROM qsubs) s
+      JOIN cb c ON c.m = s.m
+    ),
+    adc AS (
+      SELECT l.query_id, co.vec_id AS cand_id,
+             ROUND(CAST(SUM(CAST(l.d6 AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM codes co
+      JOIN lut l ON l.m = co.m AND l.cid = co.cid
+      WHERE co.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_ADC_R}
+    ),
+    rerank AS (
+      SELECT t.query_id, t.cand_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM shortlist t
+      JOIN e q ON q.vec_id = t.query_id
+      JOIN e c ON c.vec_id = t.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_adc_oracle(),
+    doc="PQ asymmetric-distance ANN: full-precision queries scored "
+    "against 8-byte PQ codes via per-query distance lookup tables "
+    f"(M x K adds per candidate), ADC top-{_ADC_R} shortlist, exact "
+    "cosine rerank to top-5 (Jegou et al. 2011; extension).",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus is scanned as CODES (8 small ints per
+    vector — the 64x-compressed representation is what makes an
+    exhaustive ADC scan affordable; compose with IVF cells to go
+    sub-linear). The per-query LUT is queries x M x K rounded
+    distances (~1k rows) — broadcast into the codes join, so the
+    only shuffle is the (query, cand) hash aggregate summing M
+    lookups, with map-side partial combine. Exact rerank touches
+    full vectors for only R x queries rows.
+    """
+    e, subs, cb, a2 = _pq_encode(spark, sf_dir)
+    codes = a2.select("vec_id", "m", "cid")
+    qsubs = subs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    lut = qsubs.join(cb, "m").select(
+        "query_id",
+        "m",
+        "cid",
+        F.round(_pq_sub_dist(F.col("sv"), F.col("cv")), 6).alias("d6"),
+    )
+    adc = (
+        codes.join(broadcast(lut), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(dsum(F.col("d6"), "adc_dist", 6))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _ADC_R)
+        .select("query_id", "cand_id")
+    )
+    qv = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        shortlist.join(broadcast(qv), "query_id")
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
     )

@@ -229,3 +229,25 @@ def test_bucket_cap_bounds_candidates_and_keeps_subset(spark):
     }
     assert tight <= uncapped
     assert loose == uncapped
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ-ADC with exact rerank must recover most of the true top-5:
+    the ADC shortlist (R=20 of 500) is lossy by design, the rerank is
+    exact, so recall measures shortlist quality."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_pq_adc_topk,
+    )
+
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    adc = {
+        (r.query_id, r.cand_id)
+        for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & adc) / len(brute)
+    assert recall >= 0.5, f"ADC recall@5 {recall:.3f} < 0.5"
