@@ -77,6 +77,8 @@ _PRIORITY: tuple[str, ...] = (
     "dup_overlap_by_source",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "doc_feature_hashing",
+    "event_rate_anomalies",
     # (a') green in r03 only, outside the r04 window
     "asof_latest_quote",
     "range_join_windows",

@@ -644,3 +644,84 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ano", "situacao", "g_ano", "g_situacao", "n", "receita")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection (extension): hourly count z-scores per
+# event type — the monitoring query a pipeline team runs over its
+# ingestion stream to catch crawler stalls / floods. Integer count
+# sums keep mean/variance EXACT in both engines; only the final
+# z-score rounds.
+# ---------------------------------------------------------------------------
+
+_ANOM_Z = 3.0
+
+
+@register(
+    "event_rate_anomalies",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hora,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS h,
+             SUM(n) AS sn,
+             SUM(n * n) AS sn2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT hh.event_type, hh.hora, hh.n,
+           ROUND((hh.n - CAST(st.sn AS DOUBLE) / st.h)
+                 / sqrt((st.sn2 - CAST(st.sn AS DOUBLE) * st.sn / st.h)
+                        / (st.h - 1)), 4) AS z,
+           CASE WHEN abs((hh.n - CAST(st.sn AS DOUBLE) / st.h)
+                 / sqrt((st.sn2 - CAST(st.sn AS DOUBLE) * st.sn / st.h)
+                        / (st.h - 1))) > {_ANOM_Z}
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM hourly hh
+    JOIN stats st ON st.event_type = hh.event_type
+    WHERE st.h > 1
+    """,
+    doc="Hourly event-rate anomaly detection: per-type z-scores of "
+    "hourly counts vs the type's own distribution (extension; the "
+    "crawler-stall/flood monitor over an ingestion stream).",
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two chained hash aggregates — (type, hour) then
+    (type) — both with map-side partial combine; the per-type stats
+    side is tiny (|event types| rows) and broadcasts into the final
+    join, so nothing beyond the hourly rollup ever shuffles. All
+    moments are integer sums (exact cross-engine); z rounds at 4.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hora"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    mean = F.col("sn").cast("double") / F.col("h")
+    var = (
+        F.col("sn2") - F.col("sn").cast("double") * F.col("sn") / F.col("h")
+    ) / (F.col("h") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats.where(F.col("h") > 1)), "event_type")
+        .select(
+            "event_type",
+            "hora",
+            "n",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > _ANOM_Z, F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_anomaly"
+            ),
+        )
+    )

@@ -366,3 +366,92 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy"),
     )
+
+
+# --- feature-hashing document embeddings -----------------------------
+
+# The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+# Large Scale Multitask Learning"): token t contributes sign(t) to
+# dimension h(t) % D; no vocabulary, fully streaming/deterministic.
+# Output is the SPARSE representation (doc, dim, weight) with weights
+# L2-normalized per document — the bridge from the text tables to the
+# embedding operators (ANN/dedup run on any (id, vector) frame).
+_FH_DIM = 32
+_FH_SEED = 91
+
+
+@register(
+    "doc_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('{_FH_SEED}:' || t), 1, 15) AS BIGINT)
+               % {_FH_DIM} AS dim,
+             CASE WHEN CAST('0x' || substr(md5('{_FH_SEED}:s' || t), 1, 15)
+                        AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    sparse AS (
+      SELECT doc_id, dim, SUM(sgn) AS w
+      FROM hashed GROUP BY doc_id, dim
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS n2
+      FROM sparse GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.dim, s.w,
+           ROUND(s.w / n.n2, 6) AS w_norm
+    FROM sparse s JOIN nrm n ON n.doc_id = s.doc_id
+    WHERE s.w <> 0
+    """,
+    doc=f"Feature-hashing (hashing-trick) document embeddings: signed "
+    f"token hashes into {_FH_DIM} dims, sparse (doc, dim, weight) "
+    "output with per-doc L2 normalization — vocabulary-free "
+    "text-to-vector bridge (Weinberger et al. 2009; extension).",
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: explode -> (doc, dim)-key hash aggregate with
+    map-side combine (at most D=32 rows per doc reach the exchange
+    regardless of document length), then a per-doc norm join. Signed
+    hashing keeps E[<x,y>] unbiased (the Weinberger result), so
+    downstream cosine operators work unchanged on the dense form.
+    Integer weights stay exact; only the final normalized weight
+    rounds, so cross-engine parity holds without decimal machinery.
+    """
+    from ..operators.near_dedup import portable_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    hashed = tok.select(
+        "doc_id",
+        (portable_hash64(F.col("t"), _FH_SEED) % _FH_DIM).alias("dim"),
+        F.when(
+            portable_hash64(F.concat(F.lit("s"), F.col("t")), _FH_SEED) % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    sparse = (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("w"))
+        .where(F.col("w") != 0)
+    )
+    nrm = sparse.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("n2")
+    )
+    return sparse.join(nrm, "doc_id").select(
+        "doc_id",
+        "dim",
+        "w",
+        F.round(F.col("w") / F.col("n2"), 6).alias("w_norm"),
+    )
