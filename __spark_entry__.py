@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "doc_feature_hashing",
     "event_rate_anomalies",
+    "doc_similarity_topk",
     # (a') green in r03 only, outside the r04 window
     "asof_latest_quote",
     "range_join_windows",

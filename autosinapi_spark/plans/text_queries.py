@@ -455,3 +455,114 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(F.col("w") / F.col("n2"), 6).alias("w_norm"),
     )
+
+
+# --- document similarity over hashed embeddings ----------------------
+
+_DOCSIM_Q = 8
+_DOCSIM_K = 5
+
+
+def _docsim_oracle() -> str:
+    dense_terms = ", ".join(
+        f"SUM(CASE WHEN dim = {d} THEN w_norm ELSE 0 END)"
+        for d in range(_FH_DIM)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('{_FH_SEED}:' || t), 1, 15) AS BIGINT)
+               % {_FH_DIM} AS dim,
+             CASE WHEN CAST('0x' || substr(md5('{_FH_SEED}:s' || t), 1, 15)
+                        AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    sparse AS (
+      SELECT doc_id, dim, SUM(sgn) AS w
+      FROM hashed GROUP BY doc_id, dim
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS n2
+      FROM sparse GROUP BY doc_id
+    ),
+    wn AS (
+      SELECT s.doc_id, s.dim, ROUND(s.w / n.n2, 6) AS w_norm
+      FROM sparse s JOIN nrm n ON n.doc_id = s.doc_id
+      WHERE s.w <> 0
+    ),
+    dense AS (
+      SELECT doc_id, list_value({dense_terms}) AS v
+      FROM wn GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM dense q JOIN dense c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id < {_DOCSIM_Q}
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {_DOCSIM_K}
+    """
+
+
+@register(
+    "doc_similarity_topk",
+    _docsim_oracle(),
+    doc="Top-5 most similar documents per query doc over the "
+    "feature-hashed embeddings — the end-to-end text-to-vector-to-"
+    "similarity bridge (brute-force baseline; at corpus scale the "
+    "dense frame feeds the hyperplane-LSH/PQ operators unchanged; "
+    "extension).",
+)
+def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: densification is a (doc)-key hash aggregate of 32
+    conditional sums (map-side combine; at most one dense row per doc
+    crosses the exchange). The pairing here is the documented O(N*Q)
+    brute-force baseline with the few query vectors broadcast; the
+    dense (id, v) frame is exactly the input shape of
+    ann_lsh_topk/_pq plans, which are the sub-linear paths.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    sparse = doc_feature_hashing(spark, sf_dir)
+    dense = sparse.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.col("dim") == d, F.col("w_norm")).otherwise(0.0)
+                )
+                for d in range(_FH_DIM)
+            ]
+        ).alias("v")
+    )
+    q = dense.where(F.col("doc_id") < _DOCSIM_Q).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = dense.join(
+        F.broadcast(q), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("cand_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _DOCSIM_K)
+        .drop("rn")
+    )
