@@ -684,6 +684,7 @@ _ANOM_Z = 3.0
     FROM hourly hh
     JOIN stats st ON st.event_type = hh.event_type
     WHERE st.h > 1
+      AND st.sn2 - CAST(st.sn AS DOUBLE) * st.sn / st.h > 0
     """,
     doc="Hourly event-rate anomaly detection: per-type z-scores of "
     "hourly counts vs the type's own distribution (extension; the "
@@ -709,12 +710,17 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("sn2"),
     )
     mean = F.col("sn").cast("double") / F.col("h")
-    var = (
-        F.col("sn2") - F.col("sn").cast("double") * F.col("sn") / F.col("h")
-    ) / (F.col("h") - 1)
+    ss = F.col("sn2") - F.col("sn").cast("double") * F.col("sn") / F.col("h")
+    var = ss / (F.col("h") - 1)
     z = (F.col("n") - mean) / F.sqrt(var)
+    # ss > 0 guard: a type whose hourly counts are all identical would
+    # hit 0/0 -> NaN, whose canonicalization is engine-specific; a
+    # constant-rate type has no anomalies by definition, so drop it.
     return (
-        hourly.join(F.broadcast(stats.where(F.col("h") > 1)), "event_type")
+        hourly.join(
+            F.broadcast(stats.where((F.col("h") > 1) & (ss > 0))),
+            "event_type",
+        )
         .select(
             "event_type",
             "hora",

@@ -126,6 +126,12 @@ def ingest_dedup_available_now(
         accepted = accept_batch(
             pinned, store, text_col, id_col, threshold=threshold, ngram=ngram
         ).localCheckpoint(eager=True)
+        # corpus first, signatures second: a crash between the two
+        # leaves accepted docs without signatures, so a LATER batch
+        # could admit one of their near-dups (bounded duplication) —
+        # never the reverse (signatures blocking docs that don't
+        # exist). At deployment both writes become one transactional
+        # multi-table commit in a table format (Delta/Iceberg).
         accepted.write.mode("append").parquet(corpus_path)
         corpus_signatures(
             accepted, text_col, id_col, ngram
