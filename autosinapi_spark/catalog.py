@@ -82,7 +82,14 @@ def normalize_ts_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     wall-clock preserved under the UTC session tz), and already-
     TIMESTAMP (no-op). Idempotent, so safe on both driver-vanilla and
     engine-owned sessions.
+
+    The NTZ->TIMESTAMP cast preserves the wall-clock only under the
+    session timezone it is ANALYZED with, so the UTC pin happens here
+    (not just in ``load``) — callers routing streaming readers'
+    frames through this helper on a vanilla session would otherwise
+    shift every timestamp by the local-tz offset.
     """
+    _ensure_conf(df.sparkSession, "spark.sql.session.timeZone", "UTC")
     dtypes = dict(df.dtypes)
     for c in cols:
         dt = dtypes.get(c)

@@ -193,6 +193,12 @@ def write_zorder_layout(
             )
         ]
     ).collect()[0]
+    if any(bounds[f"lo_{k}"] is None for k in keys):
+        # empty input or an all-NULL key: there is nothing to order
+        # by — write as-is rather than crash (an empty incremental
+        # slice routed through the layout writer must be a no-op).
+        df.write.mode("overwrite").parquet(path)
+        return
     bucket_cols = []
     for k in keys:
         lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]

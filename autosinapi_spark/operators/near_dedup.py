@@ -376,17 +376,25 @@ def minhash_near_dup_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold).
 
     Returns (id_a, id_b, jaccard) — jaccard rounded to 6 for
     cross-engine hash stability. ``hash_fn`` selects the shingle hash
     family (see :func:`base_hashes`): md5 for oracle portability,
-    xxhash64 as the faster deployment path.
+    xxhash64 as the faster deployment path. Pass ``signatures`` (a
+    precomputed :func:`corpus_signatures` frame) to skip the text
+    shingle+hash pass entirely; ``docs`` is then ignored.
     """
-    base, keyed = banded_minhash(
-        docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
-    )
+    if signatures is not None:
+        base, keyed = banded_from_signatures(
+            signatures, num_hashes, bands, rows
+        )
+    else:
+        base, keyed = banded_minhash(
+            docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
+        )
 
     a = keyed.select("band", "bkey", F.col("id").alias("id_a"))
     b = keyed.select("band", "bkey", F.col("id").alias("id_b"))
@@ -424,6 +432,7 @@ def minhash_incremental_matches(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     old_signatures: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: match NEW documents against an EXISTING corpus.
 
@@ -452,9 +461,14 @@ def minhash_incremental_matches(
         base_old, keyed_old = banded_minhash(
             old_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
         )
-    base_new, keyed_new = banded_minhash(
-        new_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
-    )
+    if new_signatures is not None:
+        base_new, keyed_new = banded_from_signatures(
+            new_signatures, num_hashes, bands, rows
+        )
+    else:
+        base_new, keyed_new = banded_minhash(
+            new_docs, text_col, id_col, num_hashes, bands, rows, ngram, hash_fn
+        )
     cand = (
         keyed_old.select(
             "band", "bkey", F.col("id").alias("matched_id")

@@ -380,10 +380,12 @@ _FH_DIM = 32
 _FH_SEED = 91
 
 
-@register(
-    "doc_feature_hashing",
-    f"""
-    WITH tok AS (
+def _fh_ctes() -> str:
+    """CTE chain ``tok .. nrm`` replaying the signed hashing trick in
+    DuckDB — shared by the sparse-embedding and doc-similarity
+    oracles so the two replays can never diverge (mirrors the
+    ``minhash_pairs_ctes`` convention in near_dedup_queries)."""
+    return f"""tok AS (
       SELECT doc_id, unnest(string_split(
                trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
       FROM documents
@@ -404,7 +406,13 @@ _FH_SEED = 91
     nrm AS (
       SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS n2
       FROM sparse GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "doc_feature_hashing",
+    f"""
+    WITH {_fh_ctes()}
     SELECT s.doc_id, s.dim, s.w,
            ROUND(s.w / n.n2, 6) AS w_norm
     FROM sparse s JOIN nrm n ON n.doc_id = s.doc_id
@@ -469,28 +477,7 @@ def _docsim_oracle() -> str:
         for d in range(_FH_DIM)
     )
     return f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(
-               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
-      FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5('{_FH_SEED}:' || t), 1, 15) AS BIGINT)
-               % {_FH_DIM} AS dim,
-             CASE WHEN CAST('0x' || substr(md5('{_FH_SEED}:s' || t), 1, 15)
-                        AS BIGINT) % 2 = 0
-                  THEN 1 ELSE -1 END AS sgn
-      FROM tok
-    ),
-    sparse AS (
-      SELECT doc_id, dim, SUM(sgn) AS w
-      FROM hashed GROUP BY doc_id, dim
-    ),
-    nrm AS (
-      SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS n2
-      FROM sparse GROUP BY doc_id
-    ),
+    WITH {_fh_ctes()},
     wn AS (
       SELECT s.doc_id, s.dim, ROUND(s.w / n.n2, 6) AS w_norm
       FROM sparse s JOIN nrm n ON n.doc_id = s.doc_id
@@ -535,7 +522,7 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot_fixed, norm
 
     sparse = doc_feature_hashing(spark, sf_dir)
     dense = sparse.groupBy("doc_id").agg(
@@ -548,15 +535,26 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("v")
     )
-    q = dense.where(F.col("doc_id") < _DOCSIM_Q).select(
-        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    # norms hoisted once per vector and the fixed-dim expanded dot —
+    # the same per-pair-cost discipline as _embedding_pair_plan; the
+    # arithmetic (sqrt(dot(v,v)), left-to-right fold) is unchanged so
+    # the rounded cosine stays oracle-identical.
+    dense_n = dense.select("doc_id", "v", norm(F.col("v")).alias("nv"))
+    q = dense_n.where(F.col("doc_id") < _DOCSIM_Q).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    pairs = dense.join(
+    pairs = dense_n.join(
         F.broadcast(q), F.col("doc_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("doc_id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot_fixed(F.col("qv"), F.col("v"), _FH_DIM)
+            / (F.col("nq") * F.col("nv")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")

@@ -59,6 +59,7 @@ def accept_batch(
     bands: int = 4,
     rows: int = 3,
     ngram: int = 3,
+    batch_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Docs from ``batch`` that survive near-dedup (pure batch logic,
     reused by the streaming wrapper and directly testable).
@@ -67,14 +68,33 @@ def accept_batch(
     smaller id (greedy first-wins; a chain a~b~c keeps only a, the
     deliberate aggressive choice for ingestion), (2) cross-corpus —
     drop batch docs matching any stored signature at >= threshold.
+
+    Pass ``batch_signatures`` (a :func:`corpus_signatures` frame over
+    ``batch``, ideally checkpointed) and the batch text is never
+    shingled here — both stages band from the precomputed (sg, hh).
     """
     pairs = minhash_near_dup_pairs(
-        batch, text_col, id_col, num_hashes, bands, rows, ngram, threshold
+        batch,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        rows,
+        ngram,
+        threshold,
+        signatures=batch_signatures,
     )
     intra_rejected = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = batch.join(intra_rejected, id_col, "left_anti")
     if old_signatures is None:
         return survivors
+    surv_sigs = (
+        batch_signatures.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        if batch_signatures is not None
+        else None
+    )
     matches = minhash_incremental_matches(
         None,
         survivors,
@@ -86,6 +106,7 @@ def accept_batch(
         ngram,
         threshold,
         old_signatures=old_signatures,
+        new_signatures=surv_sigs,
     )
     cross_rejected = matches.select(F.col("new_id").alias(id_col)).distinct()
     return survivors.join(cross_rejected, id_col, "left_anti")
@@ -114,17 +135,34 @@ def ingest_dedup_available_now(
     """
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         s = batch.sparkSession
         try:
             store = s.read.parquet(sig_store_path)
-        except Exception:
+        except AnalysisException:
+            # ONLY the store-not-yet-created case (first batch) may
+            # fall back to no-cross-dedup; any other read failure
+            # (corrupt part-file, permissions) must fail the batch —
+            # silently continuing would admit duplicates forever.
             store = None
         # pin the batch: it is referenced by the pair self-join, the
         # cross join, and two anti-joins — without the checkpoint the
         # file-source batch re-reads per reference
         pinned = batch.localCheckpoint(eager=True)
+        # shingle+hash the batch text EXACTLY once; both dedup stages
+        # band from this frame, and the store write below reuses it
+        sigs = corpus_signatures(
+            pinned, text_col, id_col, ngram
+        ).localCheckpoint(eager=True)
         accepted = accept_batch(
-            pinned, store, text_col, id_col, threshold=threshold, ngram=ngram
+            pinned,
+            store,
+            text_col,
+            id_col,
+            threshold=threshold,
+            ngram=ngram,
+            batch_signatures=sigs,
         ).localCheckpoint(eager=True)
         # corpus first, signatures second: a crash between the two
         # leaves accepted docs without signatures, so a LATER batch
@@ -133,8 +171,8 @@ def ingest_dedup_available_now(
         # exist). At deployment both writes become one transactional
         # multi-table commit in a table format (Delta/Iceberg).
         accepted.write.mode("append").parquet(corpus_path)
-        corpus_signatures(
-            accepted, text_col, id_col, ngram
+        sigs.join(
+            accepted.select(F.col(id_col).alias("id")), "id", "left_semi"
         ).write.mode("append").parquet(sig_store_path)
 
     q = (
