@@ -50,68 +50,57 @@ def _registry():
 # (b) queries whose code changed this round, then (c) long-green rows
 # as filler. Anything not listed keeps registration order at the end.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (no r03/r04 row)
+    # (a) fixed this round (r05 HUGEINT-oracle hash fails -> CAST AS
+    # BIGINT) -- every one needs its first green driver row
     "sessionize_events",
-    "bm25_doc_ranking",
-    "doc_bigram_logprob",
-    "doc_unigram_logprob",
     "dedup_substring_spans",
-    "dedup_cluster_resolution",
-    "dedup_lines_c4",
-    "decontaminate_ngram_overlap",
     "pack_documents_bins",
-    "stratified_sample_documents",
-    "doc_repetition_filter",
-    "doc_length_quantiles",
     "corpus_curation_report",
-    "temperature_mix_sources",
-    "tfidf_top_terms",
-    "pii_redact_documents",
-    "url_domain_stats",
-    "corpus_shuffle_shards",
-    "heavy_hitter_tokens",
-    "doc_mixed_language",
-    "profile_approx_stats",
-    # new in round 5 — need their first driver rows
-    "split_train_holdout",
-    "dup_overlap_by_source",
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
     "doc_feature_hashing",
-    "event_rate_anomalies",
-    "doc_similarity_topk",
-    # (a') green in r03 only, outside the r04 window
-    "asof_latest_quote",
-    "range_join_windows",
-    "skew_salted_join",
-    "sinapi_unpivot_precos",
-    "sinapi_cost_lookup_q1",
-    "sql_text_item_history",
-    "media_binary_stats",
-    "media_decode_stats",
-    "media_feature_extract",
-    "media_frame_sample",
-    # (b) code changed / broken last round
-    "latest_event_per_user",
     "embedding_quantize_int8",
-    "near_dedup_incremental",
-    "near_dedup_embedding",
-    "near_dedup_minhash",
-    # (c) long-green §2 anchors as filler up to the window
-    "pricing_summary",
-    "cost_lookup",
-    "bom_explode",
-    "bom_cost_rollup",
-    "bom_explode_auto_roots",
-    "user_status_sync",
-    "missing_parts_placeholder",
-    "monthly_order_revenue",
-    "union_view_itens",
-    "dedup_first_item_per_order",
-    "unpivot_qty_by_status",
-    "exact_dedup_documents",
-    "hourly_event_stats",
+    # (b) new or reworked in round 6 -- first driver rows
+    "streaming_ingest_accept",
+    "profile_approx_stats",
+    # (c) green in r04 only, outside the r05 window -- refresh so every
+    # row stays green within the trailing two rounds
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "coercion_ptbr_roundtrip",
+    "cube_revenue",
     "customer_revenue_moving_avg",
+    "dedup_first_item_per_order",
+    "doc_bpe_token_count",
+    "doc_char_entropy",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_ngram_profile",
+    "doc_quality_score",
+    "doc_simhash",
+    "doc_token_count",
+    "doc_winnow_fingerprint",
+    "embedding_label_centroids",
+    "embedding_outlier_zscore",
+    "events_json_extract",
+    "exact_dedup_documents",
+    "filter_parent_rows",
+    "hourly_event_stats",
+    "item_price_history",
+    "key_domain_union",
+    "monthly_order_revenue",
+    "near_dedup_ngram_jaccard",
+    "normalize_text_codes",
+    "orphan_check_facts",
+    "pivot_qty_by_status",
+    "rollup_revenue",
+    "semdedup_embeddings",
+    "sink_append_nodup",
+    "sink_replace_period",
+    "sink_truncate_reload",
+    "sink_upsert_catalog",
+    "sliding_event_stats",
+    "union_view_itens",
+    "unpivot_qty_by_status",
 )
 
 

@@ -124,7 +124,8 @@ _PACK_SHARDS = 8
              doc_id, n_tokens
       FROM cum
     )
-    SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM binned GROUP BY shard, bin
     """,
@@ -414,7 +415,8 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            ROUND(CAST(SUM(CAST(len(k.ts) AS DECIMAL(28,10))) AS DOUBLE)
                  / COUNT(*), 6) AS mean_tokens,
-           SUM(CASE WHEN f.n_fp > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
+           CAST(SUM(CASE WHEN f.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
            ROUND(CAST(SUM(CAST(lm.lm_score AS DECIMAL(28,10))) AS DOUBLE)
                  / COUNT(*), 6) AS mean_lm_score
     FROM tok k

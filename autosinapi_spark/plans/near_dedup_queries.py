@@ -408,7 +408,8 @@ def _substring_span_oracle() -> str:
       FROM runs GROUP BY id, run
     ),
     per_doc AS (
-      SELECT id, COUNT(*) AS n_dup_spans, SUM(span_len) AS dup_tokens
+      SELECT id, COUNT(*) AS n_dup_spans,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens
       FROM spans GROUP BY id
     )
     SELECT k.id AS doc_id, len(k.ts) AS n_tokens,

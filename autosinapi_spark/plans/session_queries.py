@@ -46,10 +46,10 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute silence ends a session
     ),
     numbered AS (
       SELECT user_id, event_id, value, ts_us,
-             SUM(is_new) OVER
+             CAST(SUM(is_new) OVER
                (PARTITION BY user_id ORDER BY ts_us, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+               AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq,

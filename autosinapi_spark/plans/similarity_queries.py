@@ -335,7 +335,8 @@ _NEAR_COS = 0.999
 # max_bits per table, so any derived (bits, tables) uses literal
 # PREFIXES of it — the oracle embeds the static literals and derives
 # bits/tables in SQL from COUNT(*), exactly mirroring
-# derive_lsh_params(n, target_bucket=16, max_bits=12). Python's
+# derive_lsh_params(n, target_bucket=16, max_bits=_DEDUP_MAX_BITS).
+# Python's
 # round() is banker's at .5 vs SQL FLOOR(x+0.5) half-up, but
 # log2(n/16) can only hit an exact .5 for irrational n, so the two
 # derivations agree for every integer corpus size.
@@ -592,7 +593,8 @@ def near_dedup_embedding_auto(
       FROM s
     )
     SELECT vec_id, len(v) AS n_dims, ROUND(scale, 6) AS scale,
-           list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS q_l1,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+                AS BIGINT) AS q_l1,
            ROUND(list_max(list_transform(generate_series(1, len(v)),
                  i -> abs(v[i] - qv[i] * scale))), 6) AS max_abs_err
     FROM q

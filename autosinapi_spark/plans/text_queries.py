@@ -400,7 +400,7 @@ def _fh_ctes() -> str:
       FROM tok
     ),
     sparse AS (
-      SELECT doc_id, dim, SUM(sgn) AS w
+      SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS w
       FROM hashed GROUP BY doc_id, dim
     ),
     nrm AS (

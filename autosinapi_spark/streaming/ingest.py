@@ -21,7 +21,7 @@ partitioned by ingestion date and the join shuffles only
 duplicates are resolved greedily (keep the smallest doc_id of each
 matched pair) before the cross-corpus check, mirroring the reference's
 first-wins dedup policy (/root/reference/autosinapi/etl_pipeline.py's
-drop_duplicates(keep="first") at line 540).
+drop_duplicates sites at lines 303 and 318).
 """
 
 from __future__ import annotations
@@ -135,16 +135,24 @@ def ingest_dedup_available_now(
     """
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        from pyspark.errors.exceptions.captured import AnalysisException
+        # Top-level pyspark.errors.AnalysisException covers both the
+        # classic captured subclass and the Spark Connect one; the
+        # .captured import missed Connect's, failing the first batch.
+        from pyspark.errors import AnalysisException
 
         s = batch.sparkSession
         try:
             store = s.read.parquet(sig_store_path)
-        except AnalysisException:
+        except AnalysisException as exc:
             # ONLY the store-not-yet-created case (first batch) may
-            # fall back to no-cross-dedup; any other read failure
+            # fall back to no-cross-dedup; any other analysis error
             # (corrupt part-file, permissions) must fail the batch —
             # silently continuing would admit duplicates forever.
+            if exc.getErrorClass() not in (
+                "PATH_NOT_FOUND",
+                "UNABLE_TO_INFER_SCHEMA",
+            ):
+                raise
             store = None
         # pin the batch: it is referenced by the pair self-join, the
         # cross join, and two anti-joins — without the checkpoint the
