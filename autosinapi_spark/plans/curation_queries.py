@@ -479,38 +479,70 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_approx_stats",
-    None,  # approx sketches are engine-specific; rows-only check —
-    # the exact twins (doc_length_quantiles, heavy_hitter_tokens,
-    # url_domain_stats) carry the full oracles, and
-    # tests/test_curation.py bounds the approximation error vs exact.
-    doc="Approximate corpus profile: HLL distinct counts + t-digest "
-    "token-length percentiles per language — the mergeable, "
-    "sort-free forms the exact profiling queries switch to at "
-    "100 TB (extension; rows-only check by design).",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           TRUE AS hll_sources_ok,
+           TRUE AS p50_in_bounds,
+           TRUE AS p90_in_bounds
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Approximate corpus profile as a BOUND CHECK: per language, "
+    "exact doc/source counts plus booleans asserting the HLL distinct "
+    "count and approx percentiles landed inside their documented error "
+    "bounds. The oracle pins the exact columns and expects every bound "
+    "to hold (literal TRUE) — a drifting sketch turns the row red "
+    "(extension; replaces the former rows-only registration).",
 )
 def profile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language approx profile via mergeable sketches.
+    """Per-language approx-profile sketches, verified against bounds.
 
     ``approx_count_distinct`` (HyperLogLog++) and
     ``percentile_approx`` (t-digest style) both partial-aggregate
     map-side into fixed-size sketch buffers and merge on the reduce
     side — no per-group sort, no exact-distinct double exchange;
     memory is O(sketch) per group regardless of corpus size. That is
-    the trade the exact twins cannot make, and why they flip to these
-    forms at scale.
+    the trade the exact profiling twins cannot make, and why they flip
+    to these forms at 100 TB.
+
+    The exact companions computed here exist to VERIFY the sketches
+    (rsd 0.05 for HLL; rank error <= max(1, N/1000) for the
+    percentiles, checked against generous exact-percentile windows) —
+    at production scale you would emit only the sketch columns and
+    drop the exact ones.
     """
     docs = load(spark, sf_dir, "documents")
     nt = F.size(tokens(F.col("text")))
-    return (
+    agg = (
         docs.select("lang", "source", nt.alias("n_tokens"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.approx_count_distinct("source").alias("approx_sources"),
-            F.approx_count_distinct("n_tokens").alias("approx_len_card"),
-            F.percentile_approx("n_tokens", 0.5, 1000).alias("p50_approx"),
-            F.percentile_approx("n_tokens", 0.9, 1000).alias("p90_approx"),
+            F.countDistinct("source").alias("n_sources"),
+            F.approx_count_distinct("source").alias("_hll_src"),
+            F.percentile_approx("n_tokens", 0.5, 1000).alias("_p50a"),
+            F.percentile_approx("n_tokens", 0.9, 1000).alias("_p90a"),
+            F.expr("percentile(n_tokens, 0.40)").alias("_p40"),
+            F.expr("percentile(n_tokens, 0.60)").alias("_p60"),
+            F.expr("percentile(n_tokens, 0.85)").alias("_p85"),
+            F.expr("percentile(n_tokens, 0.95)").alias("_p95"),
         )
+    )
+    hll_err = F.abs(F.col("_hll_src") - F.col("n_sources"))
+    hll_tol = F.greatest(F.lit(1.0), F.col("n_sources") * F.lit(0.05))
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (hll_err <= hll_tol).alias("hll_sources_ok"),
+        F.col("_p50a")
+        .between(F.col("_p40") - 1, F.col("_p60") + 1)
+        .alias("p50_in_bounds"),
+        F.col("_p90a")
+        .between(F.col("_p85") - 1, F.col("_p95") + 1)
+        .alias("p90_in_bounds"),
     )
 
 

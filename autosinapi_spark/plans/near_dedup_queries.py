@@ -577,3 +577,112 @@ def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("jaccard"), "avg_jaccard"),
         )
     )
+
+
+# --- streaming ingest replayed as two micro-batches -------------------
+
+
+def _ingest_accept_oracle() -> str:
+    """Replays the two-micro-batch accept loop of
+    ``streaming/ingest.accept_batch``: batch 1 = even doc_ids
+    (intra-batch greedy first-wins dedup), its accepted signatures
+    become the store; batch 2 = odd doc_ids (intra-batch dedup, then
+    cross-corpus rejection against the store)."""
+    jac = (
+        "ROUND(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)"
+        " / len(list_distinct(sa.sg || sb.sg)), 6) >= 0.5"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    {minhash_band_ctes()},
+    rej1 AS (
+      SELECT DISTINCT c.id_b AS id FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.id < b.id AND a.id % 2 = 0 AND b.id % 2 = 0
+      ) c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+      WHERE {jac}
+    ),
+    acc1 AS (
+      SELECT id FROM corpus
+      WHERE id % 2 = 0 AND id NOT IN (SELECT id FROM rej1)
+    ),
+    rej2 AS (
+      SELECT DISTINCT c.id_b AS id FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.id < b.id AND a.id % 2 = 1 AND b.id % 2 = 1
+      ) c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+      WHERE {jac}
+    ),
+    surv2 AS (
+      SELECT id FROM corpus
+      WHERE id % 2 = 1 AND id NOT IN (SELECT id FROM rej2)
+    ),
+    rejx AS (
+      SELECT DISTINCT c.id_b AS id FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        JOIN acc1 ON acc1.id = a.id
+        JOIN surv2 s2 ON s2.id = b.id
+      ) c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+      WHERE {jac}
+    )
+    SELECT id AS doc_id, 1 AS batch FROM acc1
+    UNION ALL
+    SELECT id AS doc_id, 2 AS batch FROM surv2
+    WHERE id NOT IN (SELECT id FROM rejx)
+    """
+
+
+@register(
+    "streaming_ingest_accept",
+    _ingest_accept_oracle(),
+    doc="Streaming ingest loop replayed as two deterministic "
+    "micro-batches (even doc_ids then odd): batch-level near-dedup, "
+    "accepted signatures persisted as the store, second batch "
+    "deduped against the store — the hard-signal twin of "
+    "streaming/ingest.py's foreachBatch merge (its exact batch "
+    "logic, accept_batch, is called directly).",
+)
+def streaming_ingest_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final accepted-corpus membership of the two-batch ingest.
+
+    Mirrors ``ingest_dedup_available_now``'s per-batch merge exactly:
+    each batch is pinned, shingle+hashed ONCE (corpus_signatures,
+    eagerly checkpointed — the frame feeds the intra-batch self-join,
+    the cross-corpus match, and the store), and the store holds only
+    accepted docs' (id, sg, hh). Scale shape is the store's: banding
+    is linear, the only joins are within (band, bkey) buckets, and no
+    text column ever enters a shuffle.
+    """
+    from ..streaming.ingest import accept_batch
+    from ..operators.near_dedup import corpus_signatures
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    b2 = docs.where(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    sigs1 = corpus_signatures(b1).localCheckpoint(eager=True)
+    acc1 = accept_batch(b1, None, batch_signatures=sigs1).localCheckpoint(
+        eager=True
+    )
+    store = sigs1.join(
+        acc1.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    ).localCheckpoint(eager=True)
+    sigs2 = corpus_signatures(b2).localCheckpoint(eager=True)
+    acc2 = accept_batch(b2, store, batch_signatures=sigs2)
+    return acc1.select("doc_id", F.lit(1).alias("batch")).unionByName(
+        acc2.select("doc_id", F.lit(2).alias("batch"))
+    )
