@@ -61,6 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     # (b) new or reworked in round 6 -- first driver rows
     "streaming_ingest_accept",
     "profile_approx_stats",
+    "dedup_cluster_keep_best",
+    "chunk_documents_stride",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

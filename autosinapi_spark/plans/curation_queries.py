@@ -704,3 +704,89 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.round(u, 6).alias("u"),
     )
+
+
+# --- overlapping context-window chunking ------------------------------
+
+_CHUNK_TOKENS = 128  # context-window size
+_CHUNK_STRIDE = 96  # start-to-start stride (32-token overlap)
+
+
+@register(
+    "chunk_documents_stride",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS ts
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, ts, len(ts) AS nt,
+             1 + CAST(FLOOR(GREATEST(0, len(ts) - {_CHUNK_TOKENS})
+                            / {_CHUNK_STRIDE}.0
+                            + (1 - 1.0 / {_CHUNK_STRIDE})) AS BIGINT)
+               AS n_chunks
+      FROM tok
+    ),
+    exploded AS (
+      SELECT doc_id, ts, nt, UNNEST(generate_series(0, n_chunks - 1))
+               AS chunk_idx
+      FROM counted
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(ts, chunk_idx * {_CHUNK_STRIDE} + 1,
+                 chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+             AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(ts, chunk_idx * {_CHUNK_STRIDE} + 1,
+                   chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' '))
+             AS chunk_md5
+    FROM exploded
+    """,
+    doc=f"Overlapping context-window chunking: {_CHUNK_TOKENS}-token "
+    f"windows at stride {_CHUNK_STRIDE} (last window short), each "
+    "chunk fingerprinted — the doc->training-sample expansion step "
+    "before tokenization/packing (extension).",
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Row-local end to end: split once, arithmetic chunk count,
+    posexplode + slice — no shuffle, no window, linear in corpus
+    size; the natural mapInPandas-free shape for 100 TB (each input
+    split maps independently to ~len/stride output rows).
+
+    Chunk-count rule: chunks start every ``stride`` tokens while any
+    token remains, i.e. ``1 + ceil(max(0, nt - chunk) / stride)``
+    windows; the final window may be shorter than ``chunk`` but the
+    union of windows covers every token exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split(normalize_ws(F.col("text")), " ")
+    nt = F.size(ts)
+    # integer ceil: 1 + floor((max(0, nt-C) + S-1) / S)
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.lit(0), nt - _CHUNK_TOKENS) + (_CHUNK_STRIDE - 1))
+        / _CHUNK_STRIDE
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id", ts.alias("ts"), n_chunks.alias("n_chunks")
+    )
+    exploded = base.select(
+        "doc_id",
+        "ts",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("ts"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -129,3 +129,118 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "is_canonical",
     )
+
+
+# --- cluster representative selection (quality-ranked keep) -----------
+
+
+def _keep_best_oracle() -> str:
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id AS id, {norm} AS t
+      FROM documents WHERE doc_id % {_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {ID_OFFSET}, {norm} || '{SUFFIX}'
+      FROM documents WHERE doc_id % {_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {2 * ID_OFFSET}, {norm} || '{SUFFIX}{SUFFIX2}'
+      FROM documents WHERE doc_id % {_MOD} = 0
+    ),
+    {minhash_pairs_ctes(0.5)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM scored
+      UNION ALL
+      SELECT id_b, id_a FROM scored
+    ),
+    walk(id, r) AS (
+      SELECT id, id FROM corpus
+      UNION
+      SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    ),
+    tokc AS (
+      SELECT id,
+             len(string_split(t, ' ')) AS nt,
+             len(list_distinct(string_split(t, ' '))) AS nd
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.id, t.nt,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY t.nd DESC, t.nt DESC, c.id)
+               AS rn
+      FROM comp c JOIN tokc t ON t.id = c.id
+    )
+    SELECT r.cluster_id, s.cluster_size,
+           r.id AS kept_doc_id,
+           r.nt AS kept_n_tokens,
+           s.cluster_size - 1 AS n_dropped
+    FROM ranked r JOIN sizes s USING (cluster_id)
+    WHERE r.rn = 1
+    """
+
+
+@register(
+    "dedup_cluster_keep_best",
+    _keep_best_oracle(),
+    doc="Cluster representative selection: per duplicate cluster keep "
+    "the highest-quality member (most distinct tokens, then longest, "
+    "then smallest id — integer-deterministic), emit kept doc + drop "
+    "count. The step that turns cluster verdicts into the final "
+    "corpus; unlike min-id canonicalization the kept doc is usually "
+    "the richest generation, not the oldest (extension).",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per duplicate cluster with its surviving document.
+
+    Scale shape: identical to ``dedup_cluster_resolution`` (banded
+    LSH pairs + O(diameter) label propagation over (id, label) longs)
+    plus one per-cluster ROW_NUMBER window — partitioned by
+    cluster_id, so no global sort; the quality rank is integer-only
+    (distinct-token count, token count, id) to stay
+    tie-deterministic across engines.
+    """
+    corpus = _cc_corpus(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    verts = corpus.select(F.col("doc_id").alias("id"))
+    clusters = resolve_clusters(verts, pairs)
+    ts = F.split(F.col("text"), " ")
+    tokc = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.size(ts).alias("nt"),
+        F.size(F.array_distinct(ts)).alias("nd"),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        clusters.join(tokc, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("nd"), F.desc("nt"), F.asc("id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return ranked.select(
+        "cluster_id",
+        "cluster_size",
+        F.col("id").alias("kept_doc_id"),
+        F.col("nt").alias("kept_n_tokens"),
+        (F.col("cluster_size") - 1).alias("n_dropped"),
+    )
