@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "profile_approx_stats",
     "dedup_cluster_keep_best",
     "chunk_documents_stride",
+    "ann_ivf_pq_topk",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

@@ -698,6 +698,47 @@ _IVF_ORACLE = f"""
 """
 
 
+def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
+    """(vec_id, v, ranked): every vector with its coarse cells ranked
+    by cosine against the first-``k`` codebook (1-row broadcast; see
+    ``ann_ivf_topk`` docstring for the scale argument). ``ranked`` is
+    an array of (-cos6, cid) structs sorted best-first — shared by
+    IVF-Flat and IVF-PQ."""
+    from ..functions.vectors import dot, norm
+
+    cents = (
+        emb.where(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            norm(F.col("v")).alias("cn"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+    )
+    return emb.select(
+        "vec_id", "v", norm(F.col("v")).alias("nv")
+    ).crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "v",
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (
+                        -F.round(
+                            dot(F.col("v"), c["cv"])
+                            / (F.col("nv") * c["cn"]),
+                            6,
+                        )
+                    ).alias("ncos"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias("ranked"),
+    )
+
+
+
 @register(
     "ann_ivf_topk",
     _IVF_ORACLE,
@@ -726,51 +767,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitionable; K grows as sqrt(N), keeping expected cell
     size sqrt(N) — the classic IVF balance point.
     """
-    from ..functions.vectors import dot, norm
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     n = emb.count()
     k = max(4, round(n**0.5))
-    # norms are precomputed ONCE per vector and per centroid — a bare
-    # cosine() inside the assignment lambda would re-evaluate norm(v)
-    # per centroid (K extra O(d) passes per row; measured ~2x on this
-    # query). The quotient dot/(nv*cn) performs the exact same double
-    # ops as dot/(sqrt(dot)*sqrt(dot)), so the rounded values the
-    # oracle compares are bit-identical.
-    cents = (
-        emb.where(F.col("vec_id") < k)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            norm(F.col("v")).alias("cn"),
-        )
-        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
-    )
-    # 1-row broadcast: every partition scores its rows against the
-    # codebook array locally
-    scored = emb.select(
-        "vec_id", "v", norm(F.col("v")).alias("nv")
-    ).crossJoin(broadcast(cents)).select(
-        "vec_id",
-        "v",
-        F.array_sort(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    (
-                        -F.round(
-                            dot(F.col("v"), c["cv"])
-                            / (F.col("nv") * c["cn"]),
-                            6,
-                        )
-                    ).alias("ncos"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ).alias("ranked"),
-    )
+    # Inside _ivf_scored, norms are precomputed ONCE per vector and
+    # per centroid — a bare cosine() inside the assignment lambda
+    # would re-evaluate norm(v) per centroid (K extra O(d) passes per
+    # row; measured ~2x on this query). The quotient dot/(nv*cn)
+    # performs the exact same double ops as dot/(sqrt(dot)*sqrt(dot)),
+    # so the rounded values the oracle compares are bit-identical.
+    # The codebook rides a 1-row broadcast: every partition scores its
+    # rows against the codebook array locally.
+    scored = _ivf_scored(emb, k)
     cells = scored.select(
         "vec_id", "v", F.element_at("ranked", 1)["cid"].alias("cid")
     )
@@ -1434,6 +1444,183 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_adc))
         .where(F.col("rn") <= _ADC_R)
+        .select("query_id", "cand_id")
+    )
+    qv = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        shortlist.join(broadcast(qv), "query_id")
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+# --- IVF-PQ: coarse routing + in-cell ADC (the production index) ------
+
+# Recall knobs, tuned vs the brute-force baseline (test_ann.py): the
+# composed index loses recall at BOTH stages (cells not probed, true
+# neighbors ADC-ranked below the shortlist cut), so it probes more
+# cells and reranks a longer shortlist than its single-stage parents.
+_IVFPQ_PROBES = 5
+_IVFPQ_R = 64
+
+
+def _ivf_pq_oracle() -> str:
+    dist = _PQ_SQL_DIST
+    return f"""
+    WITH {_pq_ctes()},
+    c AS (
+      SELECT vec_id AS ccid, v AS ccv FROM e
+      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
+                      FROM e)
+    ),
+    cassign AS (
+      SELECT e.vec_id, c.ccid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.ccv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.ccv, c.ccv))), 6) DESC,
+                 c.ccid) AS rn
+      FROM e, c
+    ),
+    cells AS (SELECT vec_id, ccid FROM cassign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid
+      FROM cassign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVFPQ_PROBES}
+    ),
+    cand0 AS (
+      SELECT p.query_id, d.vec_id AS cand_id
+      FROM probes p JOIN cells d
+        ON d.ccid = p.ccid AND d.vec_id <> p.query_id
+    ),
+    codes AS (SELECT vec_id, m, cid FROM a2 WHERE rn = 1),
+    qsubs AS (
+      SELECT vec_id AS query_id, m, sv FROM subs
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    lut AS (
+      SELECT s.query_id, s.m, c.cid, ROUND({dist}, 6) AS d6
+      FROM (SELECT query_id, m, sv FROM qsubs) s
+      JOIN cb c ON c.m = s.m
+    ),
+    adc AS (
+      SELECT c0.query_id, c0.cand_id,
+             ROUND(CAST(SUM(CAST(l.d6 AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM cand0 c0
+      JOIN codes co ON co.vec_id = c0.cand_id
+      JOIN lut l ON l.query_id = c0.query_id
+             AND l.m = co.m AND l.cid = co.cid
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_IVFPQ_R}
+    ),
+    rerank AS (
+      SELECT t.query_id, t.cand_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM shortlist t
+      JOIN e q ON q.vec_id = t.query_id
+      JOIN e c ON c.vec_id = t.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_pq_topk",
+    _ivf_pq_oracle(),
+    doc="IVF-PQ ANN: coarse codebook routes each vector to one cell, "
+    f"queries probe their {_IVFPQ_PROBES} nearest cells, candidates "
+    "inside probed cells are scored by PQ asymmetric distance "
+    f"(per-query LUT), ADC top-{_IVFPQ_R} shortlist, exact cosine "
+    "rerank to top-5 — the composition deployed ANN indexes use "
+    "(Jegou et al. 2011; extension).",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-linear ANN shape: IVF prunes the corpus to ~P/K of its
+    cells BEFORE any distance math, then ADC scores only those
+    candidates from 8-byte codes.
+
+    Scale shape: both codebooks ride broadcasts (coarse: K_c ~ sqrt(N)
+    structs; PQ LUT: queries x M x K rounded distances). Assignment is
+    row-local in codegen; the probe join is an equi-join on cell id
+    against a broadcast probe list; the ADC aggregate touches only
+    probed-cell candidates (vs the full-corpus scan of
+    ann_pq_adc_topk) with map-side partial combine; full vectors are
+    read only for the R x queries rerank rows. The corpus is never
+    shuffled — every join against it is broadcast or
+    cell-id-partitionable.
+    """
+    e, subs, cb, a2 = _pq_encode(spark, sf_dir)
+    n = e.count()
+    k = max(4, round(n**0.5))
+    scored = _ivf_scored(e, k)
+    cells = scored.select(
+        "vec_id", F.element_at("ranked", 1)["cid"].alias("ccid")
+    )
+    probes = (
+        scored.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice("ranked", 1, _IVFPQ_PROBES)).alias("p"),
+        )
+        .select("query_id", F.col("p")["cid"].alias("ccid"))
+    )
+    cand0 = (
+        cells.join(broadcast(probes), "ccid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    codes = a2.select(F.col("vec_id").alias("cand_id"), "m", "cid")
+    qsubs = subs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    lut = qsubs.join(cb, "m").select(
+        "query_id",
+        "m",
+        "cid",
+        F.round(_pq_sub_dist(F.col("sv"), F.col("cv")), 6).alias("d6"),
+    )
+    adc = (
+        cand0.join(codes, "cand_id")
+        .join(broadcast(lut), ["query_id", "m", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(dsum(F.col("d6"), "adc_dist", 6))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _IVFPQ_R)
         .select("query_id", "cand_id")
     )
     qv = e.where(F.col("vec_id") < _N_QUERIES).select(
