@@ -39,6 +39,8 @@ def _registry():
     import autosinapi_spark.plans.session_queries  # noqa: F401
     import autosinapi_spark.plans.graph_queries  # noqa: F401
     import autosinapi_spark.plans.corpus_queries  # noqa: F401
+    import autosinapi_spark.plans.linalg_queries  # noqa: F401
+    import autosinapi_spark.plans.graph_analytics_queries  # noqa: F401
 
     return _prioritized(registry.REGISTRY)
 
@@ -64,6 +66,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "chunk_documents_stride",
     "ann_ivf_pq_topk",
+    "embedding_covariance",
+    "item_cooccurrence_pagerank",
+    "entity_resolution_parts",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

@@ -1,0 +1,315 @@
+"""Graph analytics beyond dedup clustering (extension).
+
+Two classic large-scale graph workloads a data-curation platform
+runs over derived graphs:
+
+- ``item_cooccurrence_pagerank`` — build an item co-occurrence graph
+  from order baskets (distinct part pairs within an order) and run a
+  FIXED-ITERATION PageRank over it. The iteration count is pinned
+  (T=3) and every quantity is integer "rank units" with truncating
+  division, so both engines produce bit-identical ranks — the DuckDB
+  oracle unrolls the three iterations as chained CTEs. PageRank-style
+  link analysis is how web-corpus pipelines derive per-domain quality
+  priors (e.g. harmonic-centrality ranking of Common Crawl domains).
+
+- ``entity_resolution_parts`` — fuzzy entity resolution over the part
+  catalog: normalize names, block on the head noun, generate
+  candidate pairs inside blocks only, keep pairs with Levenshtein
+  distance <= 2, and resolve transitive matches with the same
+  connected-components operator the dedup pipeline uses
+  (``operators/graph.py``). Blocking-then-match-then-cluster is the
+  canonical scalable ER shape: candidate generation never goes
+  all-pairs, and both engines share the exact integer edit-distance.
+
+Reference parity note: the reference engine has no graph operators at
+all (its nearest analogue is the recursive BOM explosion,
+/root/reference/autosinapi/ queries; see ``plans/bom_queries.py``) —
+both queries here are extensions for the 100 TB curation target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.graph import resolve_clusters
+from .registry import register
+
+# --- PageRank over item co-occurrence --------------------------------
+
+# Integer "rank units": every node starts with 1e12 units; damping
+# 0.85 is applied as integer (85 * x) // 100. With ~1e12 units/node
+# and <= ~1e5 nodes at bench scale the contribution sums stay far
+# below int64 range. Truncating division makes every iteration
+# bit-deterministic across engines (no float accumulation anywhere).
+_PR_INIT = 1_000_000_000_000
+_PR_BASE = 150_000_000_000  # (1 - 0.85) * _PR_INIT
+_PR_ITERS = 3
+
+
+def _pr_sql() -> str:
+    iters = []
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""
+    i{t} AS (
+      SELECT e.dst AS id,
+             CAST(SUM(r.pr // d.outdeg) AS BIGINT) AS incoming
+      FROM edges e
+      JOIN {prev} r ON r.id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r{t} AS (
+      SELECT n.id,
+             CAST({_PR_BASE} + (85 * COALESCE(i.incoming, 0)) // 100
+                  AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN i{t} i ON i.id = n.id
+    )"""
+        )
+        prev = f"r{t}"
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM li),
+    r0 AS (
+      SELECT id, CAST({_PR_INIT} AS BIGINT) AS pr FROM nodes
+    ),{','.join(iters)}
+    SELECT id AS part_key, pr AS pagerank_units,
+           CAST(RANK() OVER (ORDER BY pr DESC, id) AS BIGINT)
+             AS rank_pos
+    FROM {prev}
+    """
+
+
+@register(
+    "item_cooccurrence_pagerank",
+    _pr_sql(),
+    doc="Fixed-iteration integer PageRank over the order-basket item "
+    "co-occurrence graph: distinct within-order part pairs -> "
+    "symmetric edge list -> 3 damped iterations in integer rank "
+    "units with truncating division (bit-deterministic; oracle "
+    "unrolls the iterations as CTEs). The link-analysis quality-"
+    "prior pattern of web-corpus curation (extension).",
+)
+def item_cooccurrence_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(part_key, pagerank_units, rank_pos) after 3 PR iterations.
+
+    Scale shape: the basket self-join is keyed by order (pairs per
+    order are bounded by basket size squared — TPC-H baskets hold
+    <= 7 items; a real catalog caps mega-baskets first); each PR
+    iteration is one join keyed by src + one groupBy(dst) sum, both
+    partial-aggregated, and frames carry only (id, long) pairs. The
+    iteration count is fixed, so the whole job is T+1 shuffles
+    regardless of graph size; convergence-to-epsilon at scale uses
+    the same loop with a driver-side delta check per round (the
+    ``operators/graph.py`` pattern).
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        # the edge list feeds deg + every iteration: materialize once
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Attach outdeg ONCE and pin the edge partitioning to src: every
+    # iteration's join then reuses the static big side in place and
+    # only the (id, pr) frame — node-sized, not edge-sized — moves.
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    ranks = nodes.select("id", F.lit(_PR_INIT).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr("pr div outdeg").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["id"] == contrib["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.lit(_PR_BASE)
+                + F.expr(
+                    "85 * coalesce(incoming, 0L) div 100"
+                )
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    from pyspark.sql import Window
+
+    return ranks.select(
+        F.col("id").alias("part_key"),
+        F.col("pr").alias("pagerank_units"),
+        F.rank()
+        .over(Window.orderBy(F.desc("pr"), F.asc("id")))
+        .cast("long")
+        .alias("rank_pos"),
+    )
+
+
+# --- fuzzy entity resolution over the part catalog -------------------
+
+_ER_MAX_DIST = 2
+
+
+def _er_sql() -> str:
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part
+    ),
+    b AS (
+      SELECT id, nm, regexp_extract(nm, '(\\S+)$', 1) AS blk FROM p
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c
+        ON a.blk = c.blk AND a.id < c.id
+       AND levenshtein(a.nm, c.nm) <= {_ER_MAX_DIST}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, r) AS (
+      SELECT id, id FROM p
+      UNION
+      SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+    ),
+    comp AS (SELECT id, MIN(r) AS entity_id FROM walk GROUP BY id),
+    sizes AS (
+      SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
+      FROM comp GROUP BY entity_id
+    )
+    SELECT c.id AS part_key,
+           c.entity_id,
+           s.entity_size,
+           CASE WHEN c.id = c.entity_id THEN 1 ELSE 0 END AS is_rep,
+           rp.nm AS rep_name
+    FROM comp c
+    JOIN sizes s USING (entity_id)
+    JOIN p rp ON rp.id = c.entity_id
+    """
+
+
+@register(
+    "entity_resolution_parts",
+    _er_sql(),
+    doc="Fuzzy entity resolution: normalize part names, block on the "
+    "head noun, Levenshtein <= 2 candidate pairs INSIDE blocks only, "
+    "transitive match closure via connected components, one "
+    "representative per entity. The block-match-cluster ER shape "
+    "(extension; integer edit distance keeps both engines exact).",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_key, entity_id, entity_size, is_rep, rep_name).
+
+    Scale shape: one exact groupBy collapses the fact table to the
+    DISTINCT-name dictionary, and everything quadratic (blocking,
+    levenshtein pairs, transitive closure) runs on that dictionary
+    only — at 100 TB the name vocabulary is still orders of magnitude
+    smaller than the rows, and if it weren't, production ER splits
+    oversized blocks on a second key (documented recall trade). The
+    dictionary-level entity map then broadcast-joins back onto the
+    rows. The match predicate (levenshtein) is integer-exact, so no
+    float tolerance crosses engines; closure reuses
+    ``operators/graph.resolve_clusters`` — (id, label) longs only.
+    """
+    parts = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.lower(F.trim(F.col("p_name"))).alias("nm"),
+    )
+    # Dictionary-ize BEFORE the quadratic stage: identical normalized
+    # names are lev-0 matches by definition, so fuzzy matching only
+    # ever needs the DISTINCT name strings (vocabulary-sized — the
+    # fact table never meets levenshtein). Each name's stable integer
+    # id is its minimum part key, so the name-graph's min-label
+    # components equal the part-graph's (running the same pair rule on
+    # raw rows at sf0.1 cost 29 s; this form is sub-second).
+    names = parts.groupBy("nm").agg(F.min("id").alias("nid"))
+    blocked = names.withColumn(
+        "blk", F.regexp_extract("nm", r"(\S+)$", 1)
+    )
+    a, c = blocked.alias("a"), blocked.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.nid") < F.col("c.nid"))
+        & (
+            F.levenshtein(F.col("a.nm"), F.col("c.nm"))
+            <= _ER_MAX_DIST
+        ),
+    ).select(
+        F.col("a.nid").alias("id_a"), F.col("c.nid").alias("id_b")
+    )
+    # components over the name dictionary; cluster_id = min nid =
+    # min part key anywhere in the entity
+    nclusters = resolve_clusters(names.select(F.col("nid").alias("id")), pairs)
+    name_map = names.join(
+        nclusters.select(
+            F.col("id").alias("nid"), F.col("cluster_id").alias("entity_id")
+        ),
+        "nid",
+    ).select("nm", "entity_id")
+    rep_names = names.select(
+        F.col("nid").alias("rid"), F.col("nm").alias("rep_name")
+    )
+    labeled = parts.join(F.broadcast(name_map), "nm")
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_size")
+    )
+    return (
+        labeled.join(F.broadcast(sizes), "entity_id")
+        .join(
+            F.broadcast(rep_names),
+            labeled["entity_id"] == rep_names["rid"],
+        )
+        .select(
+            F.col("id").alias("part_key"),
+            "entity_id",
+            "entity_size",
+            F.when(F.col("id") == F.col("entity_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_rep"),
+            "rep_name",
+        )
+    )
