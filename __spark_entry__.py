@@ -41,6 +41,7 @@ def _registry():
     import autosinapi_spark.plans.corpus_queries  # noqa: F401
     import autosinapi_spark.plans.linalg_queries  # noqa: F401
     import autosinapi_spark.plans.graph_analytics_queries  # noqa: F401
+    import autosinapi_spark.plans.olap_queries  # noqa: F401
 
     return _prioritized(registry.REGISTRY)
 
@@ -69,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     "item_cooccurrence_pagerank",
     "entity_resolution_parts",
+    "top_unshipped_orders",
+    "regional_supplier_volume",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

@@ -1,0 +1,179 @@
+"""Multi-table OLAP join queries (TPC-H Q3/Q5 shapes; extension).
+
+The reference's query surface is single-fact lookups and rollups
+(DataModel.md:376-391); these two queries extend it with the classic
+star-join shapes every warehouse workload runs — they exist to
+exercise (and pin, via ``tests/test_plans.py``-style assertions) the
+join PLANNING that matters at 100 TB:
+
+- dimensions (customer / supplier / nation / region) broadcast; the
+  fact tables are never shuffled for a dimension lookup;
+- the selective dimension filter (market segment, region name) is
+  applied BEFORE the broadcast, so the fact join prunes maximally;
+- the only exchanges are the orders⋈lineitem co-partitioned join and
+  the final partial-aggregated groupBy.
+
+Both are patterned on public TPC-H queries (Q3 "shipping priority",
+Q5 "local supplier volume") restated over the fixture schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load
+from .registry import dsum, register, sql_dsum
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-07-01"
+_Q3_TOPN = 10
+
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1996-01-01"
+_Q5_TO = "1998-01-01"
+
+
+@register(
+    "top_unshipped_orders",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 2)},
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT {_Q3_TOPN}
+    """,
+    doc="TPC-H Q3 shape: top-N highest-revenue orders not yet shipped "
+    "at a cutoff date, for one market segment — segment-filtered "
+    "customer broadcast into orders, orders⋈lineitem on the order "
+    "key, partial-aggregated rollup, global top-N (extension).",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: customer is filtered to one segment BEFORE the
+    broadcast, so the orders scan joins against a dimension a fifth
+    of its size; orders⋈lineitem is the one real exchange (both sides
+    keyed by orderkey — bucketed layouts make it exchange-free, see
+    ``tests/test_bucketing.py``); the top-N is TakeOrdered (heap per
+    partition + driver merge of N), never a global sort.
+    """
+    cutoff = F.lit(_Q3_DATE).cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        orders.join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                2,
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(_Q3_TOPN)
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 2)},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_FROM} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_TO} 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    doc="TPC-H Q5 shape: revenue from LOCAL supplier-customer pairs "
+    "(same nation) per nation of one region — region⋈nation pre-"
+    "joined and broadcast down both the customer and supplier arms, "
+    "facts joined on their keys, nation-level rollup (extension).",
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the region filter collapses nation to a handful
+    of rows, which broadcast into customer and supplier — so both
+    dimension arms are pre-pruned before touching a fact; the
+    customer⋈orders and orders⋈lineitem joins carry only the
+    surviving keys; the 'local' (c_nationkey = s_nationkey)
+    predicate rides the supplier join, not a separate shuffle. Final
+    rollup has one group per nation — all map-side combine.
+    """
+    nations = (
+        load(spark, sf_dir, "nation")
+        .join(
+            broadcast(
+                load(spark, sf_dir, "region").where(
+                    F.col("r_name") == _Q5_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").join(
+        broadcast(nations.select(F.col("n_nationkey").alias("sn_key"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_TO).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (F.col("c_nationkey") == supp["s_nationkey"]),
+        )
+        .join(
+            broadcast(nations),
+            supp["s_nationkey"] == nations["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                2,
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("n_name", "revenue", "n_items")
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

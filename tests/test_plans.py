@@ -127,3 +127,26 @@ def test_range_join_drops_inverted_intervals(spark):
     )
     out = binned_range_join(pts, iv, ["k"], "ts", "start", "end")
     assert [r["tag"] for r in out.collect()] == ["good"]
+
+
+def test_q3_broadcasts_segment_dim_and_take_ordered(registry, spark):
+    plan = _plan(_q(registry, spark, "top_unshipped_orders"))
+    # segment-filtered customer rides a broadcast; the filter itself
+    # is pushed to the customer scan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+    # top-N must be TakeOrdered (per-partition heap + driver merge),
+    # never a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+    # date filters reach both fact scans
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+
+
+def test_q5_all_dimension_joins_broadcast(registry, spark):
+    plan = _plan(_q(registry, spark, "regional_supplier_volume"))
+    # 5 dimension hops (region->nation, nation->cust, nation->supp,
+    # cust->orders, supp->lineitem) must ALL be broadcast: the only
+    # allowed shuffle joins the two facts on the order key
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "")

@@ -62,6 +62,10 @@ QUERIES = [
     "doc_unigram_logprob",
     "near_dedup_incremental",  # old x new cross-side LSH
     "dedup_substring_spans",  # rolling L-gram spans
+    "embedding_covariance",  # single-pass Gramian: should be ~IO-bound
+    "item_cooccurrence_pagerank",  # 10x orders over SHARED parts: graph densifies
+    "entity_resolution_parts",  # 10x rows, same 64-name dictionary
+    "ann_ivf_pq_topk",  # sqrt(N) cells + probe-bounded ADC
 ]
 
 
