@@ -42,6 +42,7 @@ def _registry():
     import autosinapi_spark.plans.linalg_queries  # noqa: F401
     import autosinapi_spark.plans.graph_analytics_queries  # noqa: F401
     import autosinapi_spark.plans.olap_queries  # noqa: F401
+    import autosinapi_spark.plans.streaming_queries  # noqa: F401
 
     return _prioritized(registry.REGISTRY)
 
@@ -72,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "top_unshipped_orders",
     "regional_supplier_volume",
+    "streaming_window_late_data",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

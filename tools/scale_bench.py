@@ -136,6 +136,10 @@ def main() -> int:
     if "--rebuild" in sys.argv or not (DST / "part.parquet").exists():
         build()
 
+    # optional subset: any non-flag argv names restrict the run
+    subset = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries = [q for q in QUERIES if q in subset] if subset else QUERIES
+
     import __spark_entry__ as entrymod
     from autosinapi_spark.session import get_spark
 
@@ -153,12 +157,12 @@ def main() -> int:
         return time.perf_counter() - t0
 
     # warm-up pass at sf0.1 so neither scale pays JVM/codegen cold start
-    for name in QUERIES:
+    for name in queries:
         run(name, str(SRC))
 
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
     worst = 0.0
-    for name in QUERIES:
+    for name in queries:
         small = run(name, str(SRC))
         big = run(name, str(DST))
         ratio = big / small
