@@ -46,6 +46,21 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def sq_dist_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Σ (a_i - b_i)^2 for a KNOWN dimension as straight-line codegen
+    arithmetic — same left-associated accumulation order as the HOF
+    form (zip_with + aggregate) and DuckDB's generate_series fold, so
+    results are bit-identical and oracle-safe (see :func:`dot_fixed`
+    for the measured ~3x win over interpreted HOF lambdas)."""
+    acc: Column | None = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        term = d * d
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -24,6 +24,7 @@ from ..functions.vectors import (
     hyperplane_bucket,
     norm,
     rademacher_planes,
+    sq_dist_fixed,
 )
 from .registry import davg, dsum, register
 
@@ -703,8 +704,10 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
     by cosine against the first-``k`` codebook (1-row broadcast; see
     ``ann_ivf_topk`` docstring for the scale argument). ``ranked`` is
     an array of (-cos6, cid) structs sorted best-first — shared by
-    IVF-Flat and IVF-PQ."""
-    from ..functions.vectors import dot, norm
+    IVF-Flat and IVF-PQ. The centroid dot is the expanded fixed-dim
+    form (bit-equal to the HOF fold; no per-centroid array
+    allocation) — the K~sqrt(N) transform is the hot loop here."""
+    from ..functions.vectors import norm
 
     cents = (
         emb.where(F.col("vec_id") < k)
@@ -726,7 +729,7 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
                 lambda c: F.struct(
                     (
                         -F.round(
-                            dot(F.col("v"), c["cv"])
+                            dot_fixed(F.col("v"), c["cv"], _DIM)
                             / (F.col("nv") * c["cn"]),
                             6,
                         )
@@ -1240,11 +1243,10 @@ def _pq_oracle() -> str:
 
 
 def _pq_sub_dist(sv, cv) -> Column:
-    return F.aggregate(
-        F.zip_with(sv, cv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # expanded fixed-dim form: bit-equal to the zip_with/aggregate HOF
+    # (same left-associated order, = DuckDB's generate_series fold)
+    # but plain codegen arithmetic — no per-candidate array allocation
+    return sq_dist_fixed(sv, cv, _PQ_DS)
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -1316,7 +1318,11 @@ def _pq_encode(
             F.array_sort(F.collect_list(F.struct("dim", "val"))),
             lambda s: s["val"],
         ).alias("cv")
-    )
+    # M x K tiny rows, but its lineage is the whole first-assignment +
+    # Lloyd chain: materialize once so consumers that use cb in TWO
+    # branches (the a2 assignment and the ADC query LUT) don't run
+    # that chain twice per action
+    ).localCheckpoint(eager=False)
     a2 = _pq_assign(subs, cb)
     return e, subs, cb, a2
 
@@ -1582,7 +1588,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, subs, cb, a2 = _pq_encode(spark, sf_dir)
     n = e.count()
     k = max(4, round(n**0.5))
-    scored = _ivf_scored(e, k)
+    # scored feeds BOTH the per-vector cell map and the probe list:
+    # materialize the K-way cosine ranking once
+    scored = _ivf_scored(e, k).localCheckpoint(eager=False)
     cells = scored.select(
         "vec_id", F.element_at("ranked", 1)["cid"].alias("ccid")
     )
