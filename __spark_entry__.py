@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "top_unshipped_orders",
     "regional_supplier_volume",
     "streaming_window_late_data",
+    "cms_token_frequency",
+    "incremental_rollup_merge",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds
     "ann_bruteforce_topk",

@@ -825,3 +825,128 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _BM25_TOP_DOCS)
         .select("term", "doc_id", "tf", "dl", "score", "rank")
     )
+
+
+# --- count-min sketch token frequencies ------------------------------
+
+# Cormode & Muthukrishnan 2005: d independent hash rows x w buckets;
+# estimate = min over rows of the collided counter. Overestimates
+# only; error <= 2N/w with overwhelming probability at d = 4. The
+# md5-based portable_hash64 contract lets the DuckDB oracle replay
+# the ENTIRE sketch bit-for-bit (same counters, same estimates) —
+# the within_bound boolean is then a replayed fact, and the unit
+# test asserts it holds for every tracked term.
+_CMS_W = 512
+_CMS_SEEDS = (101, 102, 103, 104)
+
+
+def _cms_oracle() -> str:
+    def h(seed: str, expr: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) "
+            f"AS BIGINT) % {_CMS_W}"
+        )
+
+    rows_ = " UNION ALL ".join(
+        f"SELECT token, {j} AS j, {h(str(s), 'token')} AS b FROM tok"
+        for j, s in enumerate(_CMS_SEEDS)
+    )
+    tb = " UNION ALL ".join(
+        f"SELECT token, n, {j} AS j, {h(str(s), 'token')} AS b "
+        "FROM tracked"
+        for j, s in enumerate(_CMS_SEEDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM tok),
+    hrows AS ({rows_}),
+    counters AS (SELECT j, b, COUNT(*) AS c FROM hrows GROUP BY 1, 2),
+    tracked AS (
+      SELECT token, COUNT(*) AS n FROM tok
+      GROUP BY token ORDER BY n DESC, token LIMIT {_TOP_TOKENS}
+    ),
+    tb AS ({tb}),
+    est AS (
+      SELECT tb.token, tb.n, MIN(c.c) AS n_est
+      FROM tb JOIN counters c ON c.j = tb.j AND c.b = tb.b
+      GROUP BY tb.token, tb.n
+    )
+    SELECT e.token, e.n AS n_exact, e.n_est,
+           e.n_est - e.n AS overcount,
+           (e.n_est - e.n) * {_CMS_W} <= 2 * t.nt AS within_bound
+    FROM est e, tot t
+    """
+
+
+@register(
+    "cms_token_frequency",
+    _cms_oracle(),
+    doc=f"Count-min sketch frequency estimation: {len(_CMS_SEEDS)} "
+    f"portable-hash rows x {_CMS_W} buckets built in one pass, "
+    f"top-{_TOP_TOKENS} exact heavy hitters estimated from the "
+    "sketch, per-term overcount + 2N/w bound check — all replayed "
+    "exactly by the oracle via the md5 hash contract (Cormode & "
+    "Muthukrishnan 2005; extension).",
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked heavy hitters with their CMS estimates and bound checks.
+
+    Scale shape: the sketch build explodes each token into d = 4
+    (row, bucket) ints that partial-aggregate map-side into at most
+    d x w = 2048 counters — the shuffle carries counters, not tokens,
+    which is the whole point of a CMS at 100 TB (fixed-size state for
+    an unbounded stream; the streaming twin would merge per-batch
+    counters). Estimation joins the 20 tracked terms against the
+    2048-row broadcast counter table; the total-token scalar rides a
+    1-row broadcast. Integer-only arithmetic end to end.
+    """
+    from ..operators.near_dedup import portable_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    def buckets(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (portable_hash64(col, s) % _CMS_W).alias("b"),
+                )
+                for j, s in enumerate(_CMS_SEEDS)
+            ]
+        )
+
+    counters = (
+        tok.select(F.explode(buckets(F.col("token"))).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    tracked = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_TOP_TOKENS)
+    )
+    est = (
+        tracked.select(
+            "token", "n", F.explode(buckets(F.col("token"))).alias("h")
+        )
+        .select("token", "n", F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+        .join(F.broadcast(counters), ["j", "b"])
+        .groupBy("token", "n")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("n").alias("n_exact"),
+        "n_est",
+        (F.col("n_est") - F.col("n")).alias("overcount"),
+        (
+            (F.col("n_est") - F.col("n")) * _CMS_W <= 2 * F.col("nt")
+        ).alias("within_bound"),
+    )

@@ -177,3 +177,59 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue", "n_items")
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# --- incremental aggregate merge (materialized-view maintenance) -----
+
+_INC_MOD = 10  # batch = the 10% of orders with o_orderkey % 10 == 0
+
+
+@register(
+    "incremental_rollup_merge",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS periodo,
+           {sql_dsum('o_totalprice', 'receita', 2)},
+           COUNT(*) AS n_pedidos
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="Incremental materialized-view maintenance: the monthly "
+    "revenue rollup is kept as PARTIAL aggregates (exact decimal sum "
+    "+ count per period); a new batch folds in by merging partials — "
+    "sum of sums — never rescanning history. The oracle is the full "
+    "recompute over all orders: exact-decimal partials make the "
+    "merge bit-equal to it (extension).",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue after merging a 10% batch into the 90% state.
+
+    Scale shape: history is aggregated ONCE into per-period partial
+    state (period-keyed, partial-aggregated map-side); each new batch
+    aggregates only its own rows and merges by period — the merge
+    shuffles state-sized frames (months x 1 row), not history. The
+    partial sum stays an exact DECIMAL so merge order cannot drift
+    from the full recompute; rounding to the published double happens
+    only at read time. This is the maintenance loop behind every
+    'replace-by-period' sink (K4) when periods arrive incrementally.
+    """
+    orders = load(spark, sf_dir, "orders")
+    period = F.date_format("o_orderdate", "yyyy-MM").alias("periodo")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(period).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    state = partial(orders.where(F.col("o_orderkey") % _INC_MOD != 0))
+    batch = partial(orders.where(F.col("o_orderkey") % _INC_MOD == 0))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("periodo")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        "periodo",
+        F.round(F.col("s").cast("double"), 2).alias("receita"),
+        F.col("n").alias("n_pedidos"),
+    )

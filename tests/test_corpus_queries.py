@@ -134,3 +134,54 @@ def test_recipe_queries_have_no_cartesian(spark):
     ):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_cms_overestimates_within_bound(spark):
+    """CMS structural guarantees: est >= exact for every tracked term
+    (min of collided counters can never undercount), the 2N/w bound
+    holds, and a pure-Python sketch replay agrees exactly."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.functions.text import tokens as _tokens
+    from autosinapi_spark.plans.corpus_queries import (
+        _CMS_SEEDS,
+        _CMS_W,
+        cms_token_frequency,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = cms_token_frequency(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_est >= r.n_exact
+        assert r.overcount == r.n_est - r.n_exact
+        assert r.within_bound is True
+
+    # Python replay of the exact sketch
+    toks = [
+        t
+        for row in load(spark, SF_SMOKE, "documents")
+        .select(_tokens(F.col("text")).alias("ts"))
+        .collect()
+        for t in row.ts
+    ]
+
+    def h(seed, tok):
+        return int(
+            hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:15], 16
+        ) % _CMS_W
+
+    counters = defaultdict(int)
+    for t in toks:
+        for j, s in enumerate(_CMS_SEEDS):
+            counters[(j, h(s, t))] += 1
+    exact = Counter(toks)
+    for r in rows:
+        assert exact[r.token] == r.n_exact
+        assert r.n_est == min(
+            counters[(j, h(s, r.token))]
+            for j, s in enumerate(_CMS_SEEDS)
+        )
