@@ -862,9 +862,11 @@ def _cms_oracle() -> str:
                text, '\\s+', ' ', 'g')), ' ')) AS token
       FROM documents
     ),
-    tot AS (SELECT COUNT(*) AS nt FROM tok),
     hrows AS ({rows_}),
     counters AS (SELECT j, b, COUNT(*) AS c FROM hrows GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS nt FROM counters WHERE j = 0
+    ),
     tracked AS (
       SELECT token, COUNT(*) AS n FROM tok
       GROUP BY token ORDER BY n DESC, token LIMIT {_TOP_TOKENS}
@@ -907,7 +909,13 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.near_dedup import portable_hash64
 
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    # the token stream feeds both the sketch build and the exact
+    # heavy-hitter companion: tokenize once (at production scale the
+    # exact companion disappears — candidates are tracked from the
+    # sketch itself — and this frame is a single streaming pass)
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
 
     def buckets(col):
         return F.array(
@@ -924,8 +932,11 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select(F.explode(buckets(F.col("token"))).alias("h"))
         .groupBy(F.col("h.j").alias("j"), F.col("h.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    # total token count is already IN the sketch: each hash row's
+    # counters sum to N — no extra pass over the corpus
+    tot = counters.where(F.col("j") == 0).agg(F.sum("c").alias("nt"))
     tracked = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -723,9 +723,8 @@ _CHUNK_STRIDE = 96  # start-to-start stride (32-token overlap)
     ),
     counted AS (
       SELECT doc_id, ts, len(ts) AS nt,
-             1 + CAST(FLOOR(GREATEST(0, len(ts) - {_CHUNK_TOKENS})
-                            / {_CHUNK_STRIDE}.0
-                            + (1 - 1.0 / {_CHUNK_STRIDE})) AS BIGINT)
+             1 + (GREATEST(0, len(ts) - {_CHUNK_TOKENS})
+                  + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
                AS n_chunks
       FROM tok
     ),

@@ -60,10 +60,13 @@ def _cc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.unionByName(t1).unionByName(t2)
 
 
-def _cluster_oracle() -> str:
+def _cc_oracle_ctes() -> str:
+    """Shared WITH RECURSIVE chain (corpus -> pairs -> components ->
+    sizes) for every query over the 3-generation twin corpus — ONE
+    definition so the LSH parameters and the 0.5 threshold cannot
+    drift between the resolution and keep-best oracles."""
     norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-    return f"""
-    WITH RECURSIVE corpus AS (
+    return f"""corpus AS (
       SELECT doc_id AS id, {norm} AS t
       FROM documents WHERE doc_id % {_MOD} = 0
       UNION ALL
@@ -88,11 +91,34 @@ def _cluster_oracle() -> str:
     sizes AS (
       SELECT cluster_id, COUNT(*) AS cluster_size
       FROM comp GROUP BY cluster_id
-    )
+    )"""
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_oracle_ctes()}
     SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
            CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS is_canonical
     FROM comp c JOIN sizes s USING (cluster_id)
     """
+
+
+def _cc_clusters(spark: SparkSession, sf_dir: str):
+    """Shared Spark pipeline: (corpus, clusters) — the single
+    definition of the corpus/LSH-pair/connected-components stage both
+    cluster queries run (mirrors ``_cc_oracle_ctes``)."""
+    corpus = _cc_corpus(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    verts = corpus.select(F.col("doc_id").alias("id"))
+    return corpus, resolve_clusters(verts, pairs)
 
 
 @register(
@@ -112,18 +138,8 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction for dup clusters (see ``operators/graph.py``).
     Singleton docs (no near-dup) flow through as their own cluster.
     """
-    corpus = _cc_corpus(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(
-        corpus,
-        text_col="text",
-        id_col="doc_id",
-        num_hashes=K,
-        bands=BANDS,
-        rows=ROWS,
-        threshold=0.5,
-    ).select("id_a", "id_b")
-    verts = corpus.select(F.col("doc_id").alias("id"))
-    return resolve_clusters(verts, pairs).select(
+    _corpus, clusters = _cc_clusters(spark, sf_dir)
+    return clusters.select(
         F.col("id").alias("doc_id"),
         "cluster_id",
         "cluster_size",
@@ -135,34 +151,8 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_best_oracle() -> str:
-    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
     return f"""
-    WITH RECURSIVE corpus AS (
-      SELECT doc_id AS id, {norm} AS t
-      FROM documents WHERE doc_id % {_MOD} = 0
-      UNION ALL
-      SELECT doc_id + {ID_OFFSET}, {norm} || '{SUFFIX}'
-      FROM documents WHERE doc_id % {_MOD} = 0
-      UNION ALL
-      SELECT doc_id + {2 * ID_OFFSET}, {norm} || '{SUFFIX}{SUFFIX2}'
-      FROM documents WHERE doc_id % {_MOD} = 0
-    ),
-    {minhash_pairs_ctes(0.5)},
-    sym AS (
-      SELECT id_a AS src, id_b AS dst FROM scored
-      UNION ALL
-      SELECT id_b, id_a FROM scored
-    ),
-    walk(id, r) AS (
-      SELECT id, id FROM corpus
-      UNION
-      SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
-    ),
-    comp AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id),
-    sizes AS (
-      SELECT cluster_id, COUNT(*) AS cluster_size
-      FROM comp GROUP BY cluster_id
-    ),
+    WITH RECURSIVE {_cc_oracle_ctes()},
     tokc AS (
       SELECT id,
              len(string_split(t, ' ')) AS nt,
@@ -205,18 +195,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-token count, token count, id) to stay
     tie-deterministic across engines.
     """
-    corpus = _cc_corpus(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(
-        corpus,
-        text_col="text",
-        id_col="doc_id",
-        num_hashes=K,
-        bands=BANDS,
-        rows=ROWS,
-        threshold=0.5,
-    ).select("id_a", "id_b")
-    verts = corpus.select(F.col("doc_id").alias("id"))
-    clusters = resolve_clusters(verts, pairs)
+    corpus, clusters = _cc_clusters(spark, sf_dir)
     ts = F.split(F.col("text"), " ")
     tokc = corpus.select(
         F.col("doc_id").alias("id"),

@@ -6,11 +6,14 @@ star-join shapes every warehouse workload runs — they exist to
 exercise (and pin, via ``tests/test_plans.py``-style assertions) the
 join PLANNING that matters at 100 TB:
 
-- dimensions (customer / supplier / nation / region) broadcast; the
-  fact tables are never shuffled for a dimension lookup;
-- the selective dimension filter (market segment, region name) is
-  applied BEFORE the broadcast, so the fact join prunes maximally;
-- the only exchanges are the orders⋈lineitem co-partitioned join and
+- BOUNDED dimensions (nation, region) broadcast explicitly; the
+  fact-scale arms (customer, supplier) carry no hint — the optimizer
+  picks broadcast vs shuffle per scale factor (auto-broadcast at
+  bench scale, shuffle join at 100 TB, where a pinned broadcast of a
+  fact-scale side would OOM the executors);
+- selective filters (market segment, region name) are applied BEFORE
+  each join, so every arm prunes maximally;
+- orders⋈lineitem is the one unavoidable fact-fact exchange, plus
   the final partial-aggregated groupBy.
 
 Both are patterned on public TPC-H queries (Q3 "shipping priority",
@@ -54,16 +57,21 @@ _Q5_TO = "1998-01-01"
     """,
     doc="TPC-H Q3 shape: top-N highest-revenue orders not yet shipped "
     "at a cutoff date, for one market segment — segment-filtered "
-    "customer broadcast into orders, orders⋈lineitem on the order "
-    "key, partial-aggregated rollup, global top-N (extension).",
+    "customer joined into orders (physical join optimizer-chosen), "
+    "orders⋈lineitem on the order key, partial-aggregated rollup, "
+    "TakeOrdered top-N (extension).",
 )
 def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: customer is filtered to one segment BEFORE the
-    broadcast, so the orders scan joins against a dimension a fifth
-    of its size; orders⋈lineitem is the one real exchange (both sides
-    keyed by orderkey — bucketed layouts make it exchange-free, see
-    ``tests/test_bucketing.py``); the top-N is TakeOrdered (heap per
-    partition + driver merge of N), never a global sort.
+    """Scale shape: customer is filtered to one segment BEFORE its
+    join, so orders joins against a side a fifth of customer's size.
+    The customer arm carries NO broadcast hint on purpose — customer
+    is fact-scale, so the right physical join depends on SF and the
+    optimizer (with stats/AQE) must pick it: auto-broadcast under the
+    threshold (as it does at bench scale), shuffle join beyond it.
+    orders⋈lineitem is the unavoidable fact-fact exchange (bucketed
+    layouts make it exchange-free, see ``tests/test_bucketing.py``);
+    the top-N is TakeOrdered (heap per partition + driver merge of
+    N), never a global sort.
     """
     cutoff = F.lit(_Q3_DATE).cast("timestamp")
     cust = (
@@ -78,7 +86,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > cutoff
     )
     return (
-        orders.join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -114,18 +122,22 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n.n_name
     """,
     doc="TPC-H Q5 shape: revenue from LOCAL supplier-customer pairs "
-    "(same nation) per nation of one region — region⋈nation pre-"
-    "joined and broadcast down both the customer and supplier arms, "
-    "facts joined on their keys, nation-level rollup (extension).",
+    "(same nation) per nation of one region — the bounded "
+    "region⋈nation map broadcast down both the customer and supplier "
+    "arms, facts joined on their keys, nation-level rollup "
+    "(extension).",
 )
 def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the region filter collapses nation to a handful
-    of rows, which broadcast into customer and supplier — so both
-    dimension arms are pre-pruned before touching a fact; the
-    customer⋈orders and orders⋈lineitem joins carry only the
-    surviving keys; the 'local' (c_nationkey = s_nationkey)
-    predicate rides the supplier join, not a separate shuffle. Final
-    rollup has one group per nation — all map-side combine.
+    of rows, which broadcast into customer and supplier (the only
+    PINNED broadcasts — nation/region are bounded dimensions), so
+    both arms are pre-pruned before touching a fact. The pruned
+    customer and supplier arms carry no broadcast hint: they are
+    fact-scale, and the optimizer must pick broadcast vs shuffle per
+    SF (auto-broadcast at bench scale, shuffle join at 100 TB). The
+    'local' (c_nationkey = s_nationkey) predicate rides the supplier
+    join, not a separate shuffle. Final rollup has one group per
+    nation — all map-side combine.
     """
     nations = (
         load(spark, sf_dir, "nation")
@@ -152,12 +164,10 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        orders.join(
-            broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-        )
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (F.col("c_nationkey") == supp["s_nationkey"]),
         )

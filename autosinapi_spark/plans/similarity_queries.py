@@ -707,8 +707,6 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
     IVF-Flat and IVF-PQ. The centroid dot is the expanded fixed-dim
     form (bit-equal to the HOF fold; no per-centroid array
     allocation) — the K~sqrt(N) transform is the hot loop here."""
-    from ..functions.vectors import norm
-
     cents = (
         emb.where(F.col("vec_id") < k)
         .select(

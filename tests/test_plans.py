@@ -129,10 +129,11 @@ def test_range_join_drops_inverted_intervals(spark):
     assert [r["tag"] for r in out.collect()] == ["good"]
 
 
-def test_q3_broadcasts_segment_dim_and_take_ordered(registry, spark):
+def test_q3_prunes_and_take_ordered(registry, spark):
     plan = _plan(_q(registry, spark, "top_unshipped_orders"))
-    # segment-filtered customer rides a broadcast; the filter itself
-    # is pushed to the customer scan
+    # the segment filter is pushed to the customer scan; the customer
+    # arm carries no broadcast HINT (fact-scale side — the optimizer
+    # decides), but at test scale it must still come out broadcast
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
     # top-N must be TakeOrdered (per-partition heap + driver merge),
@@ -142,11 +143,13 @@ def test_q3_broadcasts_segment_dim_and_take_ordered(registry, spark):
     assert "o_orderdate" in plan and "l_shipdate" in plan
 
 
-def test_q5_all_dimension_joins_broadcast(registry, spark):
+def test_q5_bounded_dims_broadcast_no_cartesian(registry, spark):
     plan = _plan(_q(registry, spark, "regional_supplier_volume"))
-    # 5 dimension hops (region->nation, nation->cust, nation->supp,
-    # cust->orders, supp->lineitem) must ALL be broadcast: the only
-    # allowed shuffle joins the two facts on the order key
-    assert plan.count("BroadcastHashJoin") >= 5
-    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # the bounded region->nation map is PINNED broadcast down both
+    # arms; fact-scale arms are optimizer-chosen (broadcast at this
+    # scale). Never a cartesian anywhere, and the region filter is
+    # pushed to its scan.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "")

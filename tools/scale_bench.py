@@ -138,6 +138,14 @@ def main() -> int:
 
     # optional subset: any non-flag argv names restrict the run
     subset = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = [a for a in subset if a not in QUERIES]
+    if unknown:
+        print(
+            f"unknown queries: {', '.join(unknown)} "
+            f"(choose from: {', '.join(QUERIES)})",
+            file=sys.stderr,
+        )
+        return 2
     queries = [q for q in QUERIES if q in subset] if subset else QUERIES
 
     import __spark_entry__ as entrymod
