@@ -81,3 +81,32 @@ def test_normalize_ts_columns_idempotent_across_encodings(spark):
         assert dict(once.dtypes)["ts"] == "timestamp", name
         got = {r["event_id"]: r["ts"] for r in twice.collect()}
         assert got == want, name
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=8))
+def test_sq_dist_fixed_bit_identical_to_hof_fold(spark, pairs):
+    """sq_dist_fixed (expanded form, the PQ assignment hot loop) must
+    accumulate in the identical order as the zip_with+aggregate HOF
+    fold — the oracle parity of every PQ distance rests on it."""
+    from autosinapi_spark.functions.vectors import sq_dist_fixed
+
+    def hof_sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a array<double>, b array<double>"
+    )
+    rows = df.select(
+        hof_sq_dist(F.col("a"), F.col("b")).alias("hof"),
+        sq_dist_fixed(F.col("a"), F.col("b"), _DIM).alias("fixed"),
+    ).collect()
+    for r in rows:
+        assert math.isnan(r.hof) and math.isnan(r.fixed) or (
+            r.hof == r.fixed
+            and math.copysign(1.0, r.hof) == math.copysign(1.0, r.fixed)
+        )
