@@ -153,3 +153,37 @@ def test_q5_bounded_dims_broadcast_no_cartesian(registry, spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "")
+
+
+def test_pagerank_no_cartesian_and_partial_aggs(registry, spark):
+    plan = _plan(_q(registry, spark, "item_cooccurrence_pagerank"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # contribution sums must partial-aggregate map-side
+    simple = _plan(_q(registry, spark, "item_cooccurrence_pagerank"), "simple")
+    assert "partial_sum" in simple
+
+
+def test_entity_resolution_plan_shape(registry, spark):
+    """The final ER plan (the matcher lineage itself sits behind the
+    CC operator's localCheckpoint, so assert on what the explain can
+    see): column-pruned part scan, broadcast map-backs, no cartesian.
+    The dictionary-before-matcher property is pinned semantically by
+    tests/test_graph_analytics.py's union-find replay."""
+    plan = _plan(_q(registry, spark, "entity_resolution_parts"))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("p_name" in s for s in schemas)
+    # pruning: no scan reads columns the query never touches
+    assert all("p_retailprice" not in s for s in schemas)
+    assert all("p_size" not in s for s in schemas)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # entity map broadcast-joins back
+
+
+def test_cms_estimation_joins_broadcast_counters(registry, spark):
+    plan = _plan(_q(registry, spark, "cms_token_frequency"))
+    # tracked-term estimation joins the tiny counter table broadcast;
+    # the total rides a broadcast scalar — no shuffle join anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
