@@ -1,0 +1,42 @@
+"""One-command pre-round gate: oracle type lint -> full driver sim ->
+full pytest. Mirrors exactly what the round driver checks, in the
+order that fails fastest.
+
+Usage: python tools/preflight.py [--skip-tests] [sf_dir]
+Exit code is nonzero on the first failing stage.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(label: str, cmd: list[str]) -> None:
+    t0 = time.perf_counter()
+    print(f"== {label}: {' '.join(cmd)}", flush=True)
+    rc = subprocess.call(cmd, cwd=_REPO)
+    dt = time.perf_counter() - t0
+    if rc != 0:
+        print(f"== {label} FAILED (rc={rc}, {dt:.0f}s)", flush=True)
+        raise SystemExit(rc)
+    print(f"== {label} ok ({dt:.0f}s)", flush=True)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    _run("lint", [sys.executable, "tools/driver_sim.py", "--lint"])
+    _run("sim", [sys.executable, "tools/driver_sim.py", sf_dir])
+    if "--skip-tests" not in sys.argv:
+        _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    print("== preflight green", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
