@@ -243,3 +243,89 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double"), 2).alias("receita"),
         F.col("n").alias("n_pedidos"),
     )
+
+
+# --- analytic window functions (lag / percent_rank / ntile) ----------
+
+
+@register(
+    "price_change_analysis",
+    f"""
+    WITH monthly AS (
+      SELECT l_partkey AS part_key,
+             strftime(l_shipdate, '%Y-%m') AS periodo,
+             {sql_dsum('l_extendedprice', 'price', 2)},
+             COUNT(*) AS n_sales
+      FROM lineitem
+      GROUP BY l_partkey, strftime(l_shipdate, '%Y-%m')
+    )
+    SELECT part_key, periodo, price, n_sales,
+           LAG(price) OVER w_part AS prev_price,
+           ROUND(price - COALESCE(LAG(price) OVER w_part, price), 2)
+             AS mom_change,
+           CASE WHEN COUNT(*) OVER w_all > 1
+                THEN ((RANK() OVER w_month - 1) * 1000000)
+                     // (COUNT(*) OVER w_all - 1)
+                ELSE CAST(0 AS BIGINT) END AS pct_rank_ppm,
+           CAST(NTILE(4) OVER w_month AS BIGINT) AS price_quartile
+    FROM monthly
+    WINDOW
+      w_part AS (PARTITION BY part_key ORDER BY periodo),
+      w_month AS (PARTITION BY periodo ORDER BY price, part_key),
+      w_all AS (PARTITION BY periodo)
+    """,
+    doc="Analytic window breadth: per-part monthly revenue with "
+    "LAG month-over-month change, percent-rank position (emitted as "
+    "integer parts-per-million — (rank-1)*1e6 div (n-1) — because a "
+    "rounded PERCENT_RANK double lands exactly on .5 rounding "
+    "boundaries the two engines break differently) and NTILE "
+    "quartile within each month; every ordering carries a unique "
+    "(price, part) tiebreak (extension).",
+)
+def price_change_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part monthly revenue with lag/rank/quartile analytics.
+
+    Scale shape: one partial-aggregated rollup to (part, month) grain,
+    then two KEYED windows — by part (time series) and by month
+    (cross-sectional rank). No global window exists anywhere; both
+    exchanges are on real keys and AQE coalesces the small months.
+    The exact-decimal monthly sum keeps the ranked value identical
+    across engines, so rank/ntile cuts cannot drift.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("part_key"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("periodo"),
+    ).agg(
+        dsum(F.col("l_extendedprice"), "price", 2),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+    w_part = Window.partitionBy("part_key").orderBy("periodo")
+    w_month = Window.partitionBy("periodo").orderBy("price", "part_key")
+    w_all = Window.partitionBy("periodo")
+    base = (
+        monthly.withColumn("prev_price", F.lag("price").over(w_part))
+        .withColumn("rk", F.rank().over(w_month))
+        .withColumn("nm", F.count(F.lit(1)).over(w_all))
+        .withColumn("qt", F.ntile(4).over(w_month))
+    )
+    return base.select(
+        "part_key",
+        "periodo",
+        "price",
+        "n_sales",
+        "prev_price",
+        F.round(
+            F.col("price") - F.coalesce("prev_price", "price"), 2
+        ).alias("mom_change"),
+        F.when(
+            F.col("nm") > 1,
+            F.expr("((rk - 1) * 1000000L) div (nm - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_rank_ppm"),
+        F.col("qt").cast("long").alias("price_quartile"),
+    )
