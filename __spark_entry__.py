@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "cms_token_frequency",
     "incremental_rollup_merge",
     "price_change_analysis",
+    "perplexity_buckets",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

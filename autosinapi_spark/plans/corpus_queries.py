@@ -961,3 +961,86 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") - F.col("n")) * _CMS_W <= 2 * F.col("nt")
         ).alias("within_bound"),
     )
+
+
+# --- CCNet-style perplexity bucketing (head / middle / tail) ---------
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT SUM(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             ln(CAST(v.cnt AS DOUBLE) / total.total) AS logp
+      FROM tok t JOIN vocab v USING (term) CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id, {sql_davg('logp', 'lm_score')}
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, p.lm_score,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.lm_score DESC, d.doc_id) AS b
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, lm_score,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020): per "
+    "language, documents split into head/middle/tail terciles of the "
+    "unigram-LM score (higher mean log-prob = lower perplexity = "
+    "head) — the quality tiers CCNet samples from; unique "
+    "(score, doc_id) ordering keeps the tercile cut "
+    "engine-deterministic (extension).",
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail quality tiers by LM score.
+
+    Scale shape: the LM scoring passes are ``doc_unigram_logprob``'s
+    (term-keyed model build, vocabulary-scale join, per-doc decimal
+    mean); the tercile assignment is ONE window partitioned by
+    language — a real key, no global window. The rounded score is
+    what both the ordering and the output use, so the tercile
+    boundary cannot sit between engine-ulp-different values.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    per_doc = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(davg(logp, "lm_score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score"), F.asc("doc_id")
+    )
+    ranked = (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("b", F.ntile(3).over(w))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        F.when(F.col("b") == 1, F.lit("head"))
+        .when(F.col("b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
