@@ -57,3 +57,45 @@ def test_covariance_single_shuffle_plan(spark):
     assert plan.count("Exchange") <= 1
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_mapinpandas_gramian_matches_sql_covariance(spark):
+    """The high-d scale path (Arrow partial X^T X) must agree with the
+    exact-decimal SQL Gramian to float tolerance — the documented
+    contract for switching forms past d ~ 100."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.operators.linalg import (
+        covariance_from_gramian,
+        gramian,
+    )
+    from autosinapi_spark.plans.linalg_queries import (
+        _D,
+        embedding_covariance,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    row = gramian(emb, "embedding", _D).collect()[0]
+    mean, cov = covariance_from_gramian(row, _D)
+
+    sql_rows = embedding_covariance(spark, SF_SMOKE).collect()
+    assert row["n"] == sql_rows[0].n
+    for r in sql_rows:
+        assert abs(mean[r.dim_i] - r.mean_i) < 1e-6
+        assert abs(cov[r.dim_i, r.dim_j] - r.cov) < 1e-6
+
+
+def test_gramian_partials_merge_is_partition_invariant(spark):
+    """Repartitioning (different batch boundaries) must not change the
+    result beyond float noise — the property that makes the partial
+    merge safe under AQE/speculation."""
+    import numpy as np
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.operators.linalg import gramian
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    r1 = gramian(emb.repartition(1), "embedding", 8).collect()[0]
+    r7 = gramian(emb.repartition(7), "embedding", 8).collect()[0]
+    assert r1["n"] == r7["n"]
+    assert np.allclose(r1["s"], r7["s"], atol=1e-8)
+    assert np.allclose(r1["g"], r7["g"], atol=1e-6)
