@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_rollup_merge",
     "price_change_analysis",
     "perplexity_buckets",
+    "embedding_pca_project",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

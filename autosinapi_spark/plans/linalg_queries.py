@@ -139,3 +139,227 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         emb=emb,
     )
+
+
+# --- power-iteration PCA projection (first principal component) ------
+
+_PI_SQUARINGS = 7  # C -> C^2 -> ... -> C^128 by repeated squaring.
+# Power iteration without per-step normalization is just C^T v0, so
+# the T=128 effective rounds collapse into 7 matrix squarings (trace-
+# rescaled each time so entries can neither overflow nor vanish) plus
+# ONE matrix-vector product normalized at the end. 128 rounds pin the
+# dominant direction even on the fixture's near-isotropic spectrum
+# (unit-tested vs numpy eigh); both the squaring count and every
+# summation order are fixed, so the eigenvector is bit-identical
+# across engines.
+
+
+def _c(i: int, j: int) -> str:
+    """Symmetric covariance element name (upper triangle stored)."""
+    return f"c{min(i, j)}_{max(i, j)}"
+
+
+def _pca_square_sql(prev: str, s: int) -> tuple[str, str]:
+    """(product_select, rescale_select) for one squaring step — shared
+    verbatim by the oracle CTE chain and the Spark stepwise frames so
+    the formula tree cannot diverge."""
+    prod = ", ".join(
+        " + ".join(f"{prev}_{i}_{k} * {prev}_{k}_{j}" for k in range(_D))
+        + f" AS r_{i}_{j}"
+        for i in range(_D)
+        for j in range(_D)
+    )
+    tr = " + ".join(f"r_{i}_{i}" for i in range(_D))
+    scaled = ", ".join(
+        f"r_{i}_{j} / ({tr}) AS a{s}_{i}_{j}"
+        for i in range(_D)
+        for j in range(_D)
+    )
+    return prod, scaled
+
+
+def _pca_final_sql(prev: str) -> str:
+    """Normalized (C^(2^S)) . 1 — the eigenvector select list."""
+    w = ", ".join(
+        " + ".join(f"{prev}_{i}_{j}" for j in range(_D)) + f" AS w{i}"
+        for i in range(_D)
+    )
+    nrm = " + ".join(f"w{i} * w{i}" for i in range(_D))
+    v = ", ".join(f"w{i} / SQRT({nrm}) AS v{i}" for i in range(_D))
+    return f"SELECT {v} FROM (SELECT {w} FROM __PREV__)"
+
+
+def _pca_cte_chain() -> str:
+    """Oracle CTE chain: a0 (full symmetric matrix) -> S trace-
+    rescaled squarings -> the normalized eigenvector ``e``."""
+    parts = []
+    a0 = ", ".join(
+        f"{_c(i, j)} AS a0_{i}_{j}" for i in range(_D) for j in range(_D)
+    )
+    parts.append(f"a0 AS (SELECT {a0} FROM c)")
+    prev = "a0"
+    for s in range(1, _PI_SQUARINGS + 1):
+        prod, scaled = _pca_square_sql(prev, s)
+        parts.append(f"q{s} AS (SELECT {prod} FROM {prev})")
+        parts.append(f"a{s} AS (SELECT {scaled} FROM q{s})")
+        prev = f"a{s}"
+    ev = _pca_final_sql(prev).replace("__PREV__", prev)
+    parts.append(f"ev AS ({ev})")
+    return ",\n    ".join(parts)
+
+
+def _pca_sql() -> str:
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(_D)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(x{i} AS DECIMAL(28,10))) AS s{i}" for i in range(_D)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(x{i} * x{j} AS DECIMAL(28,10))) AS p{i}_{j}"
+        for i, j in _PAIRS
+    )
+    covs = ", ".join(
+        f"(CAST(p{i}_{j} AS DOUBLE) "
+        f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n "
+        f"AS c{i}_{j}"
+        for i, j in _PAIRS
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS m{i}" for i in range(_D)
+    )
+    proj = " + ".join(f"(b.x{i} - e.m{i}) * e.v{i}" for i in range(_D))
+    return f"""
+    WITH base AS (SELECT vec_id, {xs} FROM embeddings),
+    agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM base),
+    c AS (SELECT n, {", ".join(f"s{i}" for i in range(_D))},
+                 {covs} FROM agg),
+    {_pca_cte_chain()},
+    e AS (SELECT v.*, m.* FROM ev v, (SELECT {means} FROM c) m)
+    SELECT b.vec_id, ROUND({proj}, 6) AS pc1
+    FROM base b, e
+    """
+
+
+@register(
+    "embedding_pca_project",
+    _pca_sql(),
+    doc="First-principal-component projection: covariance Gramian -> "
+    f"{_PI_SQUARINGS} trace-rescaled matrix squarings (= 2^"
+    f"{_PI_SQUARINGS} power-iteration rounds) computed INSIDE the "
+    "plan with fixed summation order, so both engines produce the "
+    "bit-identical dominant eigenvector -> mean-centered projection "
+    "of every embedding onto it. Full-oracle distributed PCA without "
+    "any driver-side eigen step (extension).",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pc1): each embedding's coordinate on the dominant
+    principal axis of the corpus.
+
+    Scale shape: two passes over the data — the single-pass Gramian
+    aggregate (map-side partial decimal sums; one wide row per
+    partition), then a row-local projection against the 1-row
+    eigenvector frame (broadcast cross join). The eigen step costs
+    S * d^3 scalar ops on 1-row frames regardless of corpus size.
+    The oracle evaluates it as one linear CTE chain; the Spark side
+    runs the SAME arithmetic as stepwise 1-row frames with eager
+    lineage truncation — handed over whole, Catalyst's projection
+    collapse inflates the chain into a ~2-minute optimizer pass.
+    Sign of the component is fixed by the all-ones seed.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    xs = ", ".join(
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) AS x{i}"
+        for i in range(_D)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(x{i} AS DECIMAL(28,10))) AS s{i}" for i in range(_D)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(x{i} * x{j} AS DECIMAL(28,10))) AS p{i}_{j}"
+        for i, j in _PAIRS
+    )
+    covs = ", ".join(
+        f"(CAST(p{i}_{j} AS DOUBLE) "
+        f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n "
+        f"AS c{i}_{j}"
+        for i, j in _PAIRS
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS m{i}" for i in range(_D)
+    )
+    rows = ", ".join(
+        "array(" + ", ".join(_c(i, j) for j in range(_D)) + ")"
+        for i in range(_D)
+    )
+    # one corpus pass: covariance matrix (as nested array) + means,
+    # materialized once
+    cmat = spark.sql(
+        f"""
+        WITH base AS (SELECT vec_id, {xs} FROM {{emb}}),
+        agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM base),
+        c AS (SELECT n, {", ".join(f"s{i}" for i in range(_D))},
+                     {covs} FROM agg)
+        SELECT array({rows}) AS m, {means} FROM c
+        """,
+        emb=emb,
+    ).localCheckpoint(eager=False)
+
+    # The Spark-side eigen steps run on the ARRAY form with HOF folds:
+    # tiny statements that parse/analyze in milliseconds, vs ~1 s per
+    # statement for the 4096-scalar-expression form, and interpreted
+    # HOF cost is irrelevant on 1-row frames. Every fold iterates in
+    # the same ascending order and left-association as the oracle's
+    # scalar chains (0.0 + x == x bitwise), so the eigenvector is
+    # bit-identical — pinned by the sim compare and the numpy test.
+    d1 = _D - 1
+    sq = f"""
+        SELECT transform(mm, row -> transform(sequence(0, {d1}), j ->
+                 aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
+                           (acc, k) -> acc + row[k] * mm[k][j]) / tr))
+               AS m
+        FROM (SELECT m AS mm,
+                     aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
+                       (acc, i) -> acc + aggregate(sequence(0, {d1}),
+                         CAST(0.0 AS DOUBLE),
+                         (a2, k) -> a2 + m[i][k] * m[k][i])) AS tr
+              FROM {{a}})
+        """
+    a = cmat
+    for _ in range(_PI_SQUARINGS):
+        a = spark.sql(sq, a=a).localCheckpoint(eager=True)
+    v = spark.sql(
+        f"""
+        SELECT transform(w, wi -> wi / SQRT(nrm)) AS ev
+        FROM (SELECT w, aggregate(w, CAST(0.0 AS DOUBLE),
+                                  (acc, x) -> acc + x * x) AS nrm
+              FROM (SELECT transform(sequence(0, {d1}), i ->
+                      aggregate(sequence(0, {d1}),
+                                CAST(0.0 AS DOUBLE),
+                                (acc, j) -> acc + m[i][j])) AS w
+                    FROM {{a}}))
+        """,
+        a=a,
+    )
+    # scalar-extract the eigenvector so the corpus-wide projection is
+    # whole-stage-codegen arithmetic, not an interpreted per-row fold
+    e = spark.sql(
+        "SELECT "
+        + ", ".join(f"ev[{i}] AS v{i}" for i in range(_D))
+        + " FROM {v}",
+        v=v,
+    )
+    proj = " + ".join(f"(b.x{i} - e.m{i}) * e.v{i}" for i in range(_D))
+    m_cols = ", ".join(f"m{i}" for i in range(_D))
+    return spark.sql(
+        f"""
+        WITH base AS (SELECT vec_id, {xs} FROM {{emb}}),
+        e AS (SELECT v.*, m.* FROM {{v}} v,
+                    (SELECT {m_cols} FROM {{cmat}}) m)
+        SELECT b.vec_id, ROUND({proj}, 6) AS pc1
+        FROM base b, e
+        """,
+        emb=emb,
+        v=e,
+        cmat=cmat,
+    )

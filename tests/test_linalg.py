@@ -99,3 +99,47 @@ def test_gramian_partials_merge_is_partition_invariant(spark):
     assert r1["n"] == r7["n"]
     assert np.allclose(r1["s"], r7["s"], atol=1e-8)
     assert np.allclose(r1["g"], r7["g"], atol=1e-6)
+
+
+def test_pca_projection_matches_numpy_eigh(spark):
+    """The unrolled power-iteration rounds must land on numpy's dominant
+    eigenvector (up to sign) and the projections must match."""
+    import numpy as np
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.linalg_queries import (
+        _D,
+        embedding_pca_project,
+    )
+
+    vecs = np.array(
+        [
+            r.embedding[:_D]
+            for r in load(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    centered = vecs - vecs.mean(axis=0)
+    expect = centered @ top
+
+    got_rows = embedding_pca_project(spark, SF_SMOKE).collect()
+    ids = [
+        r.vec_id
+        for r in load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id")
+        .collect()
+    ]
+    got = dict((r.vec_id, r.pc1) for r in got_rows)
+    g = np.array([got[i] for i in ids])
+    # sign of the power-iteration vector is seed-determined: align
+    if np.dot(g, expect) < 0:
+        expect = -expect
+    # correlation ~1 and small absolute error relative to the spread
+    corr = np.corrcoef(g, expect)[0, 1]
+    assert corr > 0.9999
+    assert np.max(np.abs(g - expect)) < 1e-2 * max(1.0, np.std(expect))
