@@ -185,3 +185,53 @@ def test_cms_overestimates_within_bound(spark):
             counters[(j, h(s, r.token))]
             for j, s in enumerate(_CMS_SEEDS)
         )
+
+
+def test_perplexity_buckets_tercile_replay(spark):
+    """Bucket assignment must replay from the registered LM scores:
+    per language, NTILE(3) over (score desc, doc_id)."""
+    from collections import defaultdict
+
+    from autosinapi_spark.plans.corpus_queries import (
+        doc_unigram_logprob,
+        perplexity_buckets,
+    )
+    from autosinapi_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    scores = {
+        r.doc_id: r.lm_score
+        for r in doc_unigram_logprob(spark, SF_SMOKE).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_lang = defaultdict(list)
+    for d, lang in langs.items():
+        by_lang[lang].append(d)
+
+    def ntile3(ds):
+        ordered = sorted(ds, key=lambda d: (-scores[d], d))
+        n = len(ordered)
+        out = {}
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if i < rem else 0) for i in range(3)]
+        pos = 0
+        for b, sz in enumerate(sizes, start=1):
+            for d in ordered[pos : pos + sz]:
+                out[d] = ["head", "middle", "tail"][b - 1]
+            pos += sz
+        return out
+
+    expect = {}
+    for ds in by_lang.values():
+        expect.update(ntile3(ds))
+
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
