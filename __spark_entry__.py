@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "price_change_analysis",
     "perplexity_buckets",
     "embedding_pca_project",
+    "embedding_pca_top2",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

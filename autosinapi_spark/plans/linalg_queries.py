@@ -208,6 +208,50 @@ def _pca_cte_chain() -> str:
     return ",\n    ".join(parts)
 
 
+def _dominant_eigvec(spark: SparkSession, mframe: DataFrame) -> DataFrame:
+    """1-row frame ``ev`` (array<double>): dominant eigenvector of the
+    matrix in ``mframe.m`` via ``_PI_SQUARINGS`` trace-rescaled
+    squarings + one normalized row-sum.
+
+    The Spark-side eigen steps run on the ARRAY form with HOF folds:
+    tiny statements that parse/analyze in milliseconds, vs ~1 s per
+    statement for the 4096-scalar-expression form, and interpreted
+    HOF cost is irrelevant on 1-row frames. Every fold iterates in
+    the same ascending order and left-association as the oracle's
+    scalar chains (0.0 + x == x bitwise), so the eigenvector is
+    bit-identical — pinned by the sim compare and the numpy tests.
+    """
+    d1 = _D - 1
+    sq = f"""
+        SELECT transform(mm, row -> transform(sequence(0, {d1}), j ->
+                 aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
+                           (acc, k) -> acc + row[k] * mm[k][j]) / tr))
+               AS m
+        FROM (SELECT m AS mm,
+                     aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
+                       (acc, i) -> acc + aggregate(sequence(0, {d1}),
+                         CAST(0.0 AS DOUBLE),
+                         (a2, k) -> a2 + m[i][k] * m[k][i])) AS tr
+              FROM {{a}})
+        """
+    a = mframe
+    for _ in range(_PI_SQUARINGS):
+        a = spark.sql(sq, a=a).localCheckpoint(eager=True)
+    return spark.sql(
+        f"""
+        SELECT transform(w, wi -> wi / SQRT(nrm)) AS ev
+        FROM (SELECT w, aggregate(w, CAST(0.0 AS DOUBLE),
+                                  (acc, x) -> acc + x * x) AS nrm
+              FROM (SELECT transform(sequence(0, {d1}), i ->
+                      aggregate(sequence(0, {d1}),
+                                CAST(0.0 AS DOUBLE),
+                                (acc, j) -> acc + m[i][j])) AS w
+                    FROM {{a}}))
+        """,
+        a=a,
+    )
+
+
 def _pca_sql() -> str:
     xs = ", ".join(
         f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(_D)
@@ -305,42 +349,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb=emb,
     ).localCheckpoint(eager=False)
 
-    # The Spark-side eigen steps run on the ARRAY form with HOF folds:
-    # tiny statements that parse/analyze in milliseconds, vs ~1 s per
-    # statement for the 4096-scalar-expression form, and interpreted
-    # HOF cost is irrelevant on 1-row frames. Every fold iterates in
-    # the same ascending order and left-association as the oracle's
-    # scalar chains (0.0 + x == x bitwise), so the eigenvector is
-    # bit-identical — pinned by the sim compare and the numpy test.
-    d1 = _D - 1
-    sq = f"""
-        SELECT transform(mm, row -> transform(sequence(0, {d1}), j ->
-                 aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
-                           (acc, k) -> acc + row[k] * mm[k][j]) / tr))
-               AS m
-        FROM (SELECT m AS mm,
-                     aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
-                       (acc, i) -> acc + aggregate(sequence(0, {d1}),
-                         CAST(0.0 AS DOUBLE),
-                         (a2, k) -> a2 + m[i][k] * m[k][i])) AS tr
-              FROM {{a}})
-        """
-    a = cmat
-    for _ in range(_PI_SQUARINGS):
-        a = spark.sql(sq, a=a).localCheckpoint(eager=True)
-    v = spark.sql(
-        f"""
-        SELECT transform(w, wi -> wi / SQRT(nrm)) AS ev
-        FROM (SELECT w, aggregate(w, CAST(0.0 AS DOUBLE),
-                                  (acc, x) -> acc + x * x) AS nrm
-              FROM (SELECT transform(sequence(0, {d1}), i ->
-                      aggregate(sequence(0, {d1}),
-                                CAST(0.0 AS DOUBLE),
-                                (acc, j) -> acc + m[i][j])) AS w
-                    FROM {{a}}))
-        """,
-        a=a,
-    )
+    v = _dominant_eigvec(spark, cmat)
     # scalar-extract the eigenvector so the corpus-wide projection is
     # whole-stage-codegen arithmetic, not an interpreted per-row fold
     e = spark.sql(
@@ -357,6 +366,210 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         e AS (SELECT v.*, m.* FROM {{v}} v,
                     (SELECT {m_cols} FROM {{cmat}}) m)
         SELECT b.vec_id, ROUND({proj}, 6) AS pc1
+        FROM base b, e
+        """,
+        emb=emb,
+        v=e,
+        cmat=cmat,
+    )
+
+
+# --- top-2 PCA via deflation -----------------------------------------
+
+
+def _sq_chain_ctes(src: str, tag: str) -> tuple[str, str]:
+    """Squaring-chain CTE fragment over matrix columns ``{src}_{i}_{j}``
+    producing ``{tag}{S}_{i}_{j}``; returns (fragment, final_name).
+    Same arithmetic as ``_pca_square_sql`` with namespaced CTEs so two
+    chains can coexist in one oracle."""
+    parts = []
+    prev = src
+    for s in range(1, _PI_SQUARINGS + 1):
+        prod = ", ".join(
+            " + ".join(f"{prev}_{i}_{k} * {prev}_{k}_{j}" for k in range(_D))
+            + f" AS r_{i}_{j}"
+            for i in range(_D)
+            for j in range(_D)
+        )
+        tr = " + ".join(f"r_{i}_{i}" for i in range(_D))
+        scaled = ", ".join(
+            f"r_{i}_{j} / ({tr}) AS {tag}{s}_{i}_{j}"
+            for i in range(_D)
+            for j in range(_D)
+        )
+        parts.append(f"q{tag}{s} AS (SELECT {prod} FROM {prev})")
+        parts.append(f"{tag}{s} AS (SELECT {scaled} FROM q{tag}{s})")
+        prev = f"{tag}{s}"
+    return ",\n    ".join(parts), prev
+
+
+def _eigvec_cte(mat: str, out: str) -> str:
+    """Normalized row-sum eigenvector select over matrix ``{mat}`` with
+    output columns ``{out}{i}``."""
+    w = ", ".join(
+        " + ".join(f"{mat}_{i}_{j}" for j in range(_D)) + f" AS w{i}"
+        for i in range(_D)
+    )
+    nrm = " + ".join(f"w{i} * w{i}" for i in range(_D))
+    v = ", ".join(f"w{i} / SQRT({nrm}) AS {out}{i}" for i in range(_D))
+    return f"SELECT {v} FROM (SELECT {w} FROM {mat})"
+
+
+def _pca2_sql() -> str:
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(_D)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(x{i} AS DECIMAL(28,10))) AS s{i}" for i in range(_D)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(x{i} * x{j} AS DECIMAL(28,10))) AS p{i}_{j}"
+        for i, j in _PAIRS
+    )
+    covs = ", ".join(
+        f"(CAST(p{i}_{j} AS DOUBLE) "
+        f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n "
+        f"AS c{i}_{j}"
+        for i, j in _PAIRS
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS m{i}" for i in range(_D)
+    )
+    g0 = ", ".join(
+        f"{_c(i, j)} AS g0_{i}_{j}" for i in range(_D) for j in range(_D)
+    )
+    chain1, m1 = _sq_chain_ctes("g0", "ga")
+    # Rayleigh quotient lam = v' C v with the same fold order the
+    # Spark HOFs use (i ascending outer, j ascending inner)
+    lam = " + ".join(
+        f"v{i} * ("
+        + " + ".join(f"{_c(i, j)} * v{j}" for j in range(_D))
+        + ")"
+        for i in range(_D)
+    )
+    d0 = ", ".join(
+        f"{_c(i, j)} - lam * v{i} * v{j} AS h0_{i}_{j}"
+        for i in range(_D)
+        for j in range(_D)
+    )
+    chain2, m2 = _sq_chain_ctes("h0", "gb")
+    p1 = " + ".join(f"(b.x{i} - e.m{i}) * e.v{i}" for i in range(_D))
+    p2 = " + ".join(f"(b.x{i} - e.m{i}) * e.u{i}" for i in range(_D))
+    return f"""
+    WITH base AS (SELECT vec_id, {xs} FROM embeddings),
+    agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM base),
+    c AS (SELECT n, {", ".join(f"s{i}" for i in range(_D))},
+                 {covs} FROM agg),
+    g0 AS (SELECT {g0} FROM c),
+    {chain1},
+    ev1 AS ({_eigvec_cte(m1, "v")}),
+    lamc AS (SELECT {lam} AS lam FROM c, ev1),
+    h0 AS (SELECT {d0} FROM c, ev1, lamc),
+    {chain2},
+    ev2 AS ({_eigvec_cte(m2, "u")}),
+    e AS (SELECT ev1.*, ev2.*, m.*
+          FROM ev1, ev2, (SELECT {means} FROM c) m)
+    SELECT b.vec_id, ROUND({p1}, 6) AS pc1, ROUND({p2}, 6) AS pc2
+    FROM base b, e
+    """
+
+
+@register(
+    "embedding_pca_top2",
+    _pca2_sql(),
+    doc="Two-component PCA via deflation: dominant eigenvector as in "
+    "embedding_pca_project, Rayleigh-quotient eigenvalue, rank-one "
+    "deflation C - lam v v', second squaring chain for the next "
+    "component, both projections emitted per embedding — all inside "
+    "the plan with fixed summation order, bit-identical across "
+    "engines (extension).",
+)
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pc1, pc2): coordinates on the top two principal axes.
+
+    Scale shape: identical to ``embedding_pca_project`` (one Gramian
+    pass + a broadcast projection) — deflation adds only 1-row-frame
+    work (a Rayleigh quotient, a rank-one update, a second squaring
+    chain), so the per-component cost is corpus-independent; top-k
+    components iterate the same deflation loop k-1 more times.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    xs = ", ".join(
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) AS x{i}"
+        for i in range(_D)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(x{i} AS DECIMAL(28,10))) AS s{i}" for i in range(_D)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(x{i} * x{j} AS DECIMAL(28,10))) AS p{i}_{j}"
+        for i, j in _PAIRS
+    )
+    covs = ", ".join(
+        f"(CAST(p{i}_{j} AS DOUBLE) "
+        f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n "
+        f"AS c{i}_{j}"
+        for i, j in _PAIRS
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS m{i}" for i in range(_D)
+    )
+    rows = ", ".join(
+        "array(" + ", ".join(_c(i, j) for j in range(_D)) + ")"
+        for i in range(_D)
+    )
+    cmat = spark.sql(
+        f"""
+        WITH base AS (SELECT vec_id, {xs} FROM {{emb}}),
+        agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM base),
+        c AS (SELECT n, {", ".join(f"s{i}" for i in range(_D))},
+                     {covs} FROM agg)
+        SELECT array({rows}) AS m, {means} FROM c
+        """,
+        emb=emb,
+    ).localCheckpoint(eager=False)
+
+    d1 = _D - 1
+    v1 = _dominant_eigvec(spark, cmat)
+    # Rayleigh quotient + rank-one deflation on the 1-row frames; the
+    # fold orders mirror the oracle's scalar chains exactly
+    m2 = spark.sql(
+        f"""
+        SELECT transform(sequence(0, {d1}), i ->
+                 transform(sequence(0, {d1}), j ->
+                   m[i][j] - lam * ev[i] * ev[j])) AS m
+        FROM (SELECT m, ev,
+                     aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
+                       (acc, i) -> acc + ev[i] *
+                         aggregate(sequence(0, {d1}),
+                                   CAST(0.0 AS DOUBLE),
+                                   (a2, j) -> a2 + m[i][j] * ev[j]))
+                       AS lam
+              FROM {{c}}, {{v}})
+        """,
+        c=cmat,
+        v=v1,
+    ).localCheckpoint(eager=True)
+    v2 = _dominant_eigvec(spark, m2)
+
+    e = spark.sql(
+        "SELECT "
+        + ", ".join(f"a.ev[{i}] AS v{i}" for i in range(_D))
+        + ", "
+        + ", ".join(f"b.ev[{i}] AS u{i}" for i in range(_D))
+        + " FROM {a} a, {b} b",
+        a=v1,
+        b=v2,
+    )
+    p1 = " + ".join(f"(b.x{i} - e.m{i}) * e.v{i}" for i in range(_D))
+    p2 = " + ".join(f"(b.x{i} - e.m{i}) * e.u{i}" for i in range(_D))
+    m_cols = ", ".join(f"m{i}" for i in range(_D))
+    return spark.sql(
+        f"""
+        WITH base AS (SELECT vec_id, {xs} FROM {{emb}}),
+        e AS (SELECT v.*, m.* FROM {{v}} v,
+                    (SELECT {m_cols} FROM {{cmat}}) m)
+        SELECT b.vec_id, ROUND({p1}, 6) AS pc1, ROUND({p2}, 6) AS pc2
         FROM base b, e
         """,
         emb=emb,

@@ -143,3 +143,49 @@ def test_pca_projection_matches_numpy_eigh(spark):
     corr = np.corrcoef(g, expect)[0, 1]
     assert corr > 0.9999
     assert np.max(np.abs(g - expect)) < 1e-2 * max(1.0, np.std(expect))
+
+
+def test_pca_top2_matches_numpy_eigh(spark):
+    """Deflation must recover the SECOND eigenvector too: both
+    projections correlate with numpy's top-2, and pc1/pc2 are
+    (near-)uncorrelated as principal axes must be."""
+    import numpy as np
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.linalg_queries import (
+        _D,
+        embedding_pca_top2,
+    )
+
+    vecs = np.array(
+        [
+            r.embedding[:_D]
+            for r in load(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    _evals, evecs = np.linalg.eigh(cov)
+    centered = vecs - vecs.mean(axis=0)
+    exp1 = centered @ evecs[:, -1]
+    exp2 = centered @ evecs[:, -2]
+
+    rows = embedding_pca_top2(spark, SF_SMOKE).collect()
+    ids = [
+        r.vec_id
+        for r in load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id")
+        .collect()
+    ]
+    d1 = {r.vec_id: r.pc1 for r in rows}
+    d2 = {r.vec_id: r.pc2 for r in rows}
+    g1 = np.array([d1[i] for i in ids])
+    g2 = np.array([d2[i] for i in ids])
+    for g, exp in ((g1, exp1), (g2, exp2)):
+        if np.dot(g, exp) < 0:
+            exp = -exp
+        assert np.corrcoef(g, exp)[0, 1] > 0.999
+    # orthogonal axes -> uncorrelated projections
+    assert abs(np.corrcoef(g1, g2)[0, 1]) < 0.01
