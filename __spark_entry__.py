@@ -80,6 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     "perplexity_buckets",
     "embedding_pca_project",
     "embedding_pca_top2",
+    "nation_market_share",
+    "source_token_kl",
+    "grouping_sets_revenue",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

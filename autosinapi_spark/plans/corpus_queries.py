@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..functions.text import tokens
-from .registry import davg, register, sql_davg
+from .registry import davg, dsum, register, sql_davg, sql_dsum
 
 # --- C4-style line-level dedup ---------------------------------------
 
@@ -1043,4 +1043,95 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b") == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+    )
+
+
+# --- per-source distribution drift (KL divergence) -------------------
+
+
+@register(
+    "source_token_kl",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT source, term, COUNT(*) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s
+      FROM st GROUP BY source
+    ),
+    t_tot AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t
+      FROM st GROUP BY term
+    ),
+    ctot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS c_all FROM st),
+    term_kl AS (
+      SELECT st.source, st.c_st, s.c_s,
+             (CAST(st.c_st AS DOUBLE) / s.c_s)
+               * ln((CAST(st.c_st AS DOUBLE) / s.c_s)
+                    / (CAST(t.c_t AS DOUBLE) / ctot.c_all)) AS term_kl
+      FROM st
+      JOIN s_tot s USING (source)
+      JOIN t_tot t USING (term)
+      CROSS JOIN ctot
+    )
+    SELECT source,
+           MAX(c_s) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           {sql_dsum('term_kl', 'kl_nats')}
+    FROM term_kl
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source token-distribution drift: KL(source ‖ corpus) "
+    "over unigram frequencies — the mixture-monitoring signal a "
+    "training-data pipeline tracks to catch a crawler or source "
+    "whose language shifted (extension; same two-pass LM shape as "
+    "doc_unigram_logprob).",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram mix vs the corpus.
+
+    Scale shape: one explode feeds a (source, term)-keyed hash count
+    (map-side combine collapses repeats before the exchange); the
+    three marginals (per-source, per-term, corpus total) all derive
+    from that vocabulary×sources-scale frame, never from re-reading
+    text. The per-term join is keyed on term (vocabulary-scale hash
+    join); per-source totals and the 1-row corpus total broadcast.
+    Per-term KL contributions reduce source-keyed — ~|sources| output
+    rows, all map-side combine. ln() ulp drift across engines is
+    quantized away by the decimal(28,10)-sum + round(6) pattern.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ctot = st.agg(F.sum("c_st").alias("c_all"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("c_t").cast("double") / F.col("c_all")
+    term_kl = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", "c_s", (p * F.log(p / q)).alias("term_kl"))
+    )
+    return (
+        term_kl.groupBy("source")
+        .agg(
+            F.max("c_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            dsum(F.col("term_kl"), "kl_nats"),
+        )
+        .select("source", "n_tokens", "n_distinct", "kl_nats")
+        .orderBy("source")
     )

@@ -329,3 +329,127 @@ def price_change_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_rank_ppm"),
         F.col("qt").cast("long").alias("price_quartile"),
     )
+
+
+# --- national market share (TPC-H Q8 shape) --------------------------
+
+_Q8_REGION = "AMERICA"  # customer region under analysis
+_Q8_NATION = "NATION_6"  # supplier nation whose share is measured
+_Q8_PTYPE = "PROMO"  # product line under analysis
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH vol AS (
+      SELECT strftime(o.o_orderdate, '%Y') AS ano,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}'
+        AND p.p_type = '{_Q8_PTYPE}'
+    )
+    SELECT ano,
+           {sql_dsum('volume', 'total_volume', 2)},
+           {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}' "
+                     "THEN volume ELSE 0 END", 'nation_volume', 2)},
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = '{_Q8_NATION}'
+                                    THEN volume ELSE 0 END
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM vol
+    GROUP BY ano
+    ORDER BY ano
+    """,
+    doc="TPC-H Q8 shape: one nation's share of a product line's "
+    "sales volume into one customer region, per order year — "
+    "selective dimension filters pushed below every join, bounded "
+    "dims pinned broadcast, share via conditional aggregation in a "
+    "single pass (extension).",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share per year via ONE conditional aggregation.
+
+    Scale shape: the naive Q8 form computes nation and total volume
+    as two scans or a self-join; here both are conditional sums in
+    the same hash aggregate, so the fact side is read once. part is
+    filtered to one p_type BEFORE its join (1/6 selectivity reaching
+    the parquet scan as a pushed filter) and carries no hint — it is
+    fact-scale, so the optimizer picks broadcast vs shuffle per SF.
+    nation(×2 roles)/region are bounded dims, pinned broadcast, and
+    the region filter prunes the customer arm before orders joins
+    it. lineitem⋈orders stays the one fact-fact exchange. The final
+    group key (year) has ~7 values — all map-side combine; the share
+    divides two exactly-summed decimals, so both engines round the
+    same double.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == _Q8_PTYPE)
+        .select("p_partkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust_nations = (
+        load(spark, sf_dir, "nation")
+        .join(
+            broadcast(
+                load(spark, sf_dir, "region").where(
+                    F.col("r_name") == _Q8_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(broadcast(supp_nation), supp["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("ano"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    is_nation = F.col("supp_nation") == _Q8_NATION
+    cond_vol = F.when(is_nation, F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        vol.groupBy("ano")
+        .agg(
+            dsum(F.col("volume"), "total_volume", 2),
+            dsum(cond_vol, "nation_volume", 2),
+            F.round(
+                F.sum(cond_vol.cast("decimal(28,10)")).cast("double")
+                / F.sum(F.col("volume").cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mkt_share"),
+        )
+        .select("ano", "total_volume", "nation_volume", "mkt_share")
+        .orderBy("ano")
+    )

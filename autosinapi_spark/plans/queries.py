@@ -731,3 +731,59 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (extension): completes the grouping-sets
+# family next to rollup_revenue (prefix chain) and cube_revenue (full
+# lattice) with a HAND-PICKED set list that neither shortcut can
+# express: detail by (year, status), a status-only marginal, and the
+# grand total — but NO year-only marginal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT strftime(o_orderdate, '%Y') AS ano,
+           o_orderstatus AS situacao,
+           GROUPING(strftime(o_orderdate, '%Y')) AS g_ano,
+           GROUPING(o_orderstatus) AS g_situacao,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'receita', scale=2)}
+    FROM orders
+    GROUP BY GROUPING SETS ((strftime(o_orderdate, '%Y'), o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS: hand-picked subtotal list "
+    "((year,status),(status),()) that is neither a rollup prefix "
+    "chain nor a full cube, with GROUPING() markers (extension).",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets via the Spark 4 DataFrame API.
+
+    Scale shape: identical to cube/rollup — Spark expands the set
+    list before one hash aggregate (each input row replicated once
+    per matching set, 3× here vs the cube's 4×), every set
+    partial-aggregates map-side, and the group-key domain
+    (|years|×|statuses| + |statuses| + 1) is tiny, so the exchange
+    carries only combiner output.
+    """
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy").alias("ano"),
+        F.col("o_orderstatus").alias("situacao"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets(
+            [["ano", "situacao"], ["situacao"], []], "ano", "situacao"
+        )
+        .agg(
+            F.grouping("ano").alias("g_ano"),
+            F.grouping("situacao").alias("g_situacao"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "receita", scale=2),
+        )
+        .select("ano", "situacao", "g_ano", "g_situacao", "n", "receita")
+    )
