@@ -235,3 +235,43 @@ def test_perplexity_buckets_tercile_replay(spark):
         for r in perplexity_buckets(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_source_token_kl_python_replay(spark):
+    """Full Python recomputation of per-source KL(source ‖ corpus)
+    from the raw docs; also pins Gibbs' inequality (KL >= 0) and the
+    token-count marginals."""
+    import math
+    from collections import Counter
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import source_token_kl
+
+    got = {r.source: r for r in source_token_kl(spark, SF_SMOKE).collect()}
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    st: Counter = Counter()
+    for r in docs:
+        for t in " ".join(r.text.split()).split(" "):
+            st[(r.source, t)] += 1
+    s_tot: Counter = Counter()
+    t_tot: Counter = Counter()
+    for (s, t), c in st.items():
+        s_tot[s] += c
+        t_tot[t] += c
+    c_all = sum(st.values())
+
+    assert set(got) == set(s_tot)
+    assert sum(r.n_tokens for r in got.values()) == c_all
+    for s in s_tot:
+        kl = sum(
+            (c / s_tot[s]) * math.log((c / s_tot[s]) / (t_tot[t] / c_all))
+            for (src, t), c in st.items()
+            if src == s
+        )
+        assert got[s].n_tokens == s_tot[s]
+        assert got[s].n_distinct == sum(
+            1 for (src, _t) in st if src == s
+        )
+        assert got[s].kl_nats >= 0.0  # Gibbs' inequality
+        assert abs(got[s].kl_nats - kl) < 1e-5, (s, got[s].kl_nats, kl)

@@ -66,3 +66,46 @@ def test_price_change_analysis_window_replay(spark):
             bounds.append(pos)
         exp_q = next(b + 1 for b, e in enumerate(bounds) if rk <= e)
         assert g.price_quartile == exp_q
+
+
+def test_grouping_sets_revenue_set_structure(spark):
+    """Exactly the three hand-picked sets appear, and the marginals
+    are consistent: status marginals sum to the grand total, which
+    equals the full orders rowcount."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.queries import grouping_sets_revenue
+
+    rows = grouping_sets_revenue(spark, SF_SMOKE).collect()
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[(r.g_ano, r.g_situacao)].append(r)
+    # sets: (year,status) detail, status-only, grand total — and NO
+    # year-only marginal (that would be (0, 1))
+    assert set(by_g) == {(0, 0), (1, 0), (1, 1)}
+    assert len(by_g[(1, 1)]) == 1
+    grand = by_g[(1, 1)][0]
+    n_orders = load(spark, SF_SMOKE, "orders").count()
+    assert grand.n == n_orders
+    assert sum(r.n for r in by_g[(1, 0)]) == grand.n
+    assert sum(r.n for r in by_g[(0, 0)]) == grand.n
+    # subtotal rows carry NULL for the rolled-up key; detail rows don't
+    assert all(r.ano is None for r in by_g[(1, 0)])
+    assert all(r.ano is not None and r.situacao is not None
+               for r in by_g[(0, 0)])
+
+
+def test_nation_market_share_invariants(spark):
+    """Share is the quotient of the emitted sums; the measured
+    nation's volume never exceeds the total."""
+    from autosinapi_spark.plans.olap_queries import nation_market_share
+
+    rows = nation_market_share(spark, SF_SMOKE).collect()
+    assert rows, "market-share query returned no years"
+    years = [r.ano for r in rows]
+    assert years == sorted(years)
+    for r in rows:
+        assert 0.0 <= r.nation_volume <= r.total_volume
+        assert 0.0 <= r.mkt_share <= 1.0
+        # rounded-sum quotient tracks the emitted exact-sum quotient
+        # to well inside the scale-2 rounding of the operands
+        assert abs(r.mkt_share - r.nation_volume / r.total_volume) < 1e-4
