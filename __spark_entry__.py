@@ -43,6 +43,7 @@ def _registry():
     import autosinapi_spark.plans.graph_analytics_queries  # noqa: F401
     import autosinapi_spark.plans.olap_queries  # noqa: F401
     import autosinapi_spark.plans.streaming_queries  # noqa: F401
+    import autosinapi_spark.plans.behavior_queries  # noqa: F401
 
     return _prioritized(registry.REGISTRY)
 
@@ -83,6 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     "nation_market_share",
     "source_token_kl",
     "grouping_sets_revenue",
+    "events_gap_fill",
+    "user_retention_cohorts",
+    "funnel_conversion",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

@@ -787,3 +787,122 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ano", "situacao", "g_ano", "g_situacao", "n", "receita")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (extension): resample events to a dense hourly
+# grid per event type — missing hours materialized with count 0 and
+# the last observed hourly mean carried forward (LOCF). The standard
+# "regularize an irregular series" step before any rolling-window or
+# forecasting consumer; neither rollup nor window functions alone can
+# produce rows that do not exist in the input.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hora,
+             COUNT(*) AS n,
+             {sql_davg('value', 'valor_hora')}
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, u.hora
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                      INTERVAL 1 HOUR)) AS hora) u
+    ),
+    joined AS (
+      SELECT s.event_type, s.hora,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+             h.valor_hora,
+             h.n IS NULL AS is_gap
+      FROM spine s
+      LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hora = s.hora
+    )
+    SELECT event_type, hora, n,
+           COALESCE(last_value(valor_hora IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY hora
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                    0.0) AS valor_locf,
+           is_gap
+    FROM joined
+    ORDER BY event_type, hora
+    """,
+    doc="Time-series resample + gap fill: dense hourly spine per "
+    "event type (generated rows for missing hours), count 0 and "
+    "last-observation-carried-forward hourly mean on the gaps "
+    "(extension; the regularization step before rolling-window / "
+    "forecast consumers).",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid with LOCF over an irregular event series.
+
+    Scale shape: the fact scan reduces FIRST to an (event_type, hour)
+    hash aggregate (map-side combine; grid-sized output), so the
+    spine join and LOCF window never touch raw events. The spine is
+    generated, not shuffled: a 1-row global bounds aggregate and the
+    distinct-type frame broadcast, and sequence() explodes per type —
+    |types| × |hours| rows. The LOCF window partitions by event_type
+    (bounded partitions ≈ series length; at 100 TB the partition key
+    would widen to (type, month) with a per-month seed row to keep
+    partitions bounded). The carried value is the already-rounded
+    hourly mean, so both engines carry bit-identical doubles.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    hora = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        F.col("event_type"), hora.alias("hora")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("value"), "valor_hora"),
+    )
+    bounds = ev.agg(
+        F.min(hora).alias("h0"), F.max(hora).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hora"),
+        )
+    )
+    joined = spine.join(
+        hourly, ["event_type", "hora"], "left"
+    ).select(
+        "event_type",
+        "hora",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "valor_hora",
+        F.col("n").isNull().alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hora")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hora",
+        "n",
+        F.coalesce(
+            F.last("valor_hora", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("valor_locf"),
+        "is_gap",
+    ).orderBy("event_type", "hora")

@@ -15,6 +15,7 @@ some shapes.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -59,6 +60,11 @@ def main() -> int:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop this query's lingering frame refs so the ContextCleaner
+        # can release any localCheckpoint blocks before the next
+        # measurement (leaked blocks otherwise accumulate for the
+        # whole run and pressure later queries' shuffles)
+        gc.collect()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
@@ -70,6 +76,12 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "warmup_sec": round(warmup, 3),
+        # host conditions at measurement time: this box is shared, and
+        # co-tenant load has been observed to inflate individual query
+        # walls 2-4x run-to-run with identical plans — read heavy
+        # per-query swings against this before reading them as
+        # regressions (min-of-3 isolated runs are the arbiter).
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
     return 0 if len(ok) == len(timings) else 1

@@ -63,3 +63,51 @@ def test_bpe_token_count_matches_python_re(spark):
         for r in doc_bpe_token_count(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_events_gap_fill_python_replay(spark):
+    """Spine completeness + LOCF semantics recomputed in Python from
+    the raw events."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.queries import events_gap_fill
+    from tests.conftest import SF_SMOKE
+
+    rows = events_gap_fill(spark, SF_SMOKE).collect()
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly_vals = defaultdict(list)
+    for r in ev:
+        hourly_vals[(r.event_type, r.ts.replace(
+            minute=0, second=0, microsecond=0))].append(r.value)
+    hours = sorted({h for (_t, h) in hourly_vals})
+    h0, h1 = hours[0], hours[-1]
+    types = sorted({t for (t, _h) in hourly_vals})
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+
+    # dense spine: every (type, hour) cell exists exactly once
+    assert len(rows) == len(types) * n_hours
+    got = {(r.event_type, r.hora): r for r in rows}
+    assert len(got) == len(rows)
+
+    for t in types:
+        locf = 0.0
+        h = h0
+        while h <= h1:
+            r = got[(t, h)]
+            vals = hourly_vals.get((t, h))
+            if vals:
+                assert r.n == len(vals) and not r.is_gap
+                # davg: exact-decimal mean rounded to 6
+                locf = round(sum(vals) / len(vals), 6)
+                # float-sum replay vs exact decimal sum: allow one
+                # ulp of the 6-dp rounding boundary
+                assert abs(r.valor_locf - locf) < 2e-6
+            else:
+                assert r.n == 0 and r.is_gap
+                assert abs(r.valor_locf - locf) < 2e-6
+            h += timedelta(hours=1)
