@@ -66,6 +66,12 @@ QUERIES = [
     "item_cooccurrence_pagerank",  # 10x orders over SHARED parts: graph densifies
     "entity_resolution_parts",  # 10x rows, same 64-name dictionary
     "ann_ivf_pq_topk",  # sqrt(N) cells + probe-bounded ADC
+    "source_token_kl",  # (source, term) count + vocab-keyed join
+    "events_gap_fill",  # grid-sized agg; spine constant, counts 10x
+    "user_retention_cohorts",  # 10x users, same 30-day window
+    "funnel_conversion",  # user-keyed cascade over 10x users
+    "nation_market_share",  # Q8 star join: 10x facts, shared dims
+    "grouping_sets_revenue",  # 3-way set expansion over 10x orders
 ]
 
 
@@ -109,9 +115,25 @@ def build() -> None:
             t2 = t2.set_column(i, t2.schema.field("embedding"), new.cast(t2.schema.field("embedding").type))
         return t2
 
+    # orders and lineitem must share ONE per-copy key offset or the
+    # replicated orderkeys stop joining; orders' max is the superset
+    # (every l_orderkey references an order)
+    okey_base = (
+        pc.max(
+            pq.read_table(
+                SRC / "orders.parquet", columns=["o_orderkey"]
+            ).column("o_orderkey")
+        ).as_py()
+        + 1
+    )
+
     def li_tweak(t, c):
-        off = c * (pc.max(t.column("l_orderkey")).as_py() + 1)
-        return _offset_col(t, "l_orderkey", off)
+        return _offset_col(t, "l_orderkey", c * okey_base)
+
+    def orders_tweak(t, c):
+        # o_custkey stays: 10x orders over the SHARED customer base —
+        # the realistic fact-growth shape for the star joins
+        return _offset_col(t, "o_orderkey", c * okey_base)
 
     def part_tweak(t, c):
         off = c * (pc.max(t.column("p_partkey")).as_py() + 1)
@@ -128,8 +150,16 @@ def build() -> None:
     _replicate("documents", doc_tweak)
     _replicate("embeddings", emb_tweak)
     _replicate("lineitem", li_tweak)
+    _replicate("orders", orders_tweak)
     _replicate("part", part_tweak)
     _replicate("events", ev_tweak)
+
+    # bounded dimensions ship verbatim: they stay dimension-scale at
+    # any SF (that is the point of broadcasting them)
+    import shutil
+
+    for dim in ("customer", "supplier", "nation", "region"):
+        shutil.copyfile(SRC / f"{dim}.parquet", DST / f"{dim}.parquet")
 
 
 def main() -> int:
