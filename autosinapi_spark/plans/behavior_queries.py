@@ -169,13 +169,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: events are filtered to the three funnel types at the
     scan, then each step is a user-keyed hash aggregate joined back
-    to the (user, type, ts) projection — all stages co-partitioned on
-    user_id, so after the first exchange the cascade is
-    exchange-free.  Step frames shrink monotonically (every s2 user
+    to the (user, type, ts) projection.  Every join and aggregate in
+    the cascade hashes on the same key (user_id): at bench scale the
+    shrinking step frames auto-broadcast (the observed plan joins
+    them broadcast, leaving the event side unshuffled); at fact
+    scale they become shuffle joins whose exchanges all share the
+    user_id partitioning, and the repeated event-side shuffle is one
+    ReusedExchange.  Step frames shrink monotonically (every s2 user
     is an s1 user), so joins get cheaper down the funnel.  The final
     3-row union and the 1-row head frame are driver-trivial;
     conversion is integer ppm (see module docstring).  A k-step
-    funnel is the same cascade k deep — still one shuffle.
+    funnel is the same cascade k deep.
     """
     ev = (
         load(spark, sf_dir, "events")

@@ -54,3 +54,38 @@ def test_brute_force_is_the_only_nested_loop(spark):
 
     plan = _plan(ann_bruteforce_topk(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_behavior_and_gapfill_plans_are_scale_safe(spark):
+    """Round-6 behavior/time-series/drift queries: no cartesian
+    products; the only nested-loop joins are the pinned broadcasts of
+    1-row stat frames (bounds / corpus total / funnel head)."""
+    from autosinapi_spark.plans.behavior_queries import (
+        funnel_conversion,
+        user_retention_cohorts,
+    )
+    from autosinapi_spark.plans.corpus_queries import source_token_kl
+    from autosinapi_spark.plans.queries import events_gap_fill
+
+    for fn, n_nlj in (
+        (funnel_conversion, 1),  # 1-row head frame
+        (user_retention_cohorts, 0),
+        (events_gap_fill, 1),  # 1-row bounds frame
+        (source_token_kl, 1),  # 1-row corpus total
+    ):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+        # crossJoin(broadcast(1-row)) plans as BroadcastNestedLoopJoin;
+        # anything beyond the declared count is an accidental cross
+        assert plan.count("BroadcastNestedLoopJoin") <= n_nlj, fn.__name__
+
+
+def test_nation_market_share_pushes_filter_and_broadcasts_dims(spark):
+    from autosinapi_spark.plans.olap_queries import nation_market_share
+
+    plan = _plan(nation_market_share(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bounded dims ride broadcast joins; p_type reaches the part scan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "p_type" in plan
