@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_gap_fill",
     "user_retention_cohorts",
     "funnel_conversion",
+    "streaming_join_attribution",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

@@ -114,3 +114,144 @@ def streaming_window_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), "soma_valor"),
     )
+
+
+# --- stream-stream interval join (last-touch attribution) -------------
+
+_ATTR_WINDOW_SQL = "INTERVAL 1 HOUR"
+_ATTR_WINDOW_SPARK = "INTERVAL 1 HOURS"
+
+
+def _attribution_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    b1 AS (
+      SELECT * FROM ev
+      WHERE ts < TIMESTAMP '{_B1_END}'
+        AND event_id % {_STRAGGLER_MOD} <> 0
+    ),
+    b2 AS (
+      SELECT * FROM ev
+      WHERE NOT (ts < TIMESTAMP '{_B1_END}'
+                 AND event_id % {_STRAGGLER_MOD} <> 0)
+    ),
+    wm AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM b1 WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM b1 WHERE event_type = 'click')
+             ) - {_DELAY_SQL} AS w
+    ),
+    adm AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b2.* FROM b2, wm WHERE b2.ts >= wm.w
+    ),
+    pairs AS (
+      SELECT c.event_id AS click_id, c.user_id,
+             v.event_id AS view_id, v.ts AS v_ts, c.ts AS c_ts
+      FROM adm c JOIN adm v
+        ON v.user_id = c.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + {_ATTR_WINDOW_SQL}
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+    ),
+    ranked AS (
+      SELECT click_id, user_id, view_id, v_ts, c_ts,
+             ROW_NUMBER() OVER (PARTITION BY click_id
+                                ORDER BY v_ts DESC, view_id DESC) AS rn
+      FROM pairs
+    )
+    SELECT click_id, user_id, view_id,
+           (epoch_us(c_ts) - epoch_us(v_ts)) // 1000000 AS lag_sec
+    FROM ranked WHERE rn = 1
+    ORDER BY click_id
+    """
+
+
+@register(
+    "streaming_join_attribution",
+    _attribution_oracle(),
+    doc="Stream-stream interval join replay: views and clicks as two "
+    "watermarked streams (global watermark = min of the per-stream "
+    "batch-1 maxima - 24 h, late arrivals dropped on BOTH sides), "
+    "then each admitted click last-touch attributed to its latest "
+    "same-user view within the preceding hour (extension; Structured "
+    "Streaming's symmetric join-state admission rule plus the "
+    "event-time interval condition, batch-replayed with a full "
+    "oracle).",
+)
+def streaming_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch click attribution after the two-batch join replay.
+
+    Scale shape: the global watermark is two 1-row max aggregates
+    (exactly the per-input maxima Spark's streaming engine tracks;
+    their min is the multi-input global watermark) broadcast into the
+    batch-2 admission filters — state never materializes beyond those
+    scalars here because the replay is batch.  The interval join
+    itself is an EQUI-join on user_id with the time window as a
+    residual predicate: per-user timelines are bounded, so the pair
+    space is bucketed by user exactly like the real stream-stream
+    join's keyed state, never a time-only range join.  Last-touch is
+    max(struct(v_ts, view_id)) per click — a hash aggregate, not a
+    sort window (the ``near_dedup_incremental`` argmax lesson).
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    in_b1 = (F.col("ts") < F.lit(_B1_END).cast("timestamp")) & (
+        F.col("event_id") % _STRAGGLER_MOD != 0
+    )
+    b1 = ev.where(in_b1)
+    b2 = ev.where(~in_b1)
+    wm = (
+        b1.where(F.col("event_type") == "view")
+        .agg(F.max("ts").alias("mv"))
+        .crossJoin(
+            F.broadcast(
+                b1.where(F.col("event_type") == "click").agg(
+                    F.max("ts").alias("mc")
+                )
+            )
+        )
+        .select(
+            (F.least("mv", "mc") - F.expr(_DELAY_SPARK)).alias("w")
+        )
+    )
+    adm = b1.unionByName(
+        b2.crossJoin(F.broadcast(wm))
+        .where(F.col("ts") >= F.col("w"))
+        .drop("w")
+    )
+    views = adm.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = adm.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(_ATTR_WINDOW_SPARK)),
+    )
+    best = pairs.groupBy("click_id", "user_id", "c_ts").agg(
+        F.max(F.struct("v_ts", "view_id")).alias("b")
+    )
+    return best.select(
+        "click_id",
+        "user_id",
+        F.col("b.view_id").alias("view_id"),
+        F.expr(
+            "(unix_micros(c_ts) - unix_micros(b.v_ts)) div 1000000"
+        ).alias("lag_sec"),
+    ).orderBy("click_id")

@@ -67,3 +67,63 @@ def test_replay_reconciles_with_batch_aggregate(spark):
         .collect()[0][0]
     )
     assert out.agg(F.min("hora")).collect()[0][0] >= first_hour
+
+
+def test_stream_join_attribution_python_replay(spark):
+    """Full Python recomputation: watermark admission on both sides,
+    interval pairing, last-touch argmax."""
+    from datetime import timedelta
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.streaming_queries import (
+        _B1_END,
+        _STRAGGLER_MOD,
+        streaming_join_attribution,
+    )
+
+    got = {
+        r.click_id: r
+        for r in streaming_join_attribution(spark, SF_SMOKE).collect()
+    }
+
+    ev = [
+        r
+        for r in load(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+        if r.event_type in ("view", "click")
+    ]
+    from datetime import datetime
+
+    b1_end = datetime.fromisoformat(_B1_END)
+    in_b1 = lambda r: r.ts < b1_end and r.event_id % _STRAGGLER_MOD != 0
+    b1 = [r for r in ev if in_b1(r)]
+    wm = min(
+        max(r.ts for r in b1 if r.event_type == "view"),
+        max(r.ts for r in b1 if r.event_type == "click"),
+    ) - timedelta(hours=24)
+    adm = b1 + [r for r in ev if not in_b1(r) and r.ts >= wm]
+    views = [r for r in adm if r.event_type == "view"]
+    exp = {}
+    for c in adm:
+        if c.event_type != "click":
+            continue
+        cands = [
+            v
+            for v in views
+            if v.user_id == c.user_id
+            and c.ts > v.ts
+            and c.ts <= v.ts + timedelta(hours=1)
+        ]
+        if cands:
+            best = max(cands, key=lambda v: (v.ts, v.event_id))
+            exp[c.event_id] = (
+                c.user_id,
+                best.event_id,
+                int((c.ts - best.ts).total_seconds()),
+            )
+
+    assert set(got) == set(exp)
+    for cid, (uid, vid, lag) in exp.items():
+        r = got[cid]
+        assert (r.user_id, r.view_id, r.lag_sec) == (uid, vid, lag)
