@@ -212,3 +212,54 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attributed_click_pairs(
+    views: DataFrame,
+    clicks: DataFrame,
+    ts_col: str = "ts",
+    join_window: str = "1 hour",
+    watermark_delay: str = "24 hours",
+) -> DataFrame:
+    """Stream-stream interval join: (view, click) pairs per user with
+    the click inside ``join_window`` after the view.
+
+    Both inputs must be watermarked streams (or batch frames — the
+    same plan runs in either mode): Spark requires watermarks on both
+    sides of a stream-stream join so it can expire join state; a
+    view's state row is dropped once the global watermark (min of the
+    two streams' maxima minus their delays) passes
+    ``view.ts + join_window``, which bounds state to one window of
+    per-user timeline per side.
+
+    Emits the raw qualifying pairs. The last-touch reduction (argmax
+    view per click) is a second stateful operator downstream; its
+    batch semantics — including the two-batch watermark admission —
+    are oracle-pinned by the registered
+    ``streaming_join_attribution`` replay
+    (``plans/streaming_queries.py``).
+    """
+    v = views.withWatermark(ts_col, watermark_delay).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("v_ts"),
+    )
+    c = clicks.withWatermark(ts_col, watermark_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("c_ts"),
+    )
+    return v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND c_ts > v_ts "
+            f"AND c_ts <= v_ts + interval {join_window}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000").alias(
+            "lag_sec"
+        ),
+    )

@@ -233,3 +233,39 @@ def test_session_windows_match_batch_and_sessionize_query(
             want_counts[u] += 1
         prev[u] = t
     assert dict(got_counts) == dict(want_counts)
+
+
+def test_stream_stream_join_matches_batch_interval_join(
+    spark, events, tmp_path
+):
+    """Real stream-stream interval join (two file streams, availableNow)
+    equals the batch interval join over the same rows — single batch,
+    so the watermark admits everything and the comparison is exact."""
+    from autosinapi_spark.streaming.incremental import attributed_click_pairs
+
+    views = events.where(F.col("event_type") == "view")
+    clicks = events.where(F.col("event_type") == "click")
+    vsrc, csrc = tmp_path / "views_src", tmp_path / "clicks_src"
+    views.write.mode("overwrite").parquet(str(vsrc))
+    clicks.write.mode("overwrite").parquet(str(csrc))
+
+    vstream = spark.readStream.schema(events.schema).parquet(str(vsrc))
+    cstream = spark.readStream.schema(events.schema).parquet(str(csrc))
+    q = (
+        attributed_click_pairs(vstream, cstream)
+        .writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.click_id, r.view_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM attr_pairs").collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.view_id, r.lag_sec)
+        for r in attributed_click_pairs(views, clicks).collect()
+    }
+    assert got == want and len(got) > 0
