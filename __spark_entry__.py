@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "funnel_conversion",
     "streaming_join_attribution",
+    "rolling_active_users",
+    "source_oov_rate",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

@@ -1,6 +1,7 @@
-"""User-behavior analytics: cohort retention and funnel conversion.
+"""User-behavior analytics: cohort retention, funnel conversion, and
+rolling active users.
 
-Two warehouse staples over the events stream that neither the rollup
+Warehouse staples over the events stream that neither the rollup
 family nor the session/window queries cover:
 
 - **Cohort retention**: users grouped by the day of their first
@@ -13,6 +14,9 @@ family nor the session/window queries cover:
   integer-ppm conversion from the funnel head.  Without the window
   the fixture's 30-day always-on users all reach every step; with
   it the funnel narrows for real (150 -> 60 -> 25 at sf0.01).
+- **Rolling active users**: exact DAU and trailing-7-day WAU per
+  day, computed by bounded window-day fan-out instead of a windowed
+  COUNT(DISTINCT).
 
 Ratios are emitted as integer parts-per-million (``* 1000000 div``),
 never as rounded doubles: a cohort ratio lands exactly on scale-6
@@ -245,4 +249,89 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_users * 1000000L) div n0").alias("conv_ppm"),
         )
         .orderBy("step_no")
+    )
+
+
+# --- rolling active users (DAU / WAU) --------------------------------
+
+_WAU_DAYS = 7
+
+
+@register(
+    "rolling_active_users",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM act),
+    dau AS (SELECT d, COUNT(*) AS dau FROM act GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT a.user_id, u.wday
+      FROM act a, bounds,
+           LATERAL (
+             SELECT unnest(generate_series(
+               a.d, LEAST(a.d + INTERVAL {_WAU_DAYS - 1} DAY,
+                          CAST(bounds.d1 AS TIMESTAMP)),
+               INTERVAL 1 DAY)) AS wday) u
+    ),
+    wau AS (
+      SELECT CAST(wday AS DATE) AS d, COUNT(*) AS wau
+      FROM contrib GROUP BY CAST(wday AS DATE)
+    )
+    SELECT dau.d AS dia, dau.dau,
+           wau.wau AS wau{_WAU_DAYS}
+    FROM dau JOIN wau USING (d)
+    ORDER BY dia
+    """,
+    doc=f"Rolling active users: exact daily actives (DAU) and "
+    f"trailing-{_WAU_DAYS}-day actives (WAU) per day — each "
+    f"(user, day) contributes to its next {_WAU_DAYS} window days, "
+    "so the rolling DISTINCT needs no windowed set union "
+    "(extension; the engagement counter next to the retention "
+    "matrix).",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-window WAU without windowed distincts.
+
+    Scale shape: events reduce FIRST to distinct (user, day); a
+    windowed COUNT(DISTINCT) over that frame would need a set union
+    per window position, so instead each (user, day) row explodes to
+    the <= 7 window days it contributes to (bounded fan-out), one
+    more (user, wday) distinct collapses multi-active users, and a
+    plain count per day finishes — three user-keyed/day-keyed hash
+    aggregates, no window function, no state.  The day spine's upper
+    bound broadcasts from a 1-row aggregate.
+    """
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    bounds = act.agg(F.max("d").alias("d1"))
+    dau = act.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        act.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.date_add(F.col("d"), _WAU_DAYS - 1),
+                        F.col("d1"),
+                    ),
+                )
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count(F.lit(1)).alias(f"wau{_WAU_DAYS}")
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wday"])
+        .select(
+            F.col("d").alias("dia"), "dau", f"wau{_WAU_DAYS}"
+        )
+        .orderBy("dia")
     )

@@ -1135,3 +1135,106 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_tokens", "n_distinct", "kl_nats")
         .orderBy("source")
     )
+
+
+# --- out-of-vocabulary rate per source -------------------------------
+
+# Fixture adapter: the synthetic corpus draws from a ~31-word pool, so
+# a "real" 50k vocabulary would cover everything; V=16 keeps a genuine
+# OOV tail. The machinery is V-agnostic.
+_OOV_VOCAB_V = 16
+
+
+@register(
+    "source_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tcnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+        FROM tcnt
+      ) WHERE rk <= {_OOV_VOCAB_V}
+    ),
+    st AS (
+      SELECT source, term, COUNT(*) AS c_st
+      FROM tok GROUP BY source, term
+    ),
+    scored AS (
+      SELECT s.source, s.c_st,
+             CASE WHEN v.term IS NULL THEN s.c_st ELSE 0 END AS oov
+      FROM st s LEFT JOIN vocab v USING (term)
+    )
+    SELECT source,
+           CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           (CAST(SUM(oov) AS BIGINT) * 1000000)
+             // CAST(SUM(c_st) AS BIGINT) AS oov_ppm
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc=f"Out-of-vocabulary rate per source: occurrences outside the "
+    f"global top-{_OOV_VOCAB_V} vocabulary (count-desc, "
+    "term-lexicographic ties), integer-ppm rate — the "
+    "tokenizer-coverage signal a training pipeline tracks per feed "
+    "(extension).",
+)
+def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV occurrence share per source against the global top-V vocab.
+
+    Scale shape: both the vocabulary ranking and the per-source rates
+    derive from hash-aggregated count frames — (term) and
+    (source, term) — never from re-scanning text.  The top-V ranking
+    is a vocabulary-sized single-partition window (V and |vocab| are
+    bounded; at web scale this becomes the same TakeOrdered pattern
+    as ``heavy_hitter_tokens``), and the V-row vocabulary broadcasts
+    into the left join.  Rates are integer ppm.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tcnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        tcnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rk") <= _OOV_VOCAB_V)
+        .select("term")
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    scored = st.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))),
+                     "term", "left").select(
+        "source",
+        "c_st",
+        F.when(F.col("in_v").isNull(), F.col("c_st"))
+        .otherwise(F.lit(0))
+        .alias("oov"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("c_st").alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000L) div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

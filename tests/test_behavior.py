@@ -92,3 +92,34 @@ def test_funnel_conversion_python_replay(spark):
     for r in rows:
         assert r.conv_ppm == (r.n_users * 1_000_000) // n[0]
     assert rows[0].conv_ppm == 1_000_000
+
+
+def test_rolling_active_users_python_replay(spark):
+    from datetime import timedelta
+
+    from autosinapi_spark.plans.behavior_queries import (
+        _WAU_DAYS,
+        rolling_active_users,
+    )
+
+    rows = rolling_active_users(spark, SF_SMOKE).collect()
+    got = {r.dia: (r.dau, r[f"wau{_WAU_DAYS}"]) for r in rows}
+
+    act = {
+        (r.user_id, r.ts.date())
+        for r in _events(spark)
+    }
+    days = sorted({d for (_u, d) in act})
+    for d in days:
+        dau = len({u for (u, dd) in act if dd == d})
+        wau = len(
+            {
+                u
+                for (u, dd) in act
+                if d - timedelta(days=_WAU_DAYS - 1) <= dd <= d
+            }
+        )
+        assert got[d] == (dau, wau), d
+    assert set(got) == set(days)
+    # trailing window dominates the day itself
+    assert all(w >= u for (u, w) in got.values())

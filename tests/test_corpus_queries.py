@@ -275,3 +275,38 @@ def test_source_token_kl_python_replay(spark):
         )
         assert got[s].kl_nats >= 0.0  # Gibbs' inequality
         assert abs(got[s].kl_nats - kl) < 1e-5, (s, got[s].kl_nats, kl)
+
+
+def test_source_oov_rate_python_replay(spark):
+    from collections import Counter
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import (
+        _OOV_VOCAB_V,
+        source_oov_rate,
+    )
+
+    got = {r.source: r for r in source_oov_rate(spark, SF_SMOKE).collect()}
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    occ: Counter = Counter()
+    per_src: Counter = Counter()
+    for r in docs:
+        for t in " ".join(r.text.split()).split(" "):
+            occ[t] += 1
+            per_src[(r.source, t)] += 1
+    vocab = {
+        t
+        for t, _c in sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_OOV_VOCAB_V
+        ]
+    }
+    for s in {src for (src, _t) in per_src}:
+        n = sum(c for (src, _t), c in per_src.items() if src == s)
+        oov = sum(
+            c for (src, t), c in per_src.items() if src == s and t not in vocab
+        )
+        r = got[s]
+        assert (r.n_tokens, r.n_oov) == (n, oov)
+        assert r.oov_ppm == (oov * 1_000_000) // n
+        assert 0 < r.oov_ppm < 1_000_000  # fixture exercises both sides
