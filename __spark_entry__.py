@@ -90,6 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_join_attribution",
     "rolling_active_users",
     "source_oov_rate",
+    "order_priority_late",
+    "source_zipf_fit",
+    "customer_order_distribution",
+    "small_qty_order_revenue",
+    "large_volume_customers",
+    "dormant_rich_customers",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

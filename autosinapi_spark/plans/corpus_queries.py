@@ -1238,3 +1238,96 @@ def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Zipf law fit per source -----------------------------------------
+
+
+@register(
+    "source_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT source, term, COUNT(*) AS c
+      FROM tok GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT source,
+             ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY c DESC, term)
+                     AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM st
+    ),
+    sums AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x*y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n AS n_terms,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
+                 6) AS zipf_intercept
+    FROM sums
+    ORDER BY source
+    """,
+    doc="Zipf-law fit per source: OLS slope/intercept of "
+    "ln(count) ~ ln(rank) over the source's term frequency ranking "
+    "— the distributional-health signal (natural text tracks slope "
+    "~ -1; generated or templated feeds flatten) (extension).",
+)
+def source_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS on the log-log rank/frequency line.
+
+    Scale shape: the regression consumes the (source, term) count
+    frame (vocabulary x sources scale), never raw tokens; ranking
+    partitions by source (bounded by vocabulary size per source —
+    the same bounded-window argument as ``source_oov_rate``); the
+    five OLS moments are one hash aggregate with exact decimal sums,
+    so term order never moves the fit.  Closed-form slope/intercept
+    from the moments — no iterative solver.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    ranked = st.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def dsum_d(e, a):
+        return F.sum(e.cast("decimal(28,10)")).cast("double").alias(a)
+
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_d(F.col("x"), "sx"),
+        dsum_d(F.col("y"), "sy"),
+        dsum_d(F.col("x") * F.col("x"), "sxx"),
+        dsum_d(F.col("x") * F.col("y"), "sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    ).orderBy("source")

@@ -453,3 +453,352 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ano", "total_volume", "nation_volume", "mkt_share")
         .orderBy("ano")
     )
+
+
+# --- late-shipment priority check (TPC-H Q4 shape) --------------------
+
+_Q4_FROM = "1997-01-01"
+_Q4_TO = "1997-04-01"  # one quarter
+_Q4_LATE_DAYS = 60  # fixture adapter: no commit/receipt dates, so
+# "late" = first shipment more than 60 days after the order date
+
+
+@register(
+    "order_priority_late",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_FROM} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q4_TO} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >
+                        o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: per-priority count of one quarter's orders "
+    "having at least one line shipped late (> 60 days after the "
+    "order date — fixture adapter for the missing commit/receipt "
+    "dates), the EXISTS decorrelated to a left-semi join "
+    "(extension).",
+)
+def order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-per-order decorrelated into one semi join.
+
+    Scale shape: the quarter filter prunes orders at the scan
+    (pushed min/max on o_orderdate); the EXISTS becomes a LEFT SEMI
+    join on the order key with the lateness predicate as the
+    residual condition — the semi join short-circuits per key (no
+    duplicate-order blowup, no distinct needed), and at fact scale
+    it is the standard orderkey-partitioned exchange.  The final
+    rollup has five groups — pure map-side combine.
+    """
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_TO).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- customer order-count distribution (TPC-H Q13 shape) --------------
+
+_Q13_EXCLUDED_PRIO = "4-NOT SPECIFIED"  # fixture adapter: the comment
+# NOT-LIKE filter of the original has no fixture column; excluding one
+# priority class plays the same role (creates the zero-order bucket)
+
+
+@register(
+    "customer_order_distribution",
+    f"""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIO}'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts "
+    "(zero included) over a filtered order class — the left-join "
+    "double aggregation restated as pre-aggregate-then-outer-join "
+    "(extension).",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's LEFT JOIN + per-customer COUNT, decorrelated.
+
+    Scale shape: because the outer-join key IS the first group key,
+    the fact side is aggregated FIRST (orders collapses to one row
+    per customer behind a map-side combine — the exchange carries
+    custkey-cardinality, not order-cardinality), and only then
+    outer-joined to the customer dimension; a naive join-then-count
+    would shuffle every order row. The second aggregate has
+    |distinct counts| groups — pure map-side collapse.
+    """
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != _Q13_EXCLUDED_PRIO
+    )
+    ocnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = cust.join(
+        ocnt, cust.c_custkey == ocnt.o_custkey, "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- small-quantity order revenue (TPC-H Q17 shape) -------------------
+
+_Q17_BRAND = "Brand#13"
+_Q17_MAX_SIZE = 15  # fixture adapter: stands in for Q17's container
+# filter (the fixture part table has no p_container column)
+
+
+@register(
+    "small_qty_order_revenue",
+    f"""
+    WITH pk AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = '{_Q17_BRAND}' AND p_size < {_Q17_MAX_SIZE}
+    ),
+    fl AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN pk ON pk.p_partkey = l.l_partkey
+    ),
+    pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM fl GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(fl.l_extendedprice AS DECIMAL(28,10)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM fl JOIN pq ON pq.l_partkey = fl.l_partkey
+    WHERE fl.l_quantity < 0.2 * pq.avg_qty
+    """,
+    doc="TPC-H Q17 shape: average yearly revenue lost if small-"
+    "quantity orders (below 20% of the part's average quantity) "
+    "were not filled, for one brand/size class — the correlated "
+    "scalar subquery decorrelated to a per-part aggregate join "
+    "(extension).",
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17's correlated AVG subquery as aggregate-then-rejoin.
+
+    Scale shape: the brand/size filter reduces part to a sliver that
+    broadcasts (checked by the plan test), so lineitem is pruned
+    BEFORE any exchange; the per-part average and the rejoin then
+    run on the filtered fact slice only, partitioned by partkey
+    (one exchange feeds both the aggregate and the join under AQE
+    reuse). The average is an exact decimal sum over a double
+    count — bit-identical across engines, so the 0.2x threshold
+    compare can never straddle an ulp.
+    """
+    part_keys = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") == _Q17_BRAND)
+            & (F.col("p_size") < _Q17_MAX_SIZE)
+        )
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fl = li.join(
+        broadcast(part_keys),
+        li.l_partkey == part_keys.p_partkey,
+    ).drop("p_partkey")
+    pq = fl.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small = fl.join(pq, "l_partkey").where(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- large-volume customers (TPC-H Q18 shape) -------------------------
+
+_Q18_MIN_QTY = 300
+
+
+@register(
+    "large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(b.sum_qty, 2) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    doc="TPC-H Q18 shape: customers whose orders exceed a total-"
+    "quantity threshold — the IN-subquery restated as aggregate-"
+    "filter-then-join, reusing the aggregate's own sum instead of "
+    "re-scanning lineitem (extension).",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18's HAVING-IN subquery without the second fact scan.
+
+    Scale shape: the only fact-scale exchange is the orderkey
+    aggregate; the HAVING filter collapses it to a handful of
+    qualifying orders, and the original query's re-join of lineitem
+    to recompute the same sum is elided by carrying the aggregate's
+    value through the join (at 100 TB that saves a second full
+    lineitem shuffle). The qualifying frame is tiny, so both
+    dimension joins resolve as broadcasts of the FILTERED side under
+    AQE, never of raw orders/customer.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# --- dormant high-balance customers (TPC-H Q22 shape) -----------------
+
+_Q22_CUTOFF = "2000-07-01"  # fixture adapter: Q22's "no orders at
+# all" is empty on this fixture (every customer has orders), so the
+# anti-join arm is the recent-order window instead
+
+
+@register(
+    "dormant_rich_customers",
+    f"""
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10)))
+                      AS DOUBLE), 2) AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "recent orders, rolled up by market segment — global scalar "
+    "aggregate broadcast into the filter, NOT EXISTS as a left-anti "
+    "join against the date-pruned order slice (extension).",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22's two subqueries: broadcast scalar + anti join.
+
+    Scale shape: the global average is a 1-row aggregate
+    crossJoin-broadcast into the customer scan (the same idiom as
+    ``event_rate_anomalies``); the NOT EXISTS becomes a LEFT ANTI
+    join against orders pruned to the recent window AT THE SCAN
+    (pushed o_orderdate min/max), projected to the join key only —
+    at 100 TB the anti join's build side is the recent slice's
+    custkey set, not the order table. Final rollup: five segments,
+    map-side combine.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal"), "total_bal", 2),
+        )
+        .orderBy("c_mktsegment")
+    )

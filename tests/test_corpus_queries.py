@@ -310,3 +310,38 @@ def test_source_oov_rate_python_replay(spark):
         assert (r.n_tokens, r.n_oov) == (n, oov)
         assert r.oov_ppm == (oov * 1_000_000) // n
         assert 0 < r.oov_ppm < 1_000_000  # fixture exercises both sides
+
+
+def test_source_zipf_fit_python_replay(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import source_zipf_fit
+
+    got = {r.source: r for r in source_zipf_fit(spark, SF_SMOKE).collect()}
+
+    docs = load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per_src = defaultdict(Counter)
+    for r in docs:
+        for t in " ".join(r.text.split()).split(" "):
+            per_src[r.source][t] += 1
+    for s, cnts in per_src.items():
+        pts = [
+            (math.log(rk + 1), math.log(c))
+            for rk, (_t, c) in enumerate(
+                sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        inter = (sy - slope * sx) / n
+        r = got[s]
+        assert r.n_terms == n
+        assert abs(r.zipf_slope - slope) < 2e-6
+        assert abs(r.zipf_intercept - inter) < 2e-6
+        assert r.zipf_slope < 0  # frequency decreases with rank

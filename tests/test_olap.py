@@ -109,3 +109,183 @@ def test_nation_market_share_invariants(spark):
         # rounded-sum quotient tracks the emitted exact-sum quotient
         # to well inside the scale-2 rounding of the operands
         assert abs(r.mkt_share - r.nation_volume / r.total_volume) < 1e-4
+
+
+def test_order_priority_late_python_replay(spark):
+    """Semi-join EXISTS replayed from raw orders/lineitem rows."""
+    from datetime import datetime, timedelta
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q4_FROM,
+        _Q4_LATE_DAYS,
+        _Q4_TO,
+        order_priority_late,
+    )
+
+    got = {
+        r.o_orderpriority: r.n_orders
+        for r in order_priority_late(spark, SF_SMOKE).collect()
+    }
+
+    lo = datetime.fromisoformat(_Q4_FROM)
+    hi = datetime.fromisoformat(_Q4_TO)
+    orders = [
+        r
+        for r in load(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+        if lo <= r.o_orderdate < hi
+    ]
+    ship = defaultdict(list)
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        ship[r.l_orderkey].append(r.l_shipdate)
+    exp = defaultdict(int)
+    late = timedelta(days=_Q4_LATE_DAYS)
+    for o in orders:
+        if any(s > o.o_orderdate + late for s in ship.get(o.o_orderkey, ())):
+            exp[o.o_orderpriority] += 1
+    assert got == dict(exp) and got
+    # counts are bounded by the quarter's per-priority order totals
+    # (a sparse priority class can be entirely late, so <= not <)
+    per_prio = defaultdict(int)
+    for o in orders:
+        per_prio[o.o_orderpriority] += 1
+    assert all(got[p] <= per_prio[p] for p in got)
+    assert sum(got.values()) < sum(per_prio.values())
+
+
+def test_customer_order_distribution_python_replay(spark):
+    """Q13 double aggregation replayed from raw orders/customer rows."""
+    from collections import Counter
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q13_EXCLUDED_PRIO,
+        customer_order_distribution,
+    )
+
+    rows = customer_order_distribution(spark, SF_SMOKE).collect()
+    got = {r.c_count: r.custdist for r in rows}
+
+    per_cust = Counter()
+    for r in (
+        load(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .collect()
+    ):
+        if r.o_orderpriority != _Q13_EXCLUDED_PRIO:
+            per_cust[r.o_custkey] += 1
+    custkeys = [
+        r.c_custkey
+        for r in load(spark, SF_SMOKE, "customer").select("c_custkey").collect()
+    ]
+    exp = Counter(per_cust.get(k, 0) for k in custkeys)
+    assert got == dict(exp)
+    # the distribution covers every customer exactly once
+    assert sum(got.values()) == len(custkeys)
+    # emitted sorted by custdist desc then c_count desc
+    keys = [(r.custdist, r.c_count) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_large_volume_customers_python_replay(spark):
+    """Q18 HAVING-threshold replayed per order from raw lineitem."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q18_MIN_QTY,
+        large_volume_customers,
+    )
+
+    rows = large_volume_customers(spark, SF_SMOKE).collect()
+
+    qty = defaultdict(float)
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .collect()
+    ):
+        qty[r.l_orderkey] += r.l_quantity  # integer-valued, exact
+    exp_orders = {k for k, v in qty.items() if v > _Q18_MIN_QTY}
+    assert {r.o_orderkey for r in rows} == exp_orders
+    for r in rows:
+        assert r.sum_qty == round(qty[r.o_orderkey], 2)
+    # sorted by totalprice desc
+    tp = [r.o_totalprice for r in rows]
+    assert tp == sorted(tp, reverse=True)
+
+
+def test_small_qty_order_revenue_python_replay(spark):
+    """Q17 decorrelated-average threshold replayed in Python."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q17_BRAND,
+        _Q17_MAX_SIZE,
+        small_qty_order_revenue,
+    )
+
+    row = small_qty_order_revenue(spark, SF_SMOKE).collect()[0]
+
+    keys = {
+        r.p_partkey
+        for r in load(spark, SF_SMOKE, "part").collect()
+        if r.p_brand == _Q17_BRAND and r.p_size < _Q17_MAX_SIZE
+    }
+    li = [
+        r
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+        if r.l_partkey in keys
+    ]
+    by_part = defaultdict(list)
+    for r in li:
+        by_part[r.l_partkey].append(r)
+    total, n = 0.0, 0
+    for pk, rs in by_part.items():
+        avg = sum(x.l_quantity for x in rs) / len(rs)
+        for x in rs:
+            if x.l_quantity < 0.2 * avg:
+                total += x.l_extendedprice
+                n += 1
+    assert row.n_lines == n
+    assert abs(row.avg_yearly - total / 7.0) < 0.02
+
+
+def test_dormant_rich_customers_python_replay(spark):
+    """Q22 broadcast-scalar + anti-join replayed in Python."""
+    from datetime import datetime
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q22_CUTOFF,
+        dormant_rich_customers,
+    )
+
+    rows = dormant_rich_customers(spark, SF_SMOKE).collect()
+    got = {r.c_mktsegment: (r.n_cust, r.total_bal) for r in rows}
+
+    cust = load(spark, SF_SMOKE, "customer").collect()
+    pos = [c.c_acctbal for c in cust if c.c_acctbal > 0]
+    avg_bal = sum(pos) / len(pos)
+    cutoff = datetime.fromisoformat(_Q22_CUTOFF)
+    recent = {
+        r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+        if r.o_orderdate >= cutoff
+    }
+    exp = defaultdict(lambda: [0, 0.0])
+    for c in cust:
+        if c.c_acctbal > avg_bal and c.c_custkey not in recent:
+            exp[c.c_mktsegment][0] += 1
+            exp[c.c_mktsegment][1] += c.c_acctbal
+    assert set(got) == set(exp) and got
+    for seg, (n, tot) in exp.items():
+        assert got[seg][0] == n
+        assert abs(got[seg][1] - round(tot, 2)) < 0.02
