@@ -187,3 +187,69 @@ def test_cms_estimation_joins_broadcast_counters(registry, spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q13_aggregates_orders_before_outer_join(registry, spark):
+    plan = _plan(_q(registry, spark, "customer_order_distribution"))
+    simple = _plan(
+        _q(registry, spark, "customer_order_distribution"), "simple"
+    )
+    # the priority filter reaches the orders scan
+    assert "o_orderpriority" in plan
+    assert "PushedFilters" in plan
+    # the fact side collapses to per-custkey counts BEFORE the outer
+    # join: a partial_count must appear, and no plan node may join raw
+    # order rows (LeftOuter join is against the aggregated frame)
+    assert "partial_count" in simple
+    # customer scan reads only the join key
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    cust_read = next(l for l in read if "c_custkey" in l)
+    assert "c_mktsegment" not in cust_read and "c_acctbal" not in cust_read
+
+
+def test_q17_broadcasts_filtered_part_sliver(registry, spark):
+    plan = _plan(_q(registry, spark, "small_qty_order_revenue"))
+    # pinned broadcast of the brand/size-filtered part keys
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#13)" in plan.replace(" ", "")
+    assert "LessThan(p_size,15)" in plan.replace(" ", "")
+    assert "CartesianProduct" not in plan
+    # part scan is pruned to the key + filter columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    part_read = next(l for l in read if "p_partkey" in l)
+    assert "p_retailprice" not in part_read and "p_name" not in part_read
+
+
+def test_q18_single_fact_exchange(registry, spark):
+    simple = _plan(_q(registry, spark, "large_volume_customers"), "simple")
+    # the lineitem sum is partial-aggregated before its exchange, and
+    # lineitem is scanned exactly ONCE (the original Q18 re-join of
+    # lineitem for the output sum is elided)
+    assert "partial_sum" in simple
+    assert simple.count("lineitem.parquet") == 1
+
+
+def test_q22_anti_join_and_broadcast_scalar(registry, spark):
+    plan = _plan(_q(registry, spark, "dormant_rich_customers"))
+    # NOT EXISTS arm is a left-anti hash join, never nested-loop over
+    # the fact; the recent-order window is pushed to the orders scan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan.replace(" ", "")
+    # orders arm reads only the custkey + date
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    ord_read = next(l for l in read if "o_custkey" in l)
+    assert "o_totalprice" not in ord_read
+
+
+def test_q4_semi_join_with_date_pruning(registry, spark):
+    plan = _plan(_q(registry, spark, "order_priority_late"))
+    # EXISTS decorrelated to a LEFT SEMI hash join with the lateness
+    # predicate as residual; quarter window pushed to the orders scan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan.replace(" ", "")
+    # lineitem scan reads only the join key + shipdate
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_read = next(l for l in read if "l_shipdate" in l)
+    assert "l_extendedprice" not in li_read
