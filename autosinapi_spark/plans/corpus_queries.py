@@ -1331,3 +1331,150 @@ def source_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("zipf_intercept"),
     ).orderBy("source")
+
+
+# --- DSIR hashed-ngram importance weights ----------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score each raw document by the log importance
+# ratio of a hashed n-gram bag-of-features model fit on a target
+# distribution vs the raw pool, then resample by weight. Features are
+# hashed uni+bigrams (the paper's construction); the fixture's
+# ``source`` column plays the target/raw split.
+_DSIR_TARGET = "src7"
+_DSIR_BUCKETS = 64
+_DSIR_SEED = 173
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, u.f
+      FROM tok, LATERAL (SELECT unnest(list_concat(
+             ts,
+             list_transform(generate_series(1, len(ts) - 1),
+                            i -> ts[i] || '_' || ts[i+1]))) AS f) u
+    ),
+    hashed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('{_DSIR_SEED}:' || f), 1, 15)
+                  AS BIGINT) % {_DSIR_BUCKETS} AS dim
+      FROM feat
+    ),
+    dims AS (
+      SELECT dim,
+             COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS n_t,
+             COUNT(*) AS n_all
+      FROM hashed GROUP BY dim
+    ),
+    tot AS (SELECT SUM(n_t) AS nt, SUM(n_all) AS na FROM dims),
+    lr AS (
+      SELECT dim,
+             ln((n_t + 1) / CAST(nt + {_DSIR_BUCKETS} AS DOUBLE))
+               - ln((n_all + 1) / CAST(na + {_DSIR_BUCKETS} AS DOUBLE))
+               AS lr
+      FROM dims, tot
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             SUM(CAST(l.lr AS DECIMAL(28,10))) AS s
+      FROM hashed h JOIN lr l ON l.dim = h.dim
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_feats,
+           ROUND(CAST(s AS DOUBLE) / n_feats, 6) AS dsir_score,
+           s > 0 AS is_targetlike
+    FROM scored
+    """,
+    doc=f"DSIR importance weights (Xie et al. 2023): per-doc mean log "
+    f"importance ratio of hashed uni+bigram features ("
+    f"{_DSIR_BUCKETS} buckets, +1 smoothing) between the "
+    f"'{_DSIR_TARGET}' target slice and the raw pool — the "
+    "distribution-matching data-selection score (extension).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-ngram importance model, fit and applied in one pass.
+
+    Scale shape: features build ROW-LOCALLY (shifted-slice zip for
+    bigrams — no position self-join) and immediately hash into
+    {buckets} dims, so the model-fit aggregate exchanges at most
+    {buckets} rows per task regardless of corpus size; the fitted
+    log-ratio table is {buckets} rows + two scalars — broadcast into
+    the per-doc scoring join, which partial-aggregates per doc_id
+    behind a map-side combine. Two passes over tokens total, the
+    same shape DSIR runs at pile scale. Mean uses the exact
+    decimal-sum pattern; ln() ulp drift is quantized away; the
+    is_targetlike flag compares the EXACT decimal sum against zero,
+    so it can never straddle a float boundary.
+    """
+    from ..operators.near_dedup import portable_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(ts, bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        (portable_hash64(F.col("f"), _DSIR_SEED) % _DSIR_BUCKETS).alias(
+            "dim"
+        ),
+    )
+    dims = hashed.groupBy("dim").agg(
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("n_t"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = dims.agg(
+        F.sum("n_t").alias("nt"), F.sum("n_all").alias("na")
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    lr = (
+        dims.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            (
+                F.log(
+                    (F.col("n_t") + 1)
+                    / (F.col("nt") + b).cast("double")
+                )
+                - F.log(
+                    (F.col("n_all") + 1)
+                    / (F.col("na") + b).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(lr), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(28,10)")).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            F.col("s").cast("double") / F.col("n_feats"), 6
+        ).alias("dsir_score"),
+        (F.col("s") > 0).alias("is_targetlike"),
+    )

@@ -345,3 +345,59 @@ def test_source_zipf_fit_python_replay(spark):
         assert abs(r.zipf_slope - slope) < 2e-6
         assert abs(r.zipf_intercept - inter) < 2e-6
         assert r.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_dsir_importance_weights_python_replay(spark):
+    """Hashed uni+bigram importance model replayed in Python."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_SEED,
+        _DSIR_TARGET,
+        dsir_importance_weights,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in dsir_importance_weights(spark, SF_SMOKE).collect()
+    }
+
+    def h(f):
+        hx = hashlib.md5(f"{_DSIR_SEED}:{f}".encode()).hexdigest()[:15]
+        return int(hx, 16) % _DSIR_BUCKETS
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    per_doc, n_t, n_all = {}, Counter(), Counter()
+    for r in docs:
+        ts = " ".join(r.text.split()).split(" ")
+        feats = ts + [f"{a}_{b}" for a, b in zip(ts, ts[1:])]
+        dims = [h(f) for f in feats]
+        per_doc[r.doc_id] = dims
+        for d in dims:
+            n_all[d] += 1
+            if r.source == _DSIR_TARGET:
+                n_t[d] += 1
+    nt, na, B = sum(n_t.values()), sum(n_all.values()), _DSIR_BUCKETS
+    lr = {
+        d: math.log((n_t[d] + 1) / (nt + B))
+        - math.log((n_all[d] + 1) / (na + B))
+        for d in n_all
+    }
+    for doc_id, dims in per_doc.items():
+        s = sum(lr[d] for d in dims)
+        r = got[doc_id]
+        assert r.n_feats == len(dims)
+        assert abs(r.dsir_score - s / len(dims)) < 1e-5
+        assert r.is_targetlike == (s > 0)
+    # the target slice must score higher on average than the pool
+    tgt = [r for r in docs if r.source == _DSIR_TARGET]
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([got[r.doc_id].dsir_score for r in tgt]) > mean(
+        [got[r.doc_id].dsir_score for r in docs]
+    )
