@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "large_volume_customers",
     "dormant_rich_customers",
     "dsir_importance_weights",
+    "gopher_quality_flags",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

@@ -564,3 +564,126 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _DOCSIM_K)
         .drop("rn")
     )
+
+
+# --- Gopher quality-rule bundle --------------------------------------
+
+# Rae et al. 2021 (Gopher, arXiv:2112.11446 Appendix A) rule set,
+# restated over the fixture's flat word streams. Fixture adapters,
+# each marked: word-count bounds are scaled to the fixture's 10-100
+# word docs (the paper's 50..100k would pass/fail uniformly here);
+# the stopword probe uses the two stopwords the synthetic vocabulary
+# actually contains; symbol/ellipsis/bullet rules have no fixture
+# signal and are covered by doc_quality_score's punctuation ratio.
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 90
+_GOPHER_MIN_MWL = 3.0  # mean word length bounds (paper values)
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_STOPWORDS = ("a", "the")
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MIN_ALPHA_PPM = 800_000  # >= 80% words contain a letter
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(len(list_filter(ts, w -> w IN
+                    ({_sql_list(_GOPHER_STOPWORDS)}))) AS BIGINT)
+               AS stop_hits,
+             ROUND(CAST(list_sum(list_transform(ts, w -> length(w)))
+                        AS DOUBLE) / len(ts), 6) AS mean_word_len,
+             CAST(len(list_filter(ts, w ->
+                    regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+               * 1000000 // len(ts) AS alpha_ppm
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ppm,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS ok_words,
+           mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+             AS ok_mwl,
+           stop_hits >= {_GOPHER_MIN_STOP_HITS} AS ok_stop,
+           alpha_ppm >= {_GOPHER_MIN_ALPHA_PPM} AS ok_alpha,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL}
+                                    AND {_GOPHER_MAX_MWL})
+             AND stop_hits >= {_GOPHER_MIN_STOP_HITS}
+             AND alpha_ppm >= {_GOPHER_MIN_ALPHA_PPM} AS gopher_pass
+    FROM m
+    """,
+    doc="Gopher rule-based quality filter (Rae et al. 2021 App. A): "
+    "word-count bounds, mean-word-length bounds, minimum stopword "
+    "hits, minimum alphabetic-word fraction, and the conjunctive "
+    "keep decision, per document (extension).",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All rules as array expressions over one tokenization.
+
+    Scale shape: zero joins, zero shuffles — one projection pass,
+    entirely inside whole-stage codegen; the token array materializes
+    once per row and every rule folds over it (``filter``/
+    ``aggregate`` higher-order functions, no re-split). The
+    alpha fraction is emitted as integer parts-per-million (the
+    percent-rank lesson: never round a ratio whose denominator can
+    divide the rounding scale); mean word length divides an exact
+    integer sum, so scale-6 rounding is ulp-safe.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    nw = F.size("ts").cast("bigint")
+    stop = F.size(
+        F.filter(
+            F.col("ts"), lambda w: w.isin(*_GOPHER_STOPWORDS)
+        )
+    ).cast("bigint")
+    mwl = F.round(
+        F.aggregate(
+            F.col("ts"),
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.length(w),
+        ).cast("double")
+        / F.size("ts"),
+        6,
+    )
+    alpha = (
+        F.size(
+            F.filter(F.col("ts"), lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("bigint")
+        * 1000000
+    ) / F.size("ts")
+    m = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        stop.alias("stop_hits"),
+        mwl.alias("mean_word_len"),
+        F.floor(alpha).cast("bigint").alias("alpha_ppm"),
+    )
+    ok_words = F.col("n_words").between(
+        _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS
+    )
+    ok_mwl = F.col("mean_word_len").between(
+        _GOPHER_MIN_MWL, _GOPHER_MAX_MWL
+    )
+    ok_stop = F.col("stop_hits") >= _GOPHER_MIN_STOP_HITS
+    ok_alpha = F.col("alpha_ppm") >= _GOPHER_MIN_ALPHA_PPM
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "alpha_ppm",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_stop.alias("ok_stop"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_words & ok_mwl & ok_stop & ok_alpha).alias("gopher_pass"),
+    )

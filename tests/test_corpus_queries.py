@@ -401,3 +401,46 @@ def test_dsir_importance_weights_python_replay(spark):
     assert mean([got[r.doc_id].dsir_score for r in tgt]) > mean(
         [got[r.doc_id].dsir_score for r in docs]
     )
+
+
+def test_gopher_quality_flags_python_replay(spark):
+    """Rule bundle replayed in Python; both keep and drop sides hit."""
+    import re
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.text_queries import (
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA_PPM,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOP_HITS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    got = {r.doc_id: r for r in gopher_quality_flags(spark, SF_SMOKE).collect()}
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        ts = " ".join(d.text.split()).split(" ")
+        n = len(ts)
+        stop = sum(1 for w in ts if w in _GOPHER_STOPWORDS)
+        mwl = round(sum(len(w) for w in ts) / n, 6)
+        alpha = sum(1 for w in ts if re.search("[a-zA-Z]", w)) * 1_000_000 // n
+        r = got[d.doc_id]
+        assert (r.n_words, r.stop_hits, r.alpha_ppm) == (n, stop, alpha)
+        assert abs(r.mean_word_len - mwl) < 2e-6
+        exp_pass = (
+            _GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS
+            and _GOPHER_MIN_MWL <= mwl <= _GOPHER_MAX_MWL
+            and stop >= _GOPHER_MIN_STOP_HITS
+            and alpha >= _GOPHER_MIN_ALPHA_PPM
+        )
+        assert r.gopher_pass == exp_pass
+        assert r.gopher_pass == (
+            r.ok_words and r.ok_mwl and r.ok_stop and r.ok_alpha
+        )
+    # the thresholds must actually split the fixture
+    passes = [r.gopher_pass for r in got.values()]
+    assert any(passes) and not all(passes)
