@@ -802,3 +802,152 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- top supplier by period revenue (TPC-H Q15 shape) -----------------
+
+_Q15_FROM = "1996-01-01"
+_Q15_TO = "1996-04-01"
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,10))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{_Q15_TO} 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(r) AS mr FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(rev.r AS DOUBLE), 2) AS total_revenue
+    FROM rev, mx
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = mx.mr
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: supplier(s) with the maximum revenue over "
+    "one quarter — the view + scalar-subquery formulation restated "
+    "as aggregate, broadcast global max, tie-preserving equality "
+    "join (extension).",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's revenue view + MAX subquery, decorrelated.
+
+    Scale shape: one date-pruned fact aggregate (suppkey keys,
+    map-side combine), then the global max is a 1-row aggregate
+    crossJoin-broadcast back — the equality keeps ALL tied
+    suppliers, exactly like the original's WHERE total =
+    (SELECT MAX...). The tie compare runs on the EXACT decimal sums
+    (never the rounded doubles), so two suppliers a ulp apart can't
+    both win. The supplier join input is at most one row per
+    supplier — broadcast side under AQE.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_TO).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,10)"
+            )
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("r") == F.col("mr"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- disjunctive bracket revenue (TPC-H Q19 shape) --------------------
+
+_Q19_BRACKETS = (  # widened vs the original so every test SF has hits
+    ("Brand#12", 15, 1, 15),
+    ("Brand#23", 20, 10, 25),
+    ("Brand#34", 25, 20, 35),
+)
+
+
+def _q19_sql_pred() -> str:
+    return " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {mx} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, mx, qlo, qhi in _Q19_BRACKETS
+    )
+
+
+@register(
+    "bracket_revenue_disjunctive",
+    f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 2)},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_q19_sql_pred()}
+    """,
+    doc="TPC-H Q19 shape: revenue from three disjunctive "
+    "brand/size/quantity brackets — the OR-of-conjuncts join "
+    "predicate whose single-table factors (brand+size union; the "
+    "quantity hull) must still prune the scans (extension).",
+)
+def bracket_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19's OR-of-conjuncts as one join with a residual predicate.
+
+    Scale shape: the union of the part-only factors (the three
+    brand+size conjuncts) is applied to the part scan BEFORE the
+    join — the disjunction over part columns alone is pushable even
+    though the full predicate isn't — and the quantity hull
+    [min(qlo), max(qhi)] is likewise pushed to the lineitem scan;
+    the exact per-bracket pairing stays as the join residual. The
+    filtered part sliver broadcasts; one fact pass, one 1-row
+    aggregate.
+    """
+    qlo = min(q for _, _, q, _ in _Q19_BRACKETS)
+    qhi = max(q for _, _, _, q in _Q19_BRACKETS)
+    part_pred = None
+    for b, mx, _, _ in _Q19_BRACKETS:
+        c = (F.col("p_brand") == b) & F.col("p_size").between(1, mx)
+        part_pred = c if part_pred is None else (part_pred | c)
+    part = (
+        load(spark, sf_dir, "part")
+        .where(part_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").between(qlo, qhi))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    full = None
+    for b, mx, lo, hi in _Q19_BRACKETS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, mx)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        full = c if full is None else (full | c)
+    joined = li.join(
+        broadcast(part), li.l_partkey == part.p_partkey
+    ).where(full)
+    return joined.agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+            2,
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -289,3 +289,67 @@ def test_dormant_rich_customers_python_replay(spark):
     for seg, (n, tot) in exp.items():
         assert got[seg][0] == n
         assert abs(got[seg][1] - round(tot, 2)) < 0.02
+
+
+def test_top_supplier_revenue_python_replay(spark):
+    """Q15 max-revenue supplier replayed from raw lineitem."""
+    from datetime import datetime
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q15_FROM,
+        _Q15_TO,
+        top_supplier_revenue,
+    )
+
+    rows = top_supplier_revenue(spark, SF_SMOKE).collect()
+
+    lo, hi = (datetime.fromisoformat(d) for d in (_Q15_FROM, _Q15_TO))
+    rev = defaultdict(float)
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .collect()
+    ):
+        if lo <= r.l_shipdate < hi:
+            rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    best = max(rev.values())
+    winners = {k for k, v in rev.items() if abs(v - best) < 1e-6}
+    assert {r.s_suppkey for r in rows} == winners
+    for r in rows:
+        assert abs(r.total_revenue - rev[r.s_suppkey]) < 0.02
+    names = {
+        r.s_suppkey: r.s_name
+        for r in load(spark, SF_SMOKE, "supplier").collect()
+    }
+    assert all(r.s_name == names[r.s_suppkey] for r in rows)
+
+
+def test_bracket_revenue_disjunctive_python_replay(spark):
+    """Q19 OR-of-conjuncts replayed row by row."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q19_BRACKETS,
+        bracket_revenue_disjunctive,
+    )
+
+    row = bracket_revenue_disjunctive(spark, SF_SMOKE).collect()[0]
+
+    parts = {
+        r.p_partkey: r for r in load(spark, SF_SMOKE, "part").collect()
+    }
+    total, n = 0.0, 0
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    ):
+        p = parts[r.l_partkey]
+        if any(
+            p.p_brand == b and 1 <= p.p_size <= mx and qlo <= r.l_quantity <= qhi
+            for b, mx, qlo, qhi in _Q19_BRACKETS
+        ):
+            total += r.l_extendedprice * (1 - r.l_discount)
+            n += 1
+    assert row.n_lines == n and n > 0
+    assert abs(row.revenue - total) < 0.02

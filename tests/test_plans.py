@@ -253,3 +253,32 @@ def test_q4_semi_join_with_date_pruning(registry, spark):
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     li_read = next(l for l in read if "l_shipdate" in l)
     assert "l_extendedprice" not in li_read
+
+
+def test_q15_broadcast_max_and_date_pruning(registry, spark):
+    plan = _plan(_q(registry, spark, "top_supplier_revenue"))
+    simple = _plan(_q(registry, spark, "top_supplier_revenue"), "simple")
+    # quarter window pushed to the lineitem scan; partial agg before
+    # the suppkey exchange; global max joins as a broadcast, never a
+    # sort-based top-1
+    assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")
+    assert "partial_sum" in simple
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GlobalLimit" not in plan  # ties must survive
+
+
+def test_q19_pushes_single_table_factors(registry, spark):
+    plan = _plan(_q(registry, spark, "bracket_revenue_disjunctive"))
+    flat = plan.replace(" ", "")
+    # the part-only disjunction reaches the part scan...
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in flat
+    # ...and the quantity hull reaches the lineitem scan
+    from autosinapi_spark.plans.olap_queries import _Q19_BRACKETS
+
+    qlo = min(q for _, _, q, _ in _Q19_BRACKETS)
+    qhi = max(q for _, _, _, q in _Q19_BRACKETS)
+    assert f"GreaterThanOrEqual(l_quantity,{qlo}" in flat
+    assert f"LessThanOrEqual(l_quantity,{qhi}" in flat
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
