@@ -98,6 +98,9 @@ _PRIORITY: tuple[str, ...] = (
     "dormant_rich_customers",
     "dsir_importance_weights",
     "gopher_quality_flags",
+    "top_supplier_revenue",
+    "bracket_revenue_disjunctive",
+    "suppliers_kept_waiting",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

@@ -951,3 +951,88 @@ def bracket_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- suppliers who kept orders waiting (TPC-H Q21 shape) --------------
+
+_Q21_LATE_DAYS = 60  # fixture adapter: no commit/receipt dates (same
+# convention as order_priority_late)
+_Q21_TOPN = 10
+
+
+@register(
+    "suppliers_kept_waiting",
+    f"""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate >
+               o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_suppkey) FILTER (WHERE is_late) AS n_late,
+             MAX(l_suppkey) FILTER (WHERE is_late) AS blame
+      FROM j GROUP BY l_orderkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order p JOIN supplier s ON s.s_suppkey = p.blame
+    WHERE p.n_supp > 1 AND p.n_late = 1
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT {_Q21_TOPN}
+    """,
+    doc="TPC-H Q21 shape: suppliers solely responsible for delaying "
+    "multi-supplier finished orders — the EXISTS(other supplier) "
+    "AND NOT EXISTS(other LATE supplier) pair collapsed into one "
+    "per-order distinct-supplier aggregation (extension).",
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double correlated EXISTS as a single aggregation.
+
+    Scale shape: the textbook plan self-joins lineitem TWICE (the
+    EXISTS and NOT EXISTS arms); this form instead aggregates each
+    order's supplier set once — two distinct-counts and a
+    conditional max over the same orderkey exchange that the
+    order-status join already needs, so lineitem is scanned and
+    shuffled exactly once. The n_late = 1 ∧ n_supp > 1 filter then
+    IS the double-EXISTS semantics (the lone late supplier is the
+    MAX-FILTER). Status filter prunes orders at the scan; the
+    qualifying frame is orders-scale; supplier join broadcasts under
+    AQE; TakeOrdered for the top-N.
+    """
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).alias("is_late"),
+    )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("blame"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(sup, F.col("blame") == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(_Q21_TOPN)
+    )

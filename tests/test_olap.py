@@ -353,3 +353,43 @@ def test_bracket_revenue_disjunctive_python_replay(spark):
             n += 1
     assert row.n_lines == n and n > 0
     assert abs(row.revenue - total) < 0.02
+
+
+def test_suppliers_kept_waiting_python_replay(spark):
+    """Q21 double-EXISTS-as-aggregation replayed from raw rows."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q21_LATE_DAYS,
+        _Q21_TOPN,
+        suppliers_kept_waiting,
+    )
+
+    rows = suppliers_kept_waiting(spark, SF_SMOKE).collect()
+
+    odate = {
+        r.o_orderkey: r.o_orderdate
+        for r in load(spark, SF_SMOKE, "orders").collect()
+        if r.o_orderstatus == "F"
+    }
+    late = timedelta(days=_Q21_LATE_DAYS)
+    supps, lates = defaultdict(set), defaultdict(set)
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ):
+        d = odate.get(r.l_orderkey)
+        if d is None:
+            continue
+        supps[r.l_orderkey].add(r.l_suppkey)
+        if r.l_shipdate > d + late:
+            lates[r.l_orderkey].add(r.l_suppkey)
+    numwait = Counter()
+    for ok, ss in supps.items():
+        if len(ss) > 1 and len(lates[ok]) == 1:
+            numwait[next(iter(lates[ok]))] += 1
+    exp = sorted(numwait.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q21_TOPN]
+    assert [(r.s_suppkey, r.numwait) for r in rows] == exp and rows

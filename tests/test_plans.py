@@ -282,3 +282,15 @@ def test_q19_pushes_single_table_factors(registry, spark):
     assert f"LessThanOrEqual(l_quantity,{qhi}" in flat
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_scan(registry, spark):
+    simple = _plan(_q(registry, spark, "suppliers_kept_waiting"), "simple")
+    plan = _plan(_q(registry, spark, "suppliers_kept_waiting"))
+    # the EXISTS / NOT EXISTS pair must NOT become lineitem self-joins:
+    # exactly one lineitem scan feeds the per-order aggregation
+    assert simple.count("lineitem.parquet") == 1
+    # status filter pushed to the orders scan; top-N via TakeOrdered
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
