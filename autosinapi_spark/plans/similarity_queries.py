@@ -1652,3 +1652,150 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-vector k-means (Lloyd) cluster assignment: K deterministic seed
+# centroids (first K vectors) refined by TWO full Lloyd iterations
+# (assign -> exact-decimal per-dim mean -> reassign, twice), emitting
+# each vector's final cluster and distance. The curation use is
+# cluster-balanced sampling / topic coverage audits (cluster the
+# embedding space, then sample or cap per cluster). Deployment swaps
+# the seeding for pyspark.ml KMeans(k-means||); the per-iteration
+# dataflow below IS what that runs under the hood: broadcast
+# centroids, row-local argmin, one (cid, dim)-keyed mean.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+_KM_SQL_DIST = (
+    f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+    "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum')"
+)
+
+
+def _km_cb_cte(assign: str, t: int) -> str:
+    """cmean/cb CTE pair recomputing centroids from assignment
+    ``assign`` (exact-decimal per-dim means, rounded to 8 — the same
+    quantization Spark applies, so iteration t+1 starts from
+    bit-identical centroids in both engines)."""
+    return f"""cmean{t} AS (
+      SELECT a.cid, d.dim,
+             ROUND(CAST(SUM(CAST(a.v[d.dim] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), 8) AS val
+      FROM {assign} a,
+           LATERAL (SELECT unnest(generate_series(1, {_DIM})) AS dim) d
+      GROUP BY a.cid, d.dim
+    ),
+    cb{t} AS (
+      SELECT cid, list(val ORDER BY dim) AS cv
+      FROM cmean{t} GROUP BY cid
+    )"""
+
+
+def _km_assign_cte(name: str, cents: str, keep_v: bool) -> str:
+    v = ", e.v" if keep_v else ""
+    return f"""{name}0 AS (
+      SELECT e.vec_id{v}, c.cid, ROUND({_KM_SQL_DIST}, 6) AS dist6,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_KM_SQL_DIST}, 6), c.cid) AS rn
+      FROM e JOIN {cents} c ON TRUE
+    ),
+    {name} AS (SELECT * FROM {name}0 WHERE rn = 1)"""
+
+
+@register(
+    "kmeans_cluster_assign",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}
+    ),
+    {_km_assign_cte('a1', 'c0', keep_v=True)},
+    {_km_cb_cte('a1', 1)},
+    {_km_assign_cte('a2', 'cb1', keep_v=True)},
+    {_km_cb_cte('a2', 2)},
+    {_km_assign_cte('a3', 'cb2', keep_v=False)}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist6 AS dist
+    FROM a3
+    """,
+    doc=f"Full-vector k-means (K={_KM_K}): deterministic first-K "
+    "seeds refined by two complete Lloyd iterations (broadcast-"
+    "centroid row-local argmin, exact-decimal per-dim means), "
+    "emitting each vector's final cluster and squared distance — "
+    "the cluster-balanced-sampling primitive (extension).",
+)
+def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations, zero shuffles to assign.
+
+    Scale shape: each assignment is ROW-LOCAL — the K centroids ride
+    a one-row broadcast (collect_list) and the argmin is an
+    array_sort over K (dist6, cid) structs computed by straight-line
+    codegen arithmetic (``sq_dist_fixed``), so the corpus is never
+    exchanged to find its nearest centroid; each centroid recompute
+    is one (cid, dim)-keyed hash aggregate (K x dim rows out,
+    partial-aggregated map-side). Per iteration that is exactly one
+    corpus-sized exchange-free pass + one tiny aggregate — the same
+    dataflow pyspark.ml's KMeans executes per step. Distances round
+    to 6 and centroid means to 8 on both engines, so every
+    iteration's tie-breaks and the final hash are bit-stable.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+    def assign(cents: DataFrame, keep_v: bool) -> DataFrame:
+        one = cents.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        F.round(
+                            sq_dist_fixed(F.col("v"), c["cv"], _DIM), 6
+                        ).alias("dist6"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )
+        cols = ["vec_id"] + (["v"] if keep_v else [])
+        return e.crossJoin(broadcast(one)).select(
+            *cols,
+            best["cid"].alias("cid"),
+            best["dist6"].alias("dist6"),
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        cmean = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim0", "val")
+            )
+            .select("cid", (F.col("dim0") + 1).alias("dim"), "val")
+            .groupBy("cid", "dim")
+            .agg(davg(F.col("val"), "val", 8))
+        )
+        return cmean.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cv")
+        # K x dim tiny, but its lineage replays the full prior
+        # iteration per consumer: materialize once (PQ cb precedent)
+        ).localCheckpoint(eager=False)
+
+    c0 = e.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cb1 = recompute(assign(c0, keep_v=True))
+    cb2 = recompute(assign(cb1, keep_v=True))
+    return assign(cb2, keep_v=False).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("dist6").alias("dist"),
+    )

@@ -276,3 +276,62 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
     assert len(brute) > 0
     recall = len(brute & got) / len(brute)
     assert recall >= 0.8, f"recall@5 {recall:.3f} < 0.8"
+
+
+def test_kmeans_cluster_assign_python_replay(spark):
+    """Two Lloyd iterations replayed in Python with the same
+    quantization (dist round 6, centroid means round 8)."""
+    from collections import defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.similarity_queries import (
+        _KM_K,
+        kmeans_cluster_assign,
+    )
+
+    got = {
+        r.vec_id: r
+        for r in kmeans_cluster_assign(spark, SF_SMOKE).collect()
+    }
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            out[vid] = min((sqd(v, cv), cid) for cid, cv in cents.items())
+        return out  # vid -> (dist6, cid)
+
+    def recompute(assigned):
+        groups = defaultdict(list)
+        for vid, (_, cid) in assigned.items():
+            groups[cid].append(vecs[vid])
+        return {
+            cid: [
+                round(sum(v[d] for v in vs) / len(vs), 8)
+                for d in range(len(vs[0]))
+            ]
+            for cid, vs in groups.items()
+        }
+
+    cents = {vid: v for vid, v in vecs.items() if vid < _KM_K}
+    for _ in range(2):
+        cents = recompute(assign(cents))
+    final = assign(cents)
+    for vid, (d6, cid) in final.items():
+        assert got[vid].cluster_id == cid
+        assert abs(got[vid].dist - d6) < 2e-6
+    # Lloyd must produce a real multi-cluster partition
+    sizes = defaultdict(int)
+    for _, cid in final.values():
+        sizes[cid] += 1
+    assert len(sizes) > 1
