@@ -102,6 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     "bracket_revenue_disjunctive",
     "suppliers_kept_waiting",
     "kmeans_cluster_assign",
+    "cluster_balanced_sample",
+    "event_transition_matrix",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

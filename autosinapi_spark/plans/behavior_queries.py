@@ -335,3 +335,64 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dia")
     )
+
+
+# --- event-type Markov transition matrix ------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           n * 1000000 // CAST(SUM(n) OVER (PARTITION BY event_type)
+                               AS BIGINT) AS prob_ppm
+    FROM c
+    ORDER BY event_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | type) as integer ppm — the "
+    "behavioral-sequence model behind next-action priors and "
+    "anomaly scoring (extension).",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LEAD, then one (type, next)-keyed aggregate.
+
+    Scale shape: the sequence pairing is a single user-partitioned
+    window (the same exchange every behavioral query here reuses —
+    ts+event_id ordering makes simultaneous events deterministic);
+    transition counts partial-aggregate to |types|^2 rows, and the
+    row-normalization window runs over that tiny matrix, not the
+    event stream. Probabilities are integer parts-per-million via
+    truncating division — no float rounding to straddle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(seq).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    c = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.floor(
+            F.col("n") * 1000000 / F.sum("n").over(row)
+        ).cast("bigint").alias("prob_ppm"),
+    ).orderBy("event_type", "next_type")

@@ -1799,3 +1799,71 @@ def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.col("dist6").alias("dist"),
     )
+
+
+# --- cluster-balanced sampling over the k-means partition -------------
+
+_KM_CAP = 60  # per-cluster cap: the fixture cluster sizes straddle it
+# (53-71 at sf0.01), so both the capped and uncapped paths are live
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}
+    ),
+    {_km_assign_cte('a1', 'c0', keep_v=True)},
+    {_km_cb_cte('a1', 1)},
+    {_km_assign_cte('a2', 'cb1', keep_v=True)},
+    {_km_cb_cte('a2', 2)},
+    {_km_assign_cte('a3', 'cb2', keep_v=False)},
+    ranked AS (
+      SELECT vec_id, cid,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS BIGINT) AS sample_rank
+      FROM a3
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sample_rank
+    FROM ranked WHERE sample_rank <= {_KM_CAP}
+    """,
+    doc=f"Cluster-balanced sampling: at most {_KM_CAP} vectors per "
+    f"k-means cluster, chosen by deterministic content-hash order — "
+    "the over-represented-mode cap (SemDeDup/DDC-style cluster "
+    "balancing) downstream of `kmeans_cluster_assign` (extension).",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-cluster cap over the Lloyd partition.
+
+    Scale shape: reuses the k-means assignment dataflow (row-local
+    broadcast argmin), then ONE window ranked by md5(vec_id) within
+    each cluster — deterministic across reruns and engines, no RNG
+    state. The rank window is bounded by cluster size; at web scale
+    a giant cluster gets a hash-THRESHOLD pre-filter (keep if
+    md5 < cap/|cluster| quantile) before the exact rank, so the sort
+    never sees more than ~cap x safety-factor rows per cluster.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_cluster_assign(spark, sf_dir).select(
+        "vec_id", F.col("cluster_id").alias("cid")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn(
+            "sample_rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("sample_rank") <= _KM_CAP)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "sample_rank",
+        )
+    )

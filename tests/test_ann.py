@@ -335,3 +335,35 @@ def test_kmeans_cluster_assign_python_replay(spark):
     for _, cid in final.values():
         sizes[cid] += 1
     assert len(sizes) > 1
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark):
+    """Cap semantics replayed from the assignment frame."""
+    import hashlib
+    from collections import defaultdict
+
+    from autosinapi_spark.plans.similarity_queries import (
+        _KM_CAP,
+        cluster_balanced_sample,
+        kmeans_cluster_assign,
+    )
+
+    sample = cluster_balanced_sample(spark, SF_SMOKE).collect()
+    assigned = kmeans_cluster_assign(spark, SF_SMOKE).collect()
+
+    by_cluster = defaultdict(list)
+    for r in assigned:
+        by_cluster[r.cluster_id].append(r.vec_id)
+    exp = {}
+    for cid, vids in by_cluster.items():
+        order = sorted(
+            vids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+        )
+        for rk, v in enumerate(order[:_KM_CAP], start=1):
+            exp[v] = (cid, rk)
+    got = {r.vec_id: (r.cluster_id, r.sample_rank) for r in sample}
+    assert got == exp
+    # the fixture must exercise both the capped and uncapped paths
+    sizes = [len(v) for v in by_cluster.values()]
+    assert any(s > _KM_CAP for s in sizes)
+    assert any(s <= _KM_CAP for s in sizes)

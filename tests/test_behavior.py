@@ -123,3 +123,46 @@ def test_rolling_active_users_python_replay(spark):
     assert set(got) == set(days)
     # trailing window dominates the day itself
     assert all(w >= u for (u, w) in got.values())
+
+
+def test_event_transition_matrix_python_replay(spark):
+    """LEAD pairing + ppm normalization replayed in Python."""
+    from collections import Counter, defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.behavior_queries import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, SF_SMOKE).collect()
+    got = {(r.event_type, r.next_type): (r.n, r.prob_ppm) for r in rows}
+
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    exp = {
+        k: (n, n * 1_000_000 // row_tot[k[0]]) for k, n in pairs.items()
+    }
+    assert got == exp and got
+    # each row of the matrix sums to ~1e6 (truncation undershoots by
+    # at most the number of entries in the row)
+    by_row = defaultdict(int)
+    ents = defaultdict(int)
+    for (a, _), (_, ppm) in got.items():
+        by_row[a] += ppm
+        ents[a] += 1
+    for a, tot in by_row.items():
+        assert 1_000_000 - ents[a] <= tot <= 1_000_000
