@@ -72,6 +72,10 @@ QUERIES = [
     "funnel_conversion",  # user-keyed cascade over 10x users
     "nation_market_share",  # Q8 star join: 10x facts, shared dims
     "grouping_sets_revenue",  # 3-way set expansion over 10x orders
+    "dsir_importance_weights",  # two token passes + 64-row model bcast
+    "kmeans_cluster_assign",  # row-local argmin x2 Lloyd; aggs K-bounded
+    "suppliers_kept_waiting",  # Q21 single-scan aggregation form
+    "large_volume_customers",  # Q18 orderkey agg over 10x lineitem
 ]
 
 
