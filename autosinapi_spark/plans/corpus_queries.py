@@ -1346,10 +1346,12 @@ _DSIR_BUCKETS = 64
 _DSIR_SEED = 173
 
 
-@register(
-    "dsir_importance_weights",
-    f"""
-    WITH tok AS (
+def _dsir_ctes() -> str:
+    """CTE chain ``tok .. scored`` replaying the hashed-ngram
+    importance model in DuckDB — shared by the weight and resample
+    oracles so the two replays can never diverge (the ``_fh_ctes``
+    convention)."""
+    return f"""tok AS (
       SELECT doc_id, source,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
                AS ts
@@ -1388,7 +1390,13 @@ _DSIR_SEED = 173
              SUM(CAST(l.lr AS DECIMAL(28,10))) AS s
       FROM hashed h JOIN lr l ON l.dim = h.dim
       GROUP BY h.doc_id
-    )
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_dsir_ctes()}
     SELECT doc_id, n_feats,
            ROUND(CAST(s AS DOUBLE) / n_feats, 6) AS dsir_score,
            s > 0 AS is_targetlike
@@ -1477,4 +1485,88 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("n_feats"), 6
         ).alias("dsir_score"),
         (F.col("s") > 0).alias("is_targetlike"),
+    )
+
+
+# --- DSIR Gumbel top-k resampling ------------------------------------
+
+# The paper's selection step: sampling n docs WITHOUT replacement with
+# probability proportional to exp(score) is equivalent to taking the
+# top-n by (score + Gumbel noise) — the Gumbel-top-k trick (Kool et
+# al. 2019; DSIR §2.3). The Gumbel draw is derandomized from a
+# content hash, so the "sample" is a pure function of the corpus.
+_DSIR_N = 200
+_DSIR_GUMBEL_SEED = 777
+_DSIR_HASH_DEN = (1 << 60) + 2  # u = (h+1)/DEN in (0,1) strictly
+
+
+@register(
+    "dsir_gumbel_resample",
+    f"""
+    WITH {_dsir_ctes()},
+    keyed AS (
+      SELECT doc_id,
+             ROUND(CAST(s AS DOUBLE) / n_feats, 6) AS dsir_score,
+             ROUND(ROUND(CAST(s AS DOUBLE) / n_feats, 6)
+                   - ln(-ln((CAST('0x' || substr(md5(
+                         '{_DSIR_GUMBEL_SEED}:' || doc_id), 1, 15)
+                       AS BIGINT) + 1) / {_DSIR_HASH_DEN}.0)), 6)
+               AS gumbel_key
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, dsir_score, gumbel_key,
+             CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+                  AS BIGINT) AS sample_rank
+      FROM keyed
+    )
+    SELECT doc_id, dsir_score, gumbel_key, sample_rank
+    FROM ranked WHERE sample_rank <= {_DSIR_N}
+    """,
+    doc=f"DSIR resampling via the Gumbel-top-k trick: top {_DSIR_N} "
+    "documents by importance score + hash-derandomized Gumbel noise "
+    "= sampling without replacement proportional to exp(score) "
+    "(Xie et al. 2023 §2.3; Kool et al. 2019) — deterministic, so "
+    "the selected set is reproducible and engine-independent "
+    "(extension).",
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling as a deterministic top-n.
+
+    Scale shape: reuses the `dsir_importance_weights` dataflow (two
+    token passes, 64-bucket broadcast model), adds one row-local
+    Gumbel key (the uniform comes from the same portable md5 the
+    dedup operators use, so both engines draw the SAME noise), then
+    selects via orderBy+limit — a distributed TakeOrdered (per-
+    partition heap of n, driver merge), never a global sort; the
+    rank column is a window over the ALREADY-SELECTED n rows, which
+    is budget-bounded by construction.
+    """
+    from ..operators.near_dedup import portable_hash64
+
+    from pyspark.sql.window import Window
+
+    scored = dsir_importance_weights(spark, sf_dir)
+    u = (
+        portable_hash64(
+            F.col("doc_id").cast("string"), _DSIR_GUMBEL_SEED
+        )
+        + 1
+    ) / F.lit(float(_DSIR_HASH_DEN))
+    # the key adds noise to the ROUNDED score (both engines quantize
+    # the mean identically first, so the sum can't straddle an ulp)
+    keyed = scored.select(
+        "doc_id",
+        "dsir_score",
+        F.round(F.col("dsir_score") - F.log(-F.log(u)), 6).alias(
+            "gumbel_key"
+        ),
+    )
+    top = keyed.orderBy(F.desc("gumbel_key"), "doc_id").limit(_DSIR_N)
+    w = Window.orderBy(F.desc("gumbel_key"), "doc_id")
+    return top.select(
+        "doc_id",
+        "dsir_score",
+        "gumbel_key",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )

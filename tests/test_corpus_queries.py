@@ -444,3 +444,50 @@ def test_gopher_quality_flags_python_replay(spark):
     # the thresholds must actually split the fixture
     passes = [r.gopher_pass for r in got.values()]
     assert any(passes) and not all(passes)
+
+
+def test_dsir_gumbel_resample_python_replay(spark):
+    """Gumbel-top-k selection replayed from the weight frame."""
+    import hashlib
+    import math
+
+    from autosinapi_spark.plans.corpus_queries import (
+        _DSIR_GUMBEL_SEED,
+        _DSIR_HASH_DEN,
+        _DSIR_N,
+        dsir_gumbel_resample,
+        dsir_importance_weights,
+    )
+
+    rows = dsir_gumbel_resample(spark, SF_SMOKE).collect()
+    weights = {
+        r.doc_id: r.dsir_score
+        for r in dsir_importance_weights(spark, SF_SMOKE).collect()
+    }
+
+    def gumbel(doc_id):
+        hx = hashlib.md5(
+            f"{_DSIR_GUMBEL_SEED}:{doc_id}".encode()
+        ).hexdigest()[:15]
+        u = (int(hx, 16) + 1) / _DSIR_HASH_DEN
+        return -math.log(-math.log(u))
+
+    keyed = sorted(
+        (
+            (-round(score + gumbel(d), 6), d)
+            for d, score in weights.items()
+        )
+    )[:_DSIR_N]
+    exp = {
+        d: (weights[d], -negk, rk)
+        for rk, (negk, d) in enumerate(keyed, start=1)
+    }
+    got = {r.doc_id: (r.dsir_score, r.gumbel_key, r.sample_rank) for r in rows}
+    assert set(got) == set(exp)
+    for d, (score, key, rk) in exp.items():
+        gs, gk, grk = got[d]
+        assert gs == score and grk == rk
+        assert abs(gk - key) < 2e-6
+    # selection must enrich for high scores vs the pool average
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([weights[d] for d in got]) > mean(list(weights.values()))
