@@ -1449,7 +1449,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
         ).alias("n_t"),
         F.count(F.lit(1)).alias("n_all"),
-    )
+    # B rows, but consumed by BOTH the totals aggregate and the
+    # log-ratio join — materialize once so the token explode+hash
+    # lineage runs a single model-fit pass, not once per consumer
+    # (plan-pinned: exactly two documents scans end-to-end)
+    ).localCheckpoint(eager=False)
     tot = dims.agg(
         F.sum("n_t").alias("nt"), F.sum("n_all").alias("na")
     )

@@ -294,3 +294,30 @@ def test_q21_single_lineitem_scan(registry, spark):
     assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_two_token_passes(registry, spark):
+    """The importance model fits in ONE pass (dims materialized) and
+    scoring is the second — never a pass per model consumer."""
+    simple = _plan(_q(registry, spark, "dsir_importance_weights"), "simple")
+    assert simple.count("documents.parquet") <= 2
+    plan = _plan(_q(registry, spark, "dsir_importance_weights"))
+    assert "CartesianProduct" not in plan
+    assert "partial_" in simple  # model fit map-side combines
+
+
+def test_dsir_gumbel_resample_take_ordered(registry, spark):
+    plan = _plan(_q(registry, spark, "dsir_gumbel_resample"))
+    # the top-n selection is a distributed heap, never global sort+limit
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_single_scan_no_shuffle_to_assign(registry, spark):
+    """Final-iteration plan: ONE embeddings scan (prior iterations sit
+    behind checkpoints) and no corpus exchange for the argmin — the
+    only exchanges belong to the tiny centroid aggregates."""
+    simple = _plan(_q(registry, spark, "kmeans_cluster_assign"), "simple")
+    assert simple.count("embeddings.parquet") == 1
+    assert "CartesianProduct" not in simple
+    assert simple.count("Exchange") <= 2
