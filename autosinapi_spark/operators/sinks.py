@@ -42,6 +42,7 @@ the MERGE condition/action set.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -261,3 +262,78 @@ def _rewrite(spark: SparkSession, merged: DataFrame, path: str) -> None:
     """
     pinned = merged.localCheckpoint(eager=True)
     pinned.write.mode("overwrite").parquet(path)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    incoming: DataFrame,
+    pk: Sequence[str],
+    attrs: Sequence[str],
+    effective: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge (Kimball): matched rows
+    whose tracked ``attrs`` changed are CLOSED (``valid_to`` =
+    effective date, ``is_current`` = false) and re-inserted as a new
+    current version; unchanged matches and historical (non-current)
+    rows pass through untouched; unmatched incoming keys insert as
+    new current rows. The reference's upsert (``database.py:220-246``)
+    is the Type 1 overwrite of this; Type 2 is the standard
+    warehouse extension that keeps the full attribute history.
+
+    Scale shape: every stage is keyed on the PK — one join of the
+    CURRENT slice against the (deduped) batch computes the change
+    set with null-safe comparisons, and the output is a union of
+    column-aligned projections (no wide shuffle beyond the PK join;
+    at deployment this is one Delta/Iceberg MERGE). History rows
+    never meet the join: they are filtered out before it and
+    unioned back verbatim.
+    """
+    eff = F.lit(effective).cast("date")
+    inc = _dedup_incoming(incoming, pk)
+    cur = dim.where(F.col(is_current))
+    hist = dim.where(~F.col(is_current))
+
+    changed_keys = (
+        cur.alias("c")
+        .join(inc.alias("i"), list(pk))
+        .where(
+            ~functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"c.{a}").eqNullSafe(F.col(f"i.{a}"))
+                    for a in attrs
+                ],
+            )
+        )
+        .select(*[F.col(f"c.{k}") for k in pk])
+    )
+    closed = (
+        cur.join(changed_keys, list(pk), "left_semi")
+        .withColumn(valid_to, eff)
+        .withColumn(is_current, F.lit(False))
+    )
+    unchanged_cur = cur.join(changed_keys, list(pk), "left_anti")
+    new_versions = (
+        inc.join(changed_keys, list(pk), "left_semi")
+        .withColumn(valid_from, eff)
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(is_current, F.lit(True))
+    )
+    inserts = (
+        inc.join(cur, list(pk), "left_anti")
+        .withColumn(valid_from, eff)
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(is_current, F.lit(True))
+    )
+    cols = dim.columns
+    return (
+        hist.select(cols)
+        .unionByName(unchanged_cur.select(cols))
+        .unionByName(closed.select(cols))
+        .unionByName(new_versions.select(cols))
+        .unionByName(inserts.select(cols))
+    )

@@ -160,3 +160,111 @@ def sink_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stale = edges.limit(0)  # last month's structure, being discarded
     return overwrite(stale, edges)
+
+
+# --- SCD Type 2 dimension history (K3's warehouse extension) ----------
+
+_SCD2_EFF = "2024-06-01"
+# incoming re-derivation: %3 keys arrive; of those, %5 keys carry the
+# UNCHANGED description (exercises the matched-but-identical no-op
+# path); the rest change to upper(p_name). %4 keys additionally start
+# with one pre-closed historical version (exercises history
+# passthrough). Unmatched incoming keys (odd %3) exercise inserts.
+
+
+@register(
+    "sink_scd2_history",
+    f"""
+    WITH cur AS (
+      SELECT p_partkey AS codigo, p_name AS descricao,
+             p_brand AS unidade, DATE '2023-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM part WHERE p_partkey % 2 = 0
+    ),
+    hist AS (
+      SELECT p_partkey AS codigo, 'v0 ' || p_name AS descricao,
+             p_brand AS unidade, DATE '2022-01-01' AS valid_from,
+             DATE '2023-01-01' AS valid_to, FALSE AS is_current
+      FROM part WHERE p_partkey % 4 = 0
+    ),
+    dim AS (SELECT * FROM cur UNION ALL SELECT * FROM hist),
+    inc AS (
+      SELECT p_partkey AS codigo,
+             CASE WHEN p_partkey % 5 = 0 THEN p_name
+                  ELSE upper(p_name) END AS descricao,
+             p_brand AS unidade
+      FROM part WHERE p_partkey % 3 = 0
+    ),
+    changed AS (
+      SELECT c.codigo FROM cur c JOIN inc i ON i.codigo = c.codigo
+      WHERE c.descricao IS DISTINCT FROM i.descricao
+         OR c.unidade IS DISTINCT FROM i.unidade
+    )
+    SELECT codigo, descricao, unidade, valid_from, valid_to, is_current
+    FROM (
+      SELECT * FROM hist
+      UNION ALL
+      SELECT * FROM cur WHERE codigo NOT IN (SELECT codigo FROM changed)
+      UNION ALL
+      SELECT c.codigo, c.descricao, c.unidade, c.valid_from,
+             DATE '{_SCD2_EFF}', FALSE
+      FROM cur c WHERE c.codigo IN (SELECT codigo FROM changed)
+      UNION ALL
+      SELECT i.codigo, i.descricao, i.unidade, DATE '{_SCD2_EFF}',
+             CAST(NULL AS DATE), TRUE
+      FROM inc i WHERE i.codigo IN (SELECT codigo FROM changed)
+      UNION ALL
+      SELECT i.codigo, i.descricao, i.unidade, DATE '{_SCD2_EFF}',
+             CAST(NULL AS DATE), TRUE
+      FROM inc i WHERE i.codigo NOT IN (SELECT codigo FROM cur)
+    )
+    """,
+    doc="SCD Type 2 merge: changed current rows are closed at the "
+    "effective date and re-inserted as new versions, identical "
+    "matches no-op, history rows pass through, unmatched keys "
+    "insert — the full-history extension of the reference's Type 1 "
+    "upsert (database.py:220-246) (extension).",
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball Type 2 state after one monthly batch.
+
+    Scale shape (see ``operators/sinks.scd2_merge``): the change set
+    is ONE PK-keyed join of the current slice against the deduped
+    batch with null-safe attribute compares; closed/new/insert arms
+    are semi/anti joins on the same key — at deployment one
+    Delta/Iceberg MERGE. History rows bypass the join entirely.
+    """
+    from ..operators.sinks import scd2_merge
+
+    part = load(spark, sf_dir, "part")
+    cur = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("codigo"),
+        F.col("p_name").alias("descricao"),
+        F.col("p_brand").alias("unidade"),
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = part.where(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("codigo"),
+        F.concat(F.lit("v0 "), F.col("p_name")).alias("descricao"),
+        F.col("p_brand").alias("unidade"),
+        F.lit("2022-01-01").cast("date").alias("valid_from"),
+        F.lit("2023-01-01").cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = cur.unionByName(hist)
+    inc = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("codigo"),
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_name"))
+        .otherwise(F.upper(F.col("p_name")))
+        .alias("descricao"),
+        F.col("p_brand").alias("unidade"),
+    )
+    return scd2_merge(
+        dim,
+        inc,
+        pk=["codigo"],
+        attrs=["descricao", "unidade"],
+        effective=_SCD2_EFF,
+    )

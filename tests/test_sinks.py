@@ -13,6 +13,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from autosinapi_spark.operators.sinks import (
     write_append_nodup,
     write_overwrite,
@@ -141,3 +143,63 @@ def test_replace_period_keeps_null_dated_rows(spark):
     got = {r["codigo"] for r in out.collect()}
     # NULL-dated row 2 survives; only the 2024-01 rows are replaced
     assert got == {2, 3, 9}
+
+
+def test_sink_scd2_history_semantics(spark):
+    """Type 2 invariants replayed from the raw part table."""
+    from datetime import date
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.sink_queries import (
+        _SCD2_EFF,
+        sink_scd2_history,
+    )
+
+    rows = sink_scd2_history(spark, SF_SMOKE).collect()
+    eff = date.fromisoformat(_SCD2_EFF)
+
+    parts = {
+        r.p_partkey: r for r in load(spark, SF_SMOKE, "part").collect()
+    }
+    cur_keys = {k for k in parts if k % 2 == 0}
+    inc = {
+        k: (parts[k].p_name if k % 5 == 0 else parts[k].p_name.upper())
+        for k in parts
+        if k % 3 == 0
+    }
+    changed = {k for k in cur_keys & set(inc) if inc[k] != parts[k].p_name}
+    inserts = set(inc) - cur_keys
+
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.codigo, []).append(r)
+    # exactly one current row per live key; history rows intact
+    for k, vs in by_key.items():
+        curs = [v for v in vs if v.is_current]
+        assert len(curs) == 1
+        for v in vs:
+            if v.valid_to is not None:
+                assert not v.is_current
+    for k in changed:
+        vs = sorted(by_key[k], key=lambda v: v.valid_from)
+        closed = [v for v in vs if v.valid_to == eff]
+        assert len(closed) == 1 and closed[0].descricao == parts[k].p_name
+        cur = [v for v in vs if v.is_current][0]
+        assert cur.descricao == inc[k] and cur.valid_from == eff
+    for k in inserts:
+        (v,) = by_key[k]
+        assert v.is_current and v.valid_from == eff
+    # matched-but-identical keys keep their original single version
+    noop = {k for k in cur_keys & set(inc) if k not in changed}
+    assert noop, "fixture must exercise the no-op path"
+    for k in noop:
+        curs = [v for v in by_key[k] if v.is_current]
+        assert curs[0].valid_from == date(2023, 1, 1)
+    # history passthrough: every %4 key still has its v0 row
+    for k in cur_keys:
+        if k % 4 == 0:
+            assert any(
+                v.descricao.startswith("v0 ") and v.valid_to == date(2023, 1, 1)
+                for v in by_key[k]
+            )
+    assert changed and inserts
