@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "dsir_gumbel_resample",
     "sink_scd2_history",
+    "session_window_native",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

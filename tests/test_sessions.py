@@ -111,3 +111,39 @@ def test_events_gap_fill_python_replay(spark):
                 assert r.n == 0 and r.is_gap
                 assert abs(r.valor_locf - locf) < 2e-6
             h += timedelta(hours=1)
+
+
+def test_session_window_native_matches_manual_form(spark):
+    """The native operator and the manual lag/prefix-sum form agree on
+    every session except the documented boundary: a gap of EXACTLY
+    the timeout splits natively but merges manually."""
+    from autosinapi_spark.plans.session_queries import (
+        _GAP_US,
+        session_window_native,
+        sessionize_events,
+    )
+
+    native = session_window_native(spark, SF_SMOKE).collect()
+    manual = sessionize_events(spark, SF_SMOKE).collect()
+
+    # native end = last event + gap
+    n_sessions_native = len(native)
+    n_sessions_manual = len(manual)
+    assert n_sessions_native >= n_sessions_manual
+    # event conservation
+    assert sum(r.n_events for r in native) == sum(
+        r.n_events for r in manual
+    )
+    # per-user session sets agree when no exact-gap boundary exists;
+    # globally, every native session must nest inside a manual one
+    manual_spans = {}
+    for r in manual:
+        manual_spans.setdefault(r.user_id, []).append(
+            (r.session_start_us, r.session_end_us)
+        )
+    for r in native:
+        start, end_ev = r.session_start_us, r.session_end_us - _GAP_US
+        assert any(
+            ms <= start and end_ev <= me
+            for ms, me in manual_spans[r.user_id]
+        ), (r.user_id, start, end_ev)
