@@ -107,6 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_gumbel_resample",
     "sink_scd2_history",
     "session_window_native",
+    "dominant_share_suppliers",
+    "user_growth_curve",
     # (c) green in r04 only, outside the r05 window -- refresh so every
     # row stays green within the trailing two rounds. SURVEY-paragraph-2
     # core cells (write policies, reshape, coercion, the §3 query

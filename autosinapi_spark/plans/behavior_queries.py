@@ -396,3 +396,59 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1000000 / F.sum("n").over(row)
         ).cast("bigint").alias("prob_ppm"),
     ).orderBy("event_type", "next_type")
+
+
+# --- cumulative user growth curve -------------------------------------
+
+
+@register(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(epoch_us(date_trunc('hour', ts))) AS h_us
+      FROM events GROUP BY user_id
+    ),
+    hourly AS (
+      SELECT h_us, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY h_us
+    )
+    SELECT h_us, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY h_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS total_users
+    FROM hourly
+    ORDER BY h_us
+    """,
+    doc="Cumulative user growth: hourly first-seen signups and the "
+    "running total known-user count — the product growth curve "
+    "(extension; hour grain because the fixture spans days; epoch-"
+    "micros bins keep the hash timezone-proof).",
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen reduction, then a date-spine running sum.
+
+    Scale shape: the event stream reduces to one row per user (hash
+    aggregate with map-side combine — the only fact-scale exchange),
+    then to one row per HOUR; the running sum's global window runs
+    over the hour spine (calendar-bounded at any corpus size), never
+    over events. This is the one place an unpartitioned window is
+    correct: its input cardinality is calendar-bounded.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.date_trunc("hour", F.col("ts")))).alias(
+            "h_us"
+        )
+    )
+    hourly = first_seen.groupBy("h_us").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("h_us").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "h_us",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_users"),
+    ).orderBy("h_us")

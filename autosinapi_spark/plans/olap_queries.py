@@ -1036,3 +1036,86 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(_Q21_TOPN)
     )
+
+
+# --- dominant-share suppliers (TPC-H Q20 shape) -----------------------
+
+_Q20_FROM = "1997-01-01"
+_Q20_TO = "1998-01-01"
+_Q20_MAX_SIZE = 10
+# share threshold 60%, compared as 5*q > 3*tot on the EXACT decimal
+# sums — the ratio never exists as a float, so no engine can round
+# a boundary case differently
+_Q20_NUM, _Q20_DEN = 5, 3
+
+
+@register(
+    "dominant_share_suppliers",
+    f"""
+    WITH pk AS (
+      SELECT p_partkey FROM part WHERE p_size < {_Q20_MAX_SIZE}
+    ),
+    sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(28,10))) AS q
+      FROM lineitem JOIN pk ON pk.p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '{_Q20_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{_Q20_TO} 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, SUM(q) AS tot FROM sp GROUP BY l_partkey),
+    qual AS (
+      SELECT DISTINCT sp.l_suppkey
+      FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+      WHERE sp.q * {_Q20_NUM} > pt.tot * {_Q20_DEN}
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN qual ON qual.l_suppkey = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers holding a dominant (>60%) share "
+    "of some small part's annual shipped volume — the nested "
+    "IN/scalar-subquery chain restated as two stacked aggregates "
+    "plus a semi-join, with the share compared in exact decimal "
+    "cross-multiplication (extension; the fixture has no partsupp, "
+    "so shipped volume stands in for available stock).",
+)
+def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested subqueries as stacked aggregates.
+
+    Scale shape: the part sliver broadcasts into the date-pruned
+    fact scan; the (supp, part) aggregate and the per-part total are
+    two hash aggregates over the SAME partkey-containing keys (AQE
+    reuses the exchange for the second); the share filter
+    cross-multiplies the exact decimal sums — no float ratio
+    exists to straddle an ulp between engines. The distinct
+    qualifying-supplier set is supplier-scale; its join to the
+    supplier dim broadcasts.
+    """
+    pk = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size") < _Q20_MAX_SIZE)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q20_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_TO).cast("timestamp"))
+    )
+    sp = (
+        li.join(broadcast(pk), li.l_partkey == pk.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"))
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    qual = (
+        sp.join(pt, "l_partkey")
+        .where(F.col("q") * _Q20_NUM > F.col("tot") * _Q20_DEN)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(qual, sup.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -393,3 +393,71 @@ def test_suppliers_kept_waiting_python_replay(spark):
             numwait[next(iter(lates[ok]))] += 1
     exp = sorted(numwait.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q21_TOPN]
     assert [(r.s_suppkey, r.numwait) for r in rows] == exp and rows
+
+
+def test_dominant_share_suppliers_python_replay(spark):
+    """Q20 stacked aggregates replayed from raw rows."""
+    from datetime import datetime
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _Q20_DEN,
+        _Q20_FROM,
+        _Q20_MAX_SIZE,
+        _Q20_NUM,
+        _Q20_TO,
+        dominant_share_suppliers,
+    )
+
+    rows = dominant_share_suppliers(spark, SF_SMOKE).collect()
+
+    keys = {
+        r.p_partkey
+        for r in load(spark, SF_SMOKE, "part").collect()
+        if r.p_size < _Q20_MAX_SIZE
+    }
+    lo, hi = (datetime.fromisoformat(d) for d in (_Q20_FROM, _Q20_TO))
+    sp = defaultdict(float)
+    for r in (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+        .collect()
+    ):
+        if r.l_partkey in keys and lo <= r.l_shipdate < hi:
+            sp[(r.l_suppkey, r.l_partkey)] += r.l_quantity
+    pt = defaultdict(float)
+    for (s, p), q in sp.items():
+        pt[p] += q
+    qual = {
+        s for (s, p), q in sp.items() if q * _Q20_NUM > pt[p] * _Q20_DEN
+    }
+    assert {r.s_suppkey for r in rows} == qual and rows
+    # the threshold must actually exclude someone
+    all_supps = {s for s, _ in sp}
+    assert qual < all_supps
+
+
+def test_user_growth_curve_python_replay(spark):
+    """First-seen + running-total replayed from raw events."""
+    from collections import Counter
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.behavior_queries import user_growth_curve
+
+    rows = user_growth_curve(spark, SF_SMOKE).collect()
+
+    first = {}
+    for r in (
+        load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    ):
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        us = int(h.timestamp() * 1_000_000)
+        if r.user_id not in first or us < first[r.user_id]:
+            first[r.user_id] = us
+    hourly = Counter(first.values())
+    exp, run = [], 0
+    for h in sorted(hourly):
+        run += hourly[h]
+        exp.append((h, hourly[h], run))
+    assert [(r.h_us, r.new_users, r.total_users) for r in rows] == exp
+    assert rows[-1].total_users == len(first)
