@@ -109,13 +109,13 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_native",
     "dominant_share_suppliers",
     "user_growth_curve",
-    # (c) green in r04 only, outside the r05 window -- refresh so every
-    # row stays green within the trailing two rounds. SURVEY-paragraph-2
-    # core cells (write policies, reshape, coercion, the §3 query
-    # surface) come first; the tail -- extension text stats whose
-    # algorithms are independently pinned by functions/text.py unit
-    # tests -- is what spills if the driver's window is smaller than
-    # this list.
+    "streaming_session_replay",
+    # (c) long-green refresh pool. Round-6 note: sections (a)+(b) hold
+    # ~50 never-green entries (r05 hash fixes + every round-6
+    # addition), so with a 50-row driver window this section spills
+    # entirely this round -- the deliberate trade: a first green for
+    # new code outranks refreshing rows that are pass(r4) with
+    # untouched backing modules. Rotate these to the front in r07.
     "sink_append_nodup",
     "sink_replace_period",
     "sink_truncate_reload",

@@ -255,3 +255,110 @@ def streaming_join_attribution(
             "(unix_micros(c_ts) - unix_micros(b.v_ts)) div 1000000"
         ).alias("lag_sec"),
     ).orderBy("click_id")
+
+
+# --- streaming session windows with watermark (replay) ----------------
+
+_SESS_GAP = "30 minutes"
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "streaming_session_replay",
+    f"""
+    WITH b1 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '{_B1_END}'
+        AND event_id % {_STRAGGLER_MOD} <> 0
+    ),
+    b2 AS (
+      SELECT * FROM events
+      WHERE NOT (ts < TIMESTAMP '{_B1_END}'
+                 AND event_id % {_STRAGGLER_MOD} <> 0)
+    ),
+    wm AS (SELECT MAX(ts) - {_DELAY_SQL} AS w FROM b1),
+    merged AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b2.* FROM b2, wm WHERE b2.ts >= wm.w
+    ),
+    ordered AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM merged
+    ),
+    marked AS (
+      SELECT user_id, value, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, value, ts_us,
+             CAST(SUM(is_new) OVER
+               (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {_SESS_GAP_US} AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Streaming session windows replayed over two watermarked "
+    "micro-batches: batch-2 rows older than the watermark are "
+    "dropped, admitted rows sessionize under the native "
+    "session_window semantics. Sound because an append-mode session "
+    "finalizes only once the watermark passes its END, so no "
+    "admitted event (ts >= watermark) can ever merge into a "
+    "finalized session — the streaming output over admitted rows "
+    "equals one batch sessionization of them (extension).",
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session state after the two-batch watermark replay.
+
+    Scale shape: watermark = 1-row broadcast scalar; admission is a
+    row-local predicate; then ONE native session_window aggregate
+    over the admitted union (user-keyed exchange, sort-merged
+    sessions — identical dataflow to `session_window_native`). In
+    the true streaming deployment the same expression runs under
+    `withWatermark(ts, ...)`, with per-user session state evicted as
+    the watermark passes each session end.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    in_b1 = (F.col("ts") < F.lit(_B1_END).cast("timestamp")) & (
+        F.col("event_id") % _STRAGGLER_MOD != 0
+    )
+    b1 = ev.where(in_b1)
+    b2 = ev.where(~in_b1)
+    wm = b1.agg((F.max("ts") - F.expr(_DELAY_SPARK)).alias("w"))
+    kept2 = (
+        b2.crossJoin(F.broadcast(wm))
+        .where(F.col("ts") >= F.col("w"))
+        .drop("w")
+    )
+    merged = b1.unionByName(kept2)
+    sw = F.session_window(F.col("ts"), _SESS_GAP)
+    return (
+        merged.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -127,3 +127,37 @@ def test_stream_join_attribution_python_replay(spark):
     for cid, (uid, vid, lag) in exp.items():
         r = got[cid]
         assert (r.user_id, r.view_id, r.lag_sec) == (uid, vid, lag)
+
+
+def test_streaming_session_replay_drops_and_admits(spark):
+    """The watermark must exercise BOTH paths, and the replay must
+    differ from naive full-batch sessionization exactly by the
+    dropped stragglers."""
+    from autosinapi_spark.plans.session_queries import (
+        session_window_native,
+    )
+    from autosinapi_spark.plans.streaming_queries import (
+        streaming_session_replay,
+    )
+
+    replay = streaming_session_replay(spark, SF_SMOKE).collect()
+    full = session_window_native(spark, SF_SMOKE).collect()
+
+    n_replay = sum(r.n_events for r in replay)
+    n_full = sum(r.n_events for r in full)
+    # some events dropped as late...
+    assert n_replay < n_full
+    # ...but the bulk admitted (the straggler slice is ~5%)
+    assert n_replay > 0.9 * n_full
+    # every replay session is a (possibly trimmed) subset of a full
+    # session: its span must nest inside one full-session span
+    spans = {}
+    for r in full:
+        spans.setdefault(r.user_id, []).append(
+            (r.session_start_us, r.session_end_us)
+        )
+    for r in replay:
+        assert any(
+            s <= r.session_start_us and r.session_end_us <= e
+            for s, e in spans[r.user_id]
+        )
