@@ -42,6 +42,7 @@ def _registry():
     import autosinapi_spark.plans.linalg_queries  # noqa: F401
     import autosinapi_spark.plans.graph_analytics_queries  # noqa: F401
     import autosinapi_spark.plans.olap_queries  # noqa: F401
+    import autosinapi_spark.plans.tpch_gap_queries  # noqa: F401
     import autosinapi_spark.plans.streaming_queries  # noqa: F401
     import autosinapi_spark.plans.behavior_queries  # noqa: F401
 
@@ -110,6 +111,17 @@ _PRIORITY: tuple[str, ...] = (
     "dominant_share_suppliers",
     "user_growth_curve",
     "streaming_session_replay",
+    # (b2) late round-6 additions (TPC-H gap shapes + triangles).
+    # They sit below the earlier (b) block: with a ~50-row window
+    # most land in r07's window; sim-verified at sf0.01 locally.
+    "min_cost_supplier_per_part",
+    "nation_pair_trade_volume",
+    "product_profit_by_nation",
+    "returned_item_top_customers",
+    "part_revenue_concentration",
+    "promo_revenue_share",
+    "supplier_count_by_part_attrs",
+    "item_cooccurrence_triangles",
     # (c) long-green refresh pool. Round-6 note: sections (a)+(b) hold
     # ~50 never-green entries (r05 hash fixes + every round-6
     # addition), so with a 50-row driver window this section spills

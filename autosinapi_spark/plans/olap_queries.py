@@ -240,7 +240,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "periodo",
-        F.round(F.col("s").cast("double"), 2).alias("receita"),
+        F.round(F.col("s"), 2).cast("double").alias("receita"),
         F.col("n").alias("n_pedidos"),
     )
 
@@ -745,8 +745,8 @@ _Q22_CUTOFF = "2000-07-01"  # fixture adapter: Q22's "no orders at
     )
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10)))
-                      AS DOUBLE), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2)
+                AS DOUBLE) AS total_bal
     FROM customer c, ab
     WHERE c.c_acctbal > ab.avg_bal
       AND NOT EXISTS (
@@ -824,7 +824,7 @@ _Q15_TO = "1996-04-01"
     ),
     mx AS (SELECT MAX(r) AS mr FROM rev)
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(rev.r AS DOUBLE), 2) AS total_revenue
+           CAST(ROUND(rev.r, 2) AS DOUBLE) AS total_revenue
     FROM rev, mx
     JOIN supplier s ON s.s_suppkey = rev.l_suppkey
     WHERE rev.r = mx.mr
@@ -867,7 +867,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("r").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )

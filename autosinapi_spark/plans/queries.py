@@ -506,8 +506,8 @@ def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mes,
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
-                   AS DOUBLE), 2) AS receita
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                  AS DOUBLE) AS receita
       FROM orders GROUP BY o_custkey, 2
     )
     SELECT o_custkey, mes, receita,
@@ -539,9 +539,10 @@ def customer_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("mes")
     ).agg(
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"),
-            2,
-        ).alias("receita")
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2
+        )
+        .cast("double")
+        .alias("receita")
     )
     w = (
         Window.partitionBy("o_custkey")

@@ -9,13 +9,18 @@ Cross-engine float determinism
 A plain ``SUM(double)`` is order-dependent, so Spark and DuckDB can
 disagree in the last ulps and fail the driver's value-hash compare.
 Every summed double is therefore cast per-row to ``DECIMAL(28,10)``,
-summed exactly, CAST BACK TO DOUBLE, and rounded to 6 decimals.
-Both engines cast the *same exact decimal* to double, so any cast
-discrepancy is identical on both sides and the ROUND absorbs it —
-this is the pattern empirically green in the driver's value-hash
-(``embedding_label_centroids``, round 1), whereas returning the raw
+summed exactly, ROUNDED IN DECIMAL (exact HALF_UP — deterministic
+even when the sum lands exactly on a .5 boundary at the target
+scale, where rounding the double instead diverges across engines),
+and only then cast back to double. Returning the raw
 DECIMAL(38,10) failed the driver hash on all 6 queries that used it
-(the driver canonicalizes Decimal differently from floats).
+(the driver canonicalizes Decimal differently from floats) — the
+final double cast of an exact 2-to-6-dp decimal is lossless enough
+to hash identically. Ratios divide two such identical doubles, so
+both engines round the same quotient (residual risk: a quotient
+landing exactly on a .5 boundary — vanishingly rare for real-valued
+ratios, impossible to remove without cross-engine decimal division
+semantics).
 ``dsum``/``davg`` implement the Spark side; ``sql_dsum``/``sql_davg``
 emit the literal matching SQL.
 """
@@ -53,10 +58,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def dsum(c: Column, alias: str, scale: int = 6) -> Column:
-    """Order-independent sum: exact decimal sum -> double, rounded."""
-    return F.round(
-        F.sum(c.cast("decimal(28,10)")).cast("double"), scale
-    ).alias(alias)
+    """Order-independent sum: exact decimal sum, rounded IN DECIMAL
+    (HALF_UP, exact — identical in both engines even when the sum
+    lands exactly on a .5 boundary at the target scale, where
+    rounding the double diverges: DuckDB rounds the true double,
+    just under the boundary, down; Spark rounds the decimal repr
+    up — hit by ``returned_item_top_customers`` at sf0.01, exact
+    sum 307843.5950000000), then cast to double."""
+    return (
+        F.round(F.sum(c.cast("decimal(28,10)")), scale)
+        .cast("double")
+        .alias(alias)
+    )
 
 
 def davg(c: Column, alias: str, scale: int = 6) -> Column:
@@ -70,8 +83,8 @@ def davg(c: Column, alias: str, scale: int = 6) -> Column:
 # SQL fragments matching dsum/davg for the DuckDB oracle side.
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE), "
-        f"{scale}) AS {alias}"
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,10))), "
+        f"{scale}) AS DOUBLE) AS {alias}"
     )
 
 

@@ -321,3 +321,85 @@ def test_kmeans_single_scan_no_shuffle_to_assign(registry, spark):
     assert simple.count("embeddings.parquet") == 1
     assert "CartesianProduct" not in simple
     assert simple.count("Exchange") <= 2
+
+
+# --- round-6 TPC-H gap shapes + triangle counting --------------------
+
+
+def test_q2_window_min_no_self_join(registry, spark):
+    """The correlated MIN is a window over the aggregated cost
+    relation — lineitem scanned once, no cost-vs-cost self-join,
+    no cartesian; region/nation pinned broadcast."""
+    simple = _plan(_q(registry, spark, "min_cost_supplier_per_part"), "simple")
+    assert simple.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in simple
+    assert "Window" in simple
+    assert "BroadcastHashJoin" in simple
+
+
+def test_q7_nation_slivers_pushed(registry, spark):
+    """Both arms prune to the two named nations before the fact
+    joins; nation broadcast under both roles."""
+    plan = _plan(_q(registry, spark, "nation_pair_trade_volume"))
+    assert "CartesianProduct" not in plan
+    # the 2-of-25 nation filter reaches the nation scan
+    assert "In(n_name" in plan.replace(" ", "") or "n_name" in plan
+    simple = _plan(_q(registry, spark, "nation_pair_trade_volume"), "simple")
+    assert simple.count("nation.parquet") == 2  # one scan per role
+
+
+def test_q9_substring_filter_prunes_part_arm(registry, spark):
+    plan = _plan(_q(registry, spark, "product_profit_by_nation"))
+    # the %substring% predicate is applied on the part arm (it cannot
+    # be a parquet pushed filter, but must sit below the join)
+    assert "StringContains" in plan or "Contains" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_takeordered_and_late_attribute_join(registry, spark):
+    simple = _plan(_q(registry, spark, "returned_item_top_customers"), "simple")
+    assert "TakeOrderedAndProject" in simple
+    # returnflag filter reaches the lineitem scan
+    plan = _plan(_q(registry, spark, "returned_item_top_customers"))
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+
+
+def test_q11_threshold_is_broadcast_scalar(registry, spark):
+    """The global mean is a 1-row aggregate over the rollup, crossed
+    back in broadcast — exactly one lineitem scan feeding BOTH the
+    rollup and the threshold via exchange reuse is not required, but
+    there must be no non-broadcast nested loop."""
+    simple = _plan(_q(registry, spark, "part_revenue_concentration"), "simple")
+    assert "BroadcastNestedLoopJoin" in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_q14_single_pass_conditional_agg(registry, spark):
+    """Numerator and denominator come from ONE aggregate over one
+    lineitem-part join pass."""
+    simple = _plan(_q(registry, spark, "promo_revenue_share"), "simple")
+    assert simple.count("lineitem.parquet") == 1
+    assert simple.count("part.parquet") == 1
+    # part scan pruned to the 2 needed columns
+    plan = _plan(_q(registry, spark, "promo_revenue_share"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "p_type" in l]
+    assert read and all("p_retailprice" not in l for l in read)
+
+
+def test_q16_anti_join_broadcast_denylist(registry, spark):
+    simple = _plan(_q(registry, spark, "supplier_count_by_part_attrs"), "simple")
+    assert "BroadcastHashJoin" in simple and "LeftAnti" in simple
+    # distinct-aggregate expansion keeps partial aggregation
+    assert "partial_count" in simple or "Expand" in simple
+
+
+def test_triangles_edges_materialized_once(registry, spark):
+    """Edge list is checkpointed and reused by all three join roles —
+    the plan must not rebuild baskets three times, and the closing
+    edge check is a semi join."""
+    simple = _plan(_q(registry, spark, "item_cooccurrence_triangles"), "simple")
+    assert "CartesianProduct" not in simple
+    assert "LeftSemi" in simple
+    # basket expansion (collect_set) appears at most once: the
+    # checkpointed edge list feeds e1/e2/e3 as scans
+    assert simple.count("collect_set") <= 1
