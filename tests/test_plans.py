@@ -393,13 +393,23 @@ def test_q16_anti_join_broadcast_denylist(registry, spark):
     assert "partial_count" in simple or "Expand" in simple
 
 
-def test_triangles_edges_materialized_once(registry, spark):
-    """Edge list is checkpointed and reused by all three join roles —
-    the plan must not rebuild baskets three times, and the closing
-    edge check is a semi join."""
-    simple = _plan(_q(registry, spark, "item_cooccurrence_triangles"), "simple")
+def test_triangles_adjacency_intersection_no_wedge_join(spark):
+    """The triangle count is the adjacency-intersection form: edges
+    join VERTEX adjacency lists (two hash joins), intersect
+    row-locally — never the edge-vs-edge wedge-path join whose
+    output is sum(outdeg^2) rows. Inspect the ckpt-free lineage
+    (localCheckpoint hides upstream plan behind an ExistingRDD)."""
+    from autosinapi_spark.plans.graph_analytics_queries import _triangles
+
+    simple = _plan(_triangles(spark, SF_SMOKE, ckpt=False), "simple")
     assert "CartesianProduct" not in simple
-    assert "LeftSemi" in simple
-    # basket expansion (collect_set) appears at most once: the
-    # checkpointed edge list feeds e1/e2/e3 as scans
-    assert simple.count("collect_set") <= 1
+    assert "array_intersect" in simple
+    # two edge-vs-adjacency joins per union branch (the ckpt-free
+    # lineage shows the withI subtree twice; the registered query
+    # checkpoints it so the joins run once), never a third
+    # (edge-vs-edge) join in either branch
+    njoin = sum(
+        simple.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert njoin <= 4
