@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "supplier_count_by_part_attrs",
     "item_cooccurrence_triangles",
+    "inverted_index_postings",
+    "proportional_allocation_sample",
     # (c) long-green refresh pool. Round-6 note: sections (a)+(b) hold
     # ~50 never-green entries (r05 hash fixes + every round-6
     # addition), so with a 50-row driver window this section spills

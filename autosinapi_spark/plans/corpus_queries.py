@@ -1574,3 +1574,91 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gumbel_key",
         F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )
+
+
+# --- inverted index (bigram postings) --------------------------------
+
+_IDX_MIN_DF = 5
+_IDX_POSTINGS_K = 8
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS term
+      FROM tok
+    ),
+    g AS (
+      SELECT term, COUNT(*) AS ctf,
+             list_sort(list(DISTINCT doc_id)) AS docs
+      FROM b GROUP BY term
+    )
+    SELECT term,
+           CAST(len(docs) AS BIGINT) AS df,
+           CAST(ctf AS BIGINT) AS ctf,
+           array_to_string(list_slice(docs, 1, {_IDX_POSTINGS_K}), ',')
+             AS postings
+    FROM g
+    WHERE len(docs) >= {_IDX_MIN_DF}
+    ORDER BY term
+    """,
+    doc="Inverted-index build over bigram terms: document frequency, "
+    "collection term frequency, and the head of each sorted postings "
+    f"list (first {_IDX_POSTINGS_K} doc ids), min-df {_IDX_MIN_DF} — "
+    "the search/decontamination index shape (extension).",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> (df, ctf, head of sorted postings).
+
+    Scale shape: bigram instances build ROW-LOCALLY (shifted-slice
+    zip on a MATERIALIZED token array — never re-splitting text per
+    element); one term-keyed aggregate produces df, ctf and the
+    postings head together (count + collect_set in the same hash
+    aggregate — one exchange carrying (term, doc_id) pairs). The
+    emitted postings are capped at _IDX_POSTINGS_K: full posting
+    lists at corpus scale are not a row — production indexes shard them
+    (term, shard_no) -> fixed-size blocks, which is this same
+    aggregate with a secondary key. min-df prunes the hapax tail
+    (the vast majority of a real vocabulary) before any output.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    base = docs.select("doc_id", ts.alias("ts"))
+    n = F.size(F.col("ts"))
+    bigrams = F.zip_with(
+        F.slice(F.col("ts"), 1, n - 1),
+        F.slice(F.col("ts"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = base.select("doc_id", F.explode(bigrams).alias("term"))
+    g = inst.groupBy("term").agg(
+        F.count(F.lit(1)).alias("ctf"),
+        F.array_sort(F.collect_set("doc_id")).alias("docs"),
+    )
+    return (
+        g.where(F.size("docs") >= _IDX_MIN_DF)
+        .select(
+            "term",
+            F.size("docs").cast("long").alias("df"),
+            F.col("ctf"),
+            # VARCHAR postings head: the driver hash has no proven
+            # cross-engine array canonicalization — scalar outputs only
+            F.array_join(
+                F.transform(
+                    F.slice("docs", 1, _IDX_POSTINGS_K),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -789,3 +789,115 @@ def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# --- largest-remainder proportional allocation sampling --------------
+
+_ALLOC_BUDGET = 37  # deliberately not divisible: exercises remainders
+_ALLOC_SEED = 23
+
+
+@register(
+    "proportional_allocation_sample",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_all FROM c),
+    alloc0 AS (
+      SELECT lang, cnt,
+             CAST(({_ALLOC_BUDGET} * cnt) // tot_all AS BIGINT) AS base,
+             CAST(({_ALLOC_BUDGET} * cnt) % tot_all AS BIGINT) AS rem
+      FROM c, tot
+    ),
+    lo AS (SELECT CAST({_ALLOC_BUDGET} - SUM(base) AS BIGINT) AS leftover
+           FROM alloc0),
+    ranked AS (
+      SELECT lang, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM alloc0
+    ),
+    quota AS (
+      SELECT lang,
+             CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+      FROM ranked, lo
+    ),
+    picked AS (
+      SELECT d.doc_id, d.lang, q.quota,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('{_ALLOC_SEED}:' || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) AS pick_rank
+      FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT doc_id, lang, quota, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM picked WHERE pick_rank <= quota
+    ORDER BY lang, pick_rank
+    """,
+    doc=f"Largest-remainder (Hamilton) allocation of a fixed sample "
+    f"budget ({_ALLOC_BUDGET} docs) across language strata "
+    "proportional to their counts — floor quotas, then +1 to the "
+    "largest remainders; per-stratum picks are content-hash ordered "
+    "(reproducible, retry-stable). Exact-integer arithmetic "
+    "throughout (extension).",
+)
+def proportional_allocation_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly _ALLOC_BUDGET docs, allocated across langs by the
+    Hamilton method, picked deterministically per stratum.
+
+    Scale shape: the allocation runs entirely on the stratum-count
+    frame (one tiny aggregate + two broadcast scalar joins —
+    integer-only arithmetic, so both engines agree bit-for-bit).
+    The pick is a per-stratum ROW_NUMBER over a content-hash order:
+    fine at bench strata counts, but a global per-stratum sort is
+    the bottleneck when strata hold billions of rows — at that
+    scale, replace rank-below-quota with a hash-threshold filter
+    (keep iff u(doc) < quota/cnt, the ``stratified_sample`` shape)
+    and accept +-O(sqrt(n)) quota error, or pre-aggregate per-shard
+    counts and allocate shard sub-quotas (two-level Hamilton).
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("tot_all"))
+    alloc0 = c.join(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.expr(f"CAST(({_ALLOC_BUDGET} * cnt) div tot_all AS BIGINT)")
+        .alias("base"),
+        F.expr(f"CAST(({_ALLOC_BUDGET} * cnt) % tot_all AS BIGINT)")
+        .alias("rem"),
+    )
+    lo = alloc0.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    )
+    quota = (
+        alloc0.select("lang", "base", "rem")
+        .withColumn("rk", rk)
+        .join(F.broadcast(lo))
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(f"{_ALLOC_SEED}:"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "quota", "pick_rank")
+        .orderBy("lang", "pick_rank")
+    )

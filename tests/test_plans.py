@@ -413,3 +413,21 @@ def test_triangles_adjacency_intersection_no_wedge_join(spark):
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert njoin <= 4
+
+
+def test_inverted_index_single_term_aggregate(registry, spark):
+    """df, ctf and the postings head come from ONE term-keyed
+    aggregate over one documents scan; bigrams build row-locally."""
+    simple = _plan(_q(registry, spark, "inverted_index_postings"), "simple")
+    assert simple.count("documents.parquet") == 1
+    assert "CartesianProduct" not in simple
+    assert "collect_set" in simple
+
+
+def test_proportional_allocation_broadcast_quotas(registry, spark):
+    """The allocation arithmetic runs on the tiny stratum frame and
+    reaches the corpus only as broadcast quota/scalar joins."""
+    simple = _plan(_q(registry, spark, "proportional_allocation_sample"), "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" in simple  # 1-row scalar attach
+    assert "BroadcastHashJoin" in simple  # quota-by-lang attach
