@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     # (b) new or reworked in round 6 -- first driver rows
     "streaming_ingest_accept",
     "profile_approx_stats",
+    "snapshot_diff_cdc",
     "dedup_cluster_keep_best",
     "chunk_documents_stride",
     "ann_ivf_pq_topk",

@@ -337,3 +337,56 @@ def scd2_merge(
         .unionByName(new_versions.select(cols))
         .unionByName(inserts.select(cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: Sequence[str],
+    attrs: Sequence[str],
+    *,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same table:
+    classify every key as ``insert`` (new only), ``delete`` (old
+    only), or ``update`` (present in both with any tracked attribute
+    differing, null-safe); unchanged rows are dropped. This is the
+    inverse direction of the reference's write policies
+    (``database.py:151-259`` applies a batch to a table; this
+    derives the batch FROM two table states) — the shape every
+    incremental re-sync of a monthly SINAPI load needs.
+
+    Output: pk columns, ``change_type``, then ``old_<attr>`` /
+    ``new_<attr>`` for each tracked attribute.
+
+    Scale shape: ONE full-outer shuffle join keyed on the PK; only
+    changed rows survive the post-join filter, so the output stage
+    is change-volume-sized, not table-sized. With both snapshots
+    bucketed by PK (``operators/maintenance`` bucketed writes) the
+    join is shuffle-free; columns outside pk+attrs are pruned at
+    the scan.
+    """
+    o = old.select(*pk, *attrs).alias("o")
+    n = new.select(*pk, *attrs).alias("n")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}") == F.col(f"n.{k}") for k in pk],
+    )
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o.{pk[0]}").isNotNull()
+    new_present = F.col(f"n.{pk[0]}").isNotNull()
+    same_attrs = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}")) for a in attrs],
+    )
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(~same_attrs, F.lit("update"))
+    )
+    out = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in pk]
+    out.append(change.alias(change_col))
+    for a in attrs:
+        out.append(F.col(f"o.{a}").alias(f"old_{a}"))
+        out.append(F.col(f"n.{a}").alias(f"new_{a}"))
+    return joined.select(*out).where(F.col(change_col).isNotNull())

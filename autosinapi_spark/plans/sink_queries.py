@@ -268,3 +268,88 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["descricao", "unidade"],
         effective=_SCD2_EFF,
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM base WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderkey % 5 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'update'
+             END AS change_type,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_orderstatus AS new_o_orderstatus,
+             o.o_orderpriority AS old_o_orderpriority,
+             n.o_orderpriority AS new_o_orderpriority
+      FROM base o FULL JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change_type,
+           old_o_orderstatus, new_o_orderstatus,
+           old_o_orderpriority, new_o_orderpriority
+    FROM diff WHERE change_type IS NOT NULL
+    """,
+    doc="CDC snapshot diff: classify every order key across two "
+    "simulated snapshots as insert/delete/update via one full-outer "
+    "PK join with null-safe attribute compares; unchanged rows are "
+    "dropped (the incremental-resync inverse of the reference's "
+    "write policies, database.py:151-259) (extension).",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change set between two deterministic snapshots of
+    ``orders``: the old snapshot is every pre-1997 order; the new one
+    drops ``%13`` keys (deletes), flips status to ``'X'`` on ``%7``
+    keys (updates), and adds the ``%5`` post-1997 orders (inserts).
+
+    Scale shape (see ``operators/sinks.snapshot_diff``): one
+    full-outer shuffle join on the order key, change-volume-sized
+    output, scans pruned to pk+attrs. Bucketed snapshots make the
+    join shuffle-free.
+    """
+    from ..operators.sinks import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    base = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    snap_new = (
+        base.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            orders.where(
+                (F.col("o_orderdate") >= cutoff)
+                & (F.col("o_orderkey") % 5 == 0)
+            ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        )
+    )
+    return snapshot_diff(
+        base,
+        snap_new,
+        pk=["o_orderkey"],
+        attrs=["o_orderstatus", "o_orderpriority"],
+    )

@@ -203,3 +203,40 @@ def test_sink_scd2_history_semantics(spark):
                 for v in by_key[k]
             )
     assert changed and inserts
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """CDC invariants replayed from the raw orders table."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.sink_queries import snapshot_diff_cdc
+
+    rows = snapshot_diff_cdc(spark, SF_SMOKE).collect()
+    orders = load(spark, SF_SMOKE, "orders").collect()
+    pre = {r.o_orderkey: r for r in orders if str(r.o_orderdate) < "1997-01-01"}
+    post_ins = {
+        r.o_orderkey
+        for r in orders
+        if str(r.o_orderdate) >= "1997-01-01" and r.o_orderkey % 5 == 0
+    }
+    want_del = {k for k in pre if k % 13 == 0}
+    want_upd = {
+        k
+        for k, r in pre.items()
+        if k % 13 != 0 and k % 7 == 0 and r.o_orderstatus != "X"
+    }
+
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, set()).add(r.o_orderkey)
+    assert by_type.get("insert", set()) == post_ins
+    assert by_type.get("delete", set()) == want_del
+    assert by_type.get("update", set()) == want_upd
+    # update rows carry both sides; insert/delete are half-null
+    for r in rows:
+        if r.change_type == "update":
+            assert r.old_o_orderstatus != r.new_o_orderstatus
+            assert r.old_o_orderpriority == r.new_o_orderpriority
+        elif r.change_type == "insert":
+            assert r.old_o_orderstatus is None
+        else:
+            assert r.new_o_orderstatus is None
