@@ -89,3 +89,15 @@ def test_nation_market_share_pushes_filter_and_broadcasts_dims(spark):
     # bounded dims ride broadcast joins; p_type reaches the part scan
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters" in plan and "p_type" in plan
+
+
+def test_snapshot_diff_is_single_keyed_full_outer(spark):
+    """CDC diff must stay one PK-keyed full-outer join: no cartesian,
+    no nested loop, and the join itself keyed (SortMergeJoin or
+    ShuffledHashJoin FullOuter) so bucketing can remove the shuffle."""
+    from autosinapi_spark.plans.sink_queries import snapshot_diff_cdc
+
+    plan = _plan(snapshot_diff_cdc(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
