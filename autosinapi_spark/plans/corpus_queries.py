@@ -1272,9 +1272,9 @@ def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY source
     )
     SELECT source, n AS n_terms,
-           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0 AS zipf_slope,
            ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
-                 6) AS zipf_intercept
+                 6) + 0 AS zipf_intercept
     FROM sums
     ORDER BY source
     """,

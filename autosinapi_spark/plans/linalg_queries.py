@@ -60,11 +60,16 @@ def _cov_sql() -> str:
         f"AS c{i}_{j}"
         for i, j in _PAIRS
     )
+    # "+ 0" normalizes IEEE signed zero: DuckDB's ROUND keeps the sign
+    # of a value that rounds to zero from below (-1e-7 -> -0.0), while
+    # Spark's ROUND goes through BigDecimal and always emits +0.0; the
+    # driver hashes representations, so -0.0 vs +0.0 is a mismatch even
+    # though Python == calls them equal (r6's one red row).
     entries = " UNION ALL ".join(
         f"SELECT {i} AS dim_i, {j} AS dim_j, n, "
-        f"ROUND(CAST(s{i} AS DOUBLE) / n, 6) AS mean_i, "
-        f"ROUND(c{i}_{j}, 6) AS cov, "
-        f"ROUND(c{i}_{j} / SQRT(c{i}_{i} * c{j}_{j}), 6) AS corr "
+        f"ROUND(CAST(s{i} AS DOUBLE) / n, 6) + 0 AS mean_i, "
+        f"ROUND(c{i}_{j}, 6) + 0 AS cov, "
+        f"ROUND(c{i}_{j} / SQRT(c{i}_{i} * c{j}_{j}), 6) + 0 AS corr "
         f"FROM c"
         for i, j in _PAIRS
     )
@@ -280,7 +285,7 @@ def _pca_sql() -> str:
                  {covs} FROM agg),
     {_pca_cte_chain()},
     e AS (SELECT v.*, m.* FROM ev v, (SELECT {means} FROM c) m)
-    SELECT b.vec_id, ROUND({proj}, 6) AS pc1
+    SELECT b.vec_id, ROUND({proj}, 6) + 0 AS pc1
     FROM base b, e
     """
 
@@ -469,7 +474,7 @@ def _pca2_sql() -> str:
     ev2 AS ({_eigvec_cte(m2, "u")}),
     e AS (SELECT ev1.*, ev2.*, m.*
           FROM ev1, ev2, (SELECT {means} FROM c) m)
-    SELECT b.vec_id, ROUND({p1}, 6) AS pc1, ROUND({p2}, 6) AS pc2
+    SELECT b.vec_id, ROUND({p1}, 6) + 0 AS pc1, ROUND({p2}, 6) + 0 AS pc2
     FROM base b, e
     """
 

@@ -89,7 +89,11 @@ def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    # "+ 0" normalizes IEEE signed zero: DuckDB's ROUND keeps the sign
+    # when a negative mean rounds to zero (-1e-9 -> -0.0) while Spark's
+    # ROUND (BigDecimal) always emits +0.0, and the driver hashes
+    # representations (r6 embedding_covariance lesson).
     return (
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) "
-        f"/ COUNT(*), {scale}) AS {alias}"
+        f"/ COUNT(*), {scale}) + 0 AS {alias}"
     )

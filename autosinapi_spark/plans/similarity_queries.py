@@ -42,7 +42,7 @@ _BRUTE_ORACLE = f"""
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             ROUND({_COS_SQL}, 6) AS cos_sim
+             ROUND({_COS_SQL}, 6) + 0 AS cos_sim
       FROM e q JOIN e c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {_N_QUERIES}
     )
@@ -117,7 +117,7 @@ def _lsh_oracle() -> str:
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             ROUND({_COS_SQL}, 6) AS cos_sim
+             ROUND({_COS_SQL}, 6) + 0 AS cos_sim
       FROM eb q JOIN eb c
         ON (c.b0 = q.b0 OR c.b1 = q.b1) AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {_N_QUERIES}
@@ -415,7 +415,7 @@ def _embed_dedup_oracle() -> str:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+                      * sqrt(list_dot_product(b.v, b.v))), 6) + 0 AS cos_sim
       FROM eb a JOIN eb b ON a.vec_id < b.vec_id, p
       WHERE {join_cond}
     )
@@ -686,7 +686,7 @@ _IVF_ORACLE = f"""
       SELECT p.query_id, d.vec_id AS cand_id,
              ROUND(list_dot_product(p.qv, d.v)
                / (sqrt(list_dot_product(p.qv, p.qv))
-                  * sqrt(list_dot_product(d.v, d.v))), 6) AS cos_sim
+                  * sqrt(list_dot_product(d.v, d.v))), 6) + 0 AS cos_sim
       FROM probes p JOIN cells d
         ON d.cid = p.cid AND d.vec_id <> p.query_id
     )
@@ -860,7 +860,7 @@ _Z_OUTLIER = 2.0
     SELECT d.vec_id, d.label, ROUND(d.dist, 6) AS dist,
            ROUND((d.dist - s.sum_d / s.n)
                  / sqrt((s.sum_d2 - s.sum_d * s.sum_d / s.n) / (s.n - 1)),
-                 4) AS zscore,
+                 4) + 0 AS zscore,
            CASE WHEN abs(ROUND((d.dist - s.sum_d / s.n)
                  / sqrt((s.sum_d2 - s.sum_d * s.sum_d / s.n) / (s.n - 1)),
                  4)) > {_Z_OUTLIER} THEN 1 ELSE 0 END AS is_outlier
@@ -997,7 +997,7 @@ def _sem_oracle() -> str:
     assign2 AS (SELECT vec_id, v, nv, cid FROM a2 WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_sim
+             ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) + 0 AS cos_sim
       FROM assign2 a JOIN assign2 b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
@@ -1394,7 +1394,7 @@ def _pq_adc_oracle() -> str:
       SELECT t.query_id, t.cand_id,
              ROUND(list_dot_product(q.v, c.v)
                    / (sqrt(list_dot_product(q.v, q.v))
-                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+                      * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos_sim
       FROM shortlist t
       JOIN e q ON q.vec_id = t.query_id
       JOIN e c ON c.vec_id = t.cand_id
@@ -1545,7 +1545,7 @@ def _ivf_pq_oracle() -> str:
       SELECT t.query_id, t.cand_id,
              ROUND(list_dot_product(q.v, c.v)
                    / (sqrt(list_dot_product(q.v, q.v))
-                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+                      * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos_sim
       FROM shortlist t
       JOIN e q ON q.vec_id = t.query_id
       JOIN e c ON c.vec_id = t.cand_id

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import struct
 
 import pytest
 
@@ -35,7 +36,10 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Bit-exact: the driver hashes representations, and -0.0 vs
+        # +0.0 hash differently even though Python == calls them equal
+        # (r6's embedding_covariance red row slipped past ==).
+        return struct.pack(">d", v).hex()
     return v
 
 

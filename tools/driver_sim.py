@@ -11,6 +11,7 @@ Usage: python tools/driver_sim.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import struct
 import sys
 import time
 from pathlib import Path
@@ -79,8 +80,16 @@ def canon(cols, rows):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
+            if isinstance(v, float):
+                # Compare float BITS, not Python ==: the driver hashes
+                # representations, and -0.0 == 0.0 is True in Python
+                # while their bytes differ (r6's embedding_covariance
+                # red row passed this sim under ==). NaN folds to one
+                # token since all NaN payloads stringify the same.
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = struct.pack(">d", v).hex()
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
