@@ -1190,27 +1190,21 @@ def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both the vocabulary ranking and the per-source rates
     derive from hash-aggregated count frames — (term) and
-    (source, term) — never from re-scanning text.  The top-V ranking
-    is a vocabulary-sized single-partition window (V and |vocab| are
-    bounded; at web scale this becomes the same TakeOrdered pattern
-    as ``heavy_hitter_tokens``), and the V-row vocabulary broadcasts
-    into the left join.  Rates are integer ppm.
+    (source, term) — never from re-scanning text.  The top-V cut is
+    ``orderBy(...).limit(V)`` — TakeOrderedAndProject, a per-partition
+    top-V merged on the driver, never a single-task sort over the full
+    distinct-term frame (which is web-corpus-vocabulary-sized, i.e.
+    unbounded) — and the V-row vocabulary broadcasts into the left
+    join.  Rates are integer ppm.
     """
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     tcnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (
-        tcnt.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("cnt"), F.asc("term"))
-            ),
-        )
-        .where(F.col("rk") <= _OOV_VOCAB_V)
+        tcnt.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_OOV_VOCAB_V)
         .select("term")
     )
     st = tok.groupBy("source", "term").agg(

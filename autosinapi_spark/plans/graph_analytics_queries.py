@@ -46,6 +46,7 @@ from .registry import register
 _PR_INIT = 1_000_000_000_000
 _PR_BASE = 150_000_000_000  # (1 - 0.85) * _PR_INIT
 _PR_ITERS = 3
+_PR_TOP = 100  # emitted head; the full (id, pr) frame stays distributed
 
 
 def _pr_sql() -> str:
@@ -88,10 +89,12 @@ def _pr_sql() -> str:
     r0 AS (
       SELECT id, CAST({_PR_INIT} AS BIGINT) AS pr FROM nodes
     ),{','.join(iters)}
-    SELECT id AS part_key, pr AS pagerank_units,
-           CAST(RANK() OVER (ORDER BY pr DESC, id) AS BIGINT)
-             AS rank_pos
-    FROM {prev}
+    SELECT part_key, pagerank_units, rank_pos FROM (
+      SELECT id AS part_key, pr AS pagerank_units,
+             CAST(RANK() OVER (ORDER BY pr DESC, id) AS BIGINT)
+               AS rank_pos
+      FROM {prev}
+    ) WHERE rank_pos <= {_PR_TOP}
     """
 
 
@@ -108,7 +111,7 @@ def _pr_sql() -> str:
 def item_cooccurrence_pagerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """(part_key, pagerank_units, rank_pos) after 3 PR iterations.
+    """Top-100 (part_key, pagerank_units, rank_pos) after 3 PR iterations.
 
     Scale shape: the basket self-join is keyed by order (pairs per
     order are bounded by basket size squared — TPC-H baskets hold
@@ -183,7 +186,16 @@ def item_cooccurrence_pagerank(
         )
     from pyspark.sql import Window
 
-    return ranks.select(
+    # Top-N head, not a catalog-wide rank: orderBy(...).limit(N)
+    # compiles to TakeOrderedAndProject (per-partition top-N merged on
+    # the driver), and the rank window then runs over the N-row result
+    # only — never an unpartitioned sort of the full item catalog,
+    # which is a single task at web-catalog scale. Consumers that need
+    # every item's score join against the (id, pr) frame itself, which
+    # needs no rank. (id, pr) is a total order, so the cut is
+    # deterministic and the head ranks equal their global ranks.
+    top = ranks.orderBy(F.desc("pr"), F.asc("id")).limit(_PR_TOP)
+    return top.select(
         F.col("id").alias("part_key"),
         F.col("pr").alias("pagerank_units"),
         F.rank()

@@ -101,3 +101,38 @@ def test_snapshot_diff_is_single_keyed_full_outer(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan
+
+
+def test_no_new_unpartitioned_windows():
+    """Grep gate: an unpartitioned Window.orderBy sorts its ENTIRE
+    input in one task, so one over an unbounded-cardinality frame
+    (catalog, vocabulary, corpus) is a 100 TB scale-killer. Every
+    existing site is bounded by construction (calendar hours, a
+    prior ``limit(N)``, or a fixed language set); adding a new one
+    requires justifying the bound here."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "autosinapi_spark"
+    # (file, count) of known-bounded unpartitioned windows:
+    allowed = {
+        # rank over the 100-row TakeOrdered head of pagerank
+        "plans/graph_analytics_queries.py": 1,
+        # cumulative sum over calendar-bounded hourly buckets
+        "plans/behavior_queries.py": 1,
+        # rank over the N-row Gumbel top (follows .limit)
+        "plans/corpus_queries.py": 1,
+        # Hamilton remainder ranking over the fixed language set
+        "plans/curation_queries.py": 1,
+    }
+    pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
+    found: dict[str, int] = {}
+    for f in pkg.rglob("*.py"):
+        n = len(pat.findall(f.read_text()))
+        if n:
+            found[str(f.relative_to(pkg))] = n
+    assert found == allowed, (
+        f"unpartitioned Window.orderBy sites changed: {found} != "
+        f"{allowed} — if the new site is bounded, document it in the "
+        f"allowlist; if not, use TakeOrdered / partitioned windows"
+    )

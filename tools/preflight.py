@@ -30,6 +30,7 @@ def _run(label: str, cmd: list[str]) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    _run("rotation", [sys.executable, "tools/rotation_check.py"])
     _run("lint", [sys.executable, "tools/driver_sim.py", "--lint"])
     _run("sim", [sys.executable, "tools/driver_sim.py", sf_dir])
     if "--skip-tests" not in sys.argv:
