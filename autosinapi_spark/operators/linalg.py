@@ -91,3 +91,67 @@ def covariance_from_gramian(row, dim: int):
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     return mean, cov
+
+
+_UNITS_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", ArrayType(LongType())),  # floor(x*scale) sums
+        StructField("g", ArrayType(LongType())),  # floor(x_i*x_j*scale)
+    ]
+)
+
+
+def gramian_units(
+    df: DataFrame, vec_col: str, dim: int, scale: float = 1e10
+) -> DataFrame:
+    """1-row frame (n, s[d], g[d*d]) of EXACT integer-unit moments.
+
+    Same single-pass shape as :func:`gramian`, but every per-row
+    product is quantized to integer units (``floor(x_i * x_j *
+    scale)``) BEFORE summation, so the int64 sums are associative and
+    the result is bit-identical under any partitioning or batch order
+    — float-sum order-dependence, the reason :func:`gramian` can only
+    be tolerance-checked, is gone, and a hard cross-engine oracle
+    (DuckDB computes the identical floor in SQL) becomes possible at
+    any d. Pick ``scale`` so ``max|x_i*x_j| * scale * n_rows`` stays
+    inside int64 (1e10 covers ~1e6 rows of unit-norm-ish embeddings;
+    a 100 TB corpus drops to 1e8 units or merges per-shard partials
+    hierarchically).
+    """
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64)[:dim] for v in pdf[vec_col]]
+            )
+            g = np.zeros((dim, dim), dtype=np.int64)
+            # chunk the rank-1 expansion: einsum over the whole Arrow
+            # batch is n*d*d floats (10k rows x 64x64 = 327 MB); 256
+            # rows at a time caps it at ~8 MB
+            for lo in range(0, len(x), 256):
+                xx = x[lo : lo + 256]
+                g += (
+                    np.floor(np.einsum("ni,nj->nij", xx, xx) * scale)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+            s = np.floor(x * scale).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"n": [len(x)], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(_partials, _UNITS_SCHEMA)
+    zero = lambda k: F.array_repeat(F.lit(0).cast("long"), k)  # noqa: E731
+    zsum = lambda c, k: F.aggregate(  # noqa: E731
+        F.collect_list(c), zero(k), lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    return partials.agg(
+        F.sum("n").alias("n"),
+        zsum("s", dim).alias("s"),
+        zsum("g", dim * dim).alias("g"),
+    )

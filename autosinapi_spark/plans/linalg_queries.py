@@ -581,3 +581,66 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         v=e,
         cmat=cmat,
     )
+
+
+# --- high-dim Gramian via the Arrow escape hatch ---------------------
+
+_HD_D = 64  # all fixture dims — past the ~100-agg-column SQL comfort zone
+_HD_SCALE = "1e10"
+
+
+@register(
+    "embedding_covariance_hd",
+    f"""
+    WITH base AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT UNNEST(generate_series(1, {_HD_D})) AS d)
+    SELECT i.d - 1 AS dim_i, j.d - 1 AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(v[i.d] * v[j.d] * {_HD_SCALE}) AS BIGINT))
+                AS BIGINT) AS gram_units
+    FROM base, dims i, dims j
+    WHERE i.d <= j.d
+    GROUP BY 1, 2
+    """,
+    doc=f"Full-dimension (d={_HD_D}) Gramian upper triangle in exact "
+    "integer units via the Arrow mapInPandas partial-X^T X path — the "
+    "documented escape hatch for d past the SQL agg-column comfort "
+    "zone, here exercised against a hard DuckDB oracle: quantizing "
+    "every per-row product to floor(x_i*x_j*scale) BEFORE summation "
+    "makes the int64 sums associative, so the result is bit-identical "
+    "under any partitioning (extension).",
+)
+def embedding_covariance_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim_i, dim_j, n, gram_units) for i <= j over all 64 dims.
+
+    Scale shape: one ``mapInPandas`` pass computes a per-Arrow-batch
+    partial X^T X with vectorized numpy (chunked rank-1 expansion, no
+    per-row Python), and only the (1 + d + d^2)-long integer partials
+    cross the exchange — batches-sized, never rows-sized. Covariance
+    derives from units/scale: cov = g/(n*scale) - outer(s, s)/(n*
+    scale)^2; the d x d finish is driver-sized. The integer-unit
+    quantization is what buys a HARD oracle: float partial sums are
+    batch-order-dependent in the last ulps (the ``gramian`` operator's
+    documented caveat), int64 unit sums are exact and associative.
+    """
+    from ..operators.linalg import gramian_units
+
+    emb = load(spark, sf_dir, "embeddings")
+    gdf = gramian_units(emb, "embedding", _HD_D, scale=float(_HD_SCALE))
+    # upper-triangle explode of the 1-row (n, s, g) frame: row-local,
+    # d*(d+1)/2 output rows
+    return spark.sql(
+        f"""
+        SELECT t.dim_i, t.dim_j, n, t.gram_units
+        FROM {{gdf}}
+        LATERAL VIEW inline(
+          flatten(transform(sequence(0, {_HD_D - 1}), i ->
+            transform(sequence(i, {_HD_D - 1}), j ->
+              struct(i AS dim_i, j AS dim_j,
+                     element_at(g, i * {_HD_D} + j + 1) AS gram_units))))
+        ) t AS dim_i, dim_j, gram_units
+        """,
+        gdf=gdf,
+    )

@@ -50,16 +50,34 @@ def main() -> int:
     _materialize(entrymod.entry(spark))
     warmup = time.perf_counter() - t0
 
+    # Min-of-N per query: this box is shared, and co-tenant load has
+    # been observed to inflate single-run walls 2-4x with identical
+    # plans (r6's artifact showed phantom 3-4x regressions that
+    # min-of-3 re-measurement disproved). The min is the honest cost
+    # of the plan; repeats are capped for slow queries so the suite
+    # stays inside the driver's budget, and per-query n_runs + 1-min
+    # load are emitted so contaminated rows are identifiable.
     timings: dict[str, float] = {}
+    runs: dict[str, int] = {}
+    loads: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
+        loads[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         try:
             _materialize(fn(spark, sf_dir))
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            runs[name] = 1
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = time.perf_counter() - t0
+        n = 3 if best <= 10.0 else (2 if best <= 30.0 else 1)
+        for _ in range(n - 1):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        runs[name] = n
         # drop this query's lingering frame refs so the ContextCleaner
         # can release any localCheckpoint blocks before the next
         # measurement (leaked blocks otherwise accumulate for the
@@ -76,11 +94,12 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "warmup_sec": round(warmup, 3),
-        # host conditions at measurement time: this box is shared, and
-        # co-tenant load has been observed to inflate individual query
-        # walls 2-4x run-to-run with identical plans — read heavy
-        # per-query swings against this before reading them as
-        # regressions (min-of-3 isolated runs are the arbiter).
+        # per-query measurement conditions: seconds are min-of-n_runs
+        # (n capped by first-run wall so the suite stays bounded);
+        # query_load_1m is the 1-min load average sampled just before
+        # each query — read any residual swing against it.
+        "query_runs": runs,
+        "query_load_1m": loads,
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))

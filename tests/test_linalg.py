@@ -189,3 +189,34 @@ def test_pca_top2_matches_numpy_eigh(spark):
         assert np.corrcoef(g, exp)[0, 1] > 0.999
     # orthogonal axes -> uncorrelated projections
     assert abs(np.corrcoef(g1, g2)[0, 1]) < 0.01
+
+
+def test_gramian_units_is_bit_exact_under_repartition(spark):
+    """Integer-unit quantization before summation makes the partial
+    merge associative: ANY partitioning must give the bit-identical
+    result (not just tolerance-close like the float gramian) — the
+    property that buys the d=64 query its hard DuckDB oracle."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.operators.linalg import gramian_units
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    r1 = gramian_units(emb.repartition(1), "embedding", 16).collect()[0]
+    r7 = gramian_units(emb.repartition(7), "embedding", 16).collect()[0]
+    assert r1["n"] == r7["n"]
+    assert list(r1["s"]) == list(r7["s"])
+    assert list(r1["g"]) == list(r7["g"])
+
+
+def test_gramian_units_matches_float_gramian_to_scale(spark):
+    """units/scale must track the float Gramian within quantization
+    error (1/scale per product, n rows summed)."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.operators.linalg import gramian, gramian_units
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    f = gramian(emb, "embedding", 8).collect()[0]
+    u = gramian_units(emb, "embedding", 8, scale=1e10).collect()[0]
+    assert f["n"] == u["n"]
+    tol = f["n"] * 1e-10 + 1e-9
+    for a, b in zip(f["g"], u["g"]):
+        assert abs(a - b / 1e10) <= tol
