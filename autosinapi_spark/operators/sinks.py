@@ -359,6 +359,15 @@ def snapshot_diff(
     Output: pk columns, ``change_type``, then ``old_<attr>`` /
     ``new_<attr>`` for each tracked attribute.
 
+    Precondition: the PK must be UNIQUE within each snapshot (it is a
+    key, not a join column) — duplicate keys fan out in the full-outer
+    join and produce multiplied, potentially contradictory change rows
+    for the same key. Dedup upstream (``dedup_keep_first``) if a feed
+    can repeat keys. NULL PK components are handled: join keys are
+    null-safe and presence is detected via explicit marker columns,
+    so a NULL-keyed row present unchanged in both snapshots is
+    dropped, not misread as a delete + insert.
+
     Scale shape: ONE full-outer shuffle join keyed on the PK; only
     changed rows survive the post-join filter, so the output stage
     is change-volume-sized, not table-sized. With both snapshots
@@ -366,15 +375,34 @@ def snapshot_diff(
     join is shuffle-free; columns outside pk+attrs are pruned at
     the scan.
     """
-    o = old.select(*pk, *attrs).alias("o")
-    n = new.select(*pk, *attrs).alias("n")
+    if set(pk) & set(attrs):
+        raise ValueError(
+            f"pk and attrs overlap: {sorted(set(pk) & set(attrs))}"
+        )
+    out_names = (
+        list(pk)
+        + [change_col]
+        + [p + a for a in attrs for p in ("old_", "new_")]
+    )
+    dups = sorted({c for c in out_names if out_names.count(c) > 1})
+    if dups:
+        raise ValueError(
+            f"snapshot_diff output column collision on {dups}: "
+            f"change_col and the generated old_/new_ names must be "
+            f"disjoint from pk + attrs"
+        )
+    o = old.select(*pk, *attrs).withColumn("__o_present", F.lit(True)).alias("o")
+    n = new.select(*pk, *attrs).withColumn("__n_present", F.lit(True)).alias("n")
+    # null-safe key equality (still a keyed equi-join plan shape:
+    # Spark hashes NULL keys into a bucket for <=>), so NULL-keyed
+    # rows meet their counterpart instead of never matching
     cond = functools.reduce(
         lambda a, b: a & b,
-        [F.col(f"o.{k}") == F.col(f"n.{k}") for k in pk],
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in pk],
     )
     joined = o.join(n, cond, "full_outer")
-    old_present = F.col(f"o.{pk[0]}").isNotNull()
-    new_present = F.col(f"n.{pk[0]}").isNotNull()
+    old_present = F.col("o.__o_present").isNotNull()
+    new_present = F.col("n.__n_present").isNotNull()
     same_attrs = functools.reduce(
         lambda a, b: a & b,
         [F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}")) for a in attrs],

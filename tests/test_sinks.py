@@ -240,3 +240,45 @@ def test_snapshot_diff_classifies_changes(spark):
             assert r.old_o_orderstatus is None
         else:
             assert r.new_o_orderstatus is None
+
+
+def test_snapshot_diff_null_pk_unchanged_row_is_dropped(spark):
+    """A NULL-keyed row present unchanged in both snapshots must be
+    dropped — with plain equality keys it would never meet its
+    counterpart and surface as a phantom delete + insert."""
+    from autosinapi_spark.operators.sinks import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "b")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "a"), (1, "c")], "k int, v string"
+    )
+    rows = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert rows == {(1, "update")}
+
+    changed = spark.createDataFrame([(None, "z")], "k int, v string")
+    rows2 = {
+        (r.k, r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(old, changed, ["k"], ["v"]).collect()
+    }
+    assert (None, "update", "a", "z") in rows2
+    assert (1, "delete", "b", None) in rows2
+
+
+def test_snapshot_diff_rejects_colliding_output_names(spark):
+    import pytest as _pytest
+
+    from autosinapi_spark.operators.sinks import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a", "b")], "k int, v string, old_v string")
+    with _pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df, df, ["old_v"], ["v"])  # pk == generated old_v
+    with _pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df, df, ["k"], ["v"], change_col="old_v")
+    df2 = spark.createDataFrame([(1, "a")], "k int, v string")
+    with _pytest.raises(ValueError, match="overlap"):
+        snapshot_diff(df2, df2, ["k"], ["k", "v"])
