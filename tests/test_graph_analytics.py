@@ -55,15 +55,24 @@ def test_pagerank_matches_python_replay(spark):
             incoming[d] += rank[s] // outdeg[s]
         rank = {n: _PR_BASE + (85 * incoming[n]) // 100 for n in nodes}
 
-    got = {
-        r.part_key: r.pagerank_units
-        for r in item_cooccurrence_pagerank(spark, SF_SMOKE).collect()
-    }
-    assert got == rank
+    rows = item_cooccurrence_pagerank(spark, SF_SMOKE).collect()
+    got = {r.part_key: r.pagerank_units for r in rows}
+    # the query emits the top-N head (TakeOrdered; r7 change): every
+    # emitted unit value must match the replay exactly, and the head
+    # must BE the replay's top-|rows| under the same (pr desc, id) cut
+    from autosinapi_spark.plans.graph_analytics_queries import _PR_TOP
+
+    assert len(rows) == min(_PR_TOP, len(rank))
+    for k, v in got.items():
+        assert rank[k] == v
+    expect_head = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : len(rows)
+    ]
+    assert got == dict(expect_head)
     # rank mass: every node retains at least the base share, and the
     # damped total cannot exceed the initial mass
     assert all(v >= _PR_BASE for v in got.values())
-    assert sum(got.values()) <= _PR_INIT * len(nodes)
+    assert sum(rank.values()) <= _PR_INIT * len(nodes)
 
 
 def test_pagerank_rank_pos_dense_and_deterministic(spark):

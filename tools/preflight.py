@@ -34,7 +34,18 @@ def main() -> int:
     _run("lint", [sys.executable, "tools/driver_sim.py", "--lint"])
     _run("sim", [sys.executable, "tools/driver_sim.py", sf_dir])
     if "--skip-tests" not in sys.argv:
-        _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+        # --pytest-runs=3 before a round closes: the r5 layout-test
+        # flake only reproduced under load, so one green run is a
+        # weaker signal than three consecutive ones.
+        n_runs = 1
+        for a in sys.argv[1:]:
+            if a.startswith("--pytest-runs="):
+                n_runs = int(a.split("=", 1)[1])
+        for i in range(n_runs):
+            _run(
+                f"pytest {i + 1}/{n_runs}",
+                [sys.executable, "-m", "pytest", "tests/", "-q"],
+            )
     print("== preflight green", flush=True)
     return 0
 

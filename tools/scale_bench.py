@@ -76,6 +76,22 @@ QUERIES = [
     "kmeans_cluster_assign",  # row-local argmin x2 Lloyd; aggs K-bounded
     "suppliers_kept_waiting",  # Q21 single-scan aggregation form
     "large_volume_customers",  # Q18 orderkey agg over 10x lineitem
+    # round-6 late additions (r7: first 10x rows)
+    "min_cost_supplier_per_part",  # Q2 shape: min-per-part over partsupp-ish join
+    "nation_pair_trade_volume",  # Q7 shape: 10x facts, dim-pair group
+    "product_profit_by_nation",  # Q9 shape: part-filtered star join
+    "returned_item_top_customers",  # Q10 shape: returnflag agg + top-N
+    "part_revenue_concentration",  # revenue share concentration per part
+    "promo_revenue_share",  # Q14 shape: conditional agg ratio
+    "supplier_count_by_part_attrs",  # Q16 shape: distinct-count by attrs
+    "item_cooccurrence_triangles",  # graph densifies: shared parts, 10x baskets
+    "inverted_index_postings",  # postings explode over 10x docs
+    "proportional_allocation_sample",  # Hamilton quotas over 10x docs
+    "dominant_share_suppliers",  # Q20 shape: share predicate per supplier
+    "user_growth_curve",  # calendar-bounded cumulative curve, 10x events
+    "streaming_session_replay",  # watermarked replay over 10x sessions
+    # round-7 additions
+    "embedding_covariance_hd",  # d=64 Arrow Gramian: constant-size partials
 ]
 
 
