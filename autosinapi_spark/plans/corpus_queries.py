@@ -1667,3 +1667,74 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("head", lambda x: x.cast("string")), ","
         ).alias("postings"),
     )
+
+
+# --- BPE merge-round pair counting -----------------------------------
+
+_BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_pair_merge_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    dict AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair,
+             freq
+      FROM dict
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP_PAIRS}
+    """,
+    doc=f"BPE tokenizer training, one merge round: corpus-weighted "
+    f"adjacent-character-pair counts, top-{_BPE_TOP_PAIRS} merge "
+    "candidates (count desc, pair tiebreak) — the inner loop of "
+    "Sennrich et al. BPE, whose full training repeats this count "
+    "after applying the winning merge (extension).",
+)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge-candidate character pairs, corpus-frequency-weighted.
+
+    Scale shape: dictionary-ize FIRST — pair extraction runs over the
+    DISTINCT word dictionary weighted by word frequency, never over
+    raw corpus tokens (the same vocabulary-vs-rows collapse as the
+    entity-resolution query: a 100 TB corpus's word dictionary is
+    orders of magnitude smaller than its token stream). Pair
+    expansion is row-local (sequence/substr inside codegen), the
+    count is one hash aggregate, and the final cut is
+    ``orderBy(...).limit`` — TakeOrderedAndProject, no global sort.
+    Full BPE training iterates: apply the winning merge to the
+    dictionary (row-local regexp) and re-count — T rounds = T of
+    exactly this job over a dictionary that only shrinks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    dic = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of returning
+    # empty like DuckDB's generate_series — guard 1-char words or they
+    # emit phantom "pairs"
+    pairs = dic.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substr(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP_PAIRS)
+    )

@@ -1867,3 +1867,131 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: for each
+# anchor, the most-similar vectors with a DIFFERENT label are the
+# negatives that actually move the loss (Xiong et al., ANCE; standard
+# dense-retrieval practice). Same IVF routing as ann_ivf_topk, plus
+# the label-mismatch predicate, so mining cost is probe-bounded, not
+# corpus-quadratic.
+# ---------------------------------------------------------------------------
+
+_HNM_PROBES = 3
+_HNM_K = 4
+
+_HNM_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
+                      FROM e)
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+      FROM e, c
+    ),
+    cells AS (SELECT vec_id, label, v, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv, cid
+      FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_HNM_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, p.qlabel, d.vec_id AS neg_id,
+             d.label AS neg_label,
+             ROUND(list_dot_product(p.qv, d.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) + 0 AS cos_sim
+      FROM probes p JOIN cells d
+        ON d.cid = p.cid AND d.vec_id <> p.query_id
+       AND d.label <> p.qlabel
+    )
+    SELECT query_id, qlabel, neg_id, neg_label, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neg_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_HNM_K}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    _HNM_ORACLE,
+    doc=f"Hard-negative mining for contrastive training: per anchor, "
+    f"the top-{_HNM_K} most-cosine-similar vectors with a DIFFERENT "
+    f"label, found through the IVF probe structure ({_HNM_PROBES} "
+    "cells) rather than a corpus scan — the ANCE-style negative "
+    "sampling pass of dense-retrieval data pipelines (extension).",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qlabel, neg_id, neg_label, cos_sim) hard negatives.
+
+    Scale shape: identical to ``ann_ivf_topk`` — the sqrt(N) codebook
+    rides a one-row broadcast, assignment is row-local inside codegen,
+    the probe join is an equi-join on cell id with the label-mismatch
+    predicate applied during the join (never a post-hoc corpus
+    filter), and per-anchor selection is a bounded window over
+    probe-cell candidates only. The corpus is never shuffled; at
+    training scale the anchor side is the full corpus batched by
+    epoch, same plan per batch.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    k = max(4, round(n**0.5))
+    scored = _ivf_scored(emb.select("vec_id", "v"), k)
+    labeled = scored.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cells = labeled.select(
+        "vec_id",
+        "label",
+        "v",
+        F.element_at("ranked", 1)["cid"].alias("cid"),
+    )
+    probes = (
+        labeled.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice("ranked", 1, _HNM_PROBES)).alias("p"),
+        )
+        .select(
+            "query_id", "qlabel", "qv", F.col("p")["cid"].alias("cid")
+        )
+    )
+    cand = (
+        cells.join(broadcast(probes), "cid")
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HNM_K)
+        .drop("rn")
+    )
