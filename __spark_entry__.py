@@ -76,6 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     "user_growth_curve",
     "streaming_session_replay",
     "embedding_covariance_hd",
+    "kcore_item_graph",
+    "hard_negative_mining",
+    "bpe_pair_merge_counts",
+    "zorder_layout_keys",
     # (c) every query whose oracle text or plan source changed this
     # round (signed-zero guards, pagerank top-N, OOV TakeOrdered vocab,
     # sql_davg users, snapshot_diff null-PK hardening)
@@ -111,12 +115,12 @@ _PRIORITY: tuple[str, ...] = (
     "coercion_ptbr_roundtrip",
     "sliding_event_stats",
     "customer_revenue_moving_avg",
+    # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
+    # wider driver window always refreshes the stalest rows next ----
     "doc_token_count",
     "doc_quality_score",
     "doc_lang_id",
     "exact_dedup_documents",
-    # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
-    # wider driver window always refreshes the stalest rows next ----
     "dedup_first_item_per_order",
     "doc_bpe_token_count",
     "doc_char_entropy",

@@ -1119,3 +1119,67 @@ def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# --- Z-order layout keys (lakehouse data clustering) -----------------
+
+_Z_BITS = 16  # per-dimension bits interleaved into a 32-bit z-value
+_Z_FILES = 64  # target layout files
+
+
+def _z_expr(xcol: str, ycol: str) -> str:
+    """Bit-interleave SQL shared verbatim by both engines: z =
+    sum_i ((x>>i & 1) << 2i) + ((y>>i & 1) << (2i+1)) — pure integer
+    shifts, so the value is identical everywhere."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_keys",
+    f"""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {_z_expr('l_partkey', 'l_suppkey')} AS zval
+      FROM lineitem
+    ),
+    n AS (SELECT COUNT(*) AS total FROM b)
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(zval AS BIGINT) AS zval,
+           CAST(zval % {_Z_FILES} AS BIGINT) AS zbucket
+    FROM b
+    """,
+    doc=f"Z-order layout keys over (l_partkey, l_suppkey): "
+    f"{_Z_BITS}-bit Morton interleave per row plus a {_Z_FILES}-way "
+    "clustering bucket — the OPTIMIZE ZORDER write-layout pass of "
+    "lakehouse table maintenance, which makes min/max file statistics "
+    "selective for BOTH keys at once (extension).",
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every lineitem row with its Morton z-value and layout bucket.
+
+    Scale shape: the z-value is a pure row-local integer expression
+    (bit shifts inside codegen — no UDF, no shuffle); writing the
+    layout is then ``repartitionByRange(zbucket, zval)`` + a sorted
+    parquet write, which range-partitions on the SINGLE z dimension
+    instead of sorting twice. Rows close in (partkey, suppkey) space
+    land in the same files, so min/max skipping prunes on either key;
+    the modulo bucket here stands in for the range boundaries the
+    writer would compute from a z-value quantile sketch (the
+    registered query keeps it deterministic for the oracle).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST({_z_expr('l_partkey', 'l_suppkey')} AS BIGINT)
+                 AS zval,
+               CAST({_z_expr('l_partkey', 'l_suppkey')} % {_Z_FILES}
+                    AS BIGINT) AS zbucket
+        FROM {{li}}
+        """,
+        li=li,
+    )
