@@ -136,3 +136,50 @@ def test_no_new_unpartitioned_windows():
         f"{allowed} — if the new site is bounded, document it in the "
         f"allowlist; if not, use TakeOrdered / partitioned windows"
     )
+
+
+def test_hard_negative_mining_is_broadcast_equijoin(spark):
+    """The r7 scale fix must hold: anchors broadcast into a bucket
+    equi-join (1.3x at 10x data) — never a cartesian/corpus scan, and
+    never the IVF O(N*sqrt(N)) coarse-assignment route."""
+    from autosinapi_spark.plans.similarity_queries import (
+        hard_negative_mining,
+    )
+
+    plan = _plan(hard_negative_mining(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_postings_state_is_bounded(spark):
+    """Per-term aggregation state must stay at the K-id head: the
+    full-postings collect_set form held corpus-df-sized buffers and
+    measured 19x wall at 10x data."""
+    from autosinapi_spark.plans.corpus_queries import (
+        inverted_index_postings,
+    )
+
+    plan = _plan(inverted_index_postings(spark, SF_SMOKE))
+    assert "collect_set" not in plan
+    assert "collect_list" in plan  # K-head only, null-filtered
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_is_shuffle_free(spark):
+    """The Morton value is a pure row-local expression: the plan must
+    contain NO exchange at all."""
+    from autosinapi_spark.plans.olap_queries import zorder_layout_keys
+
+    plan = _plan(zorder_layout_keys(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_kcore_rounds_are_keyed_joins(spark):
+    from autosinapi_spark.plans.graph_analytics_queries import (
+        kcore_item_graph,
+    )
+
+    plan = _plan(kcore_item_graph(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
