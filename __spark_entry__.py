@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "bpe_pair_merge_counts",
     "zorder_layout_keys",
+    "ann_imi_topk",
     # (c) every query whose oracle text or plan source changed this
     # round (signed-zero guards, pagerank top-N, OOV TakeOrdered vocab,
     # sql_davg users, snapshot_diff null-PK hardening)
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "sink_upsert_catalog",
     "coercion_ptbr_roundtrip",
     "sliding_event_stats",
-    "customer_revenue_moving_avg",
     # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
     # wider driver window always refreshes the stalest rows next ----
+    "customer_revenue_moving_avg",
     "doc_token_count",
     "doc_quality_score",
     "doc_lang_id",

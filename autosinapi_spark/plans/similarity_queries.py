@@ -2002,3 +2002,211 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _HNM_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IMI (inverted multi-index) ANN — the escape hatch for flat IVF's
+# O(N·K) coarse assignment: two sub-codebooks of K2 centroids over
+# the two dim-halves give K2^2 product cells while each vector only
+# scores 2·K2 half-dots (Babenko & Lempitsky 2012). With K ~ sqrt(N)
+# total cells, assignment drops from O(N·sqrt(N)·d) to
+# O(N·N^(1/4)·d) — the hierarchical codebook production indexes
+# switch to past ~1e8 vectors.
+# ---------------------------------------------------------------------------
+
+_IMI_HALF = _DIM // 2
+_IMI_PROBE = 2  # top cells probed PER HALF -> probe^2 product cells
+
+
+def _imi_oracle() -> str:
+    half_dot = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    d_q1 = half_dot.format(a="e.v1", b="c.c1")
+    d_q2 = half_dot.format(a="e.v2", b="c.c2")
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, v,
+             v[1:{_IMI_HALF}] AS v1,
+             v[{_IMI_HALF + 1}:{_DIM}] AS v2
+      FROM e0
+    ),
+    k2 AS (
+      SELECT GREATEST(2, CAST(round(pow(COUNT(*), 0.25)) AS BIGINT)) AS k
+      FROM e
+    ),
+    cb AS (
+      SELECT vec_id AS cid, v1 AS c1, v2 AS c2 FROM e, k2
+      WHERE vec_id < k2.k
+    ),
+    a1 AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {d_q1} DESC, c.cid) AS rn
+      FROM e, (SELECT cid, c1 FROM cb) c
+    ),
+    a2 AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {d_q2} DESC, c.cid) AS rn
+      FROM e, (SELECT cid, c2 FROM cb) c
+    ),
+    cells AS (
+      SELECT e.vec_id, e.v, x.cid AS cell1, y.cid AS cell2
+      FROM e
+      JOIN a1 x ON x.vec_id = e.vec_id AND x.rn = 1
+      JOIN a2 y ON y.vec_id = e.vec_id AND y.rn = 1
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, x.cid AS cell1,
+             y.cid AS cell2
+      FROM e q
+      JOIN a1 x ON x.vec_id = q.vec_id AND x.rn <= {_IMI_PROBE}
+      JOIN a2 y ON y.vec_id = q.vec_id AND y.rn <= {_IMI_PROBE}
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, d.vec_id AS cand_id,
+             ROUND(list_dot_product(p.qv, d.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) + 0 AS cos_sim
+      FROM probes p
+      JOIN cells d
+        ON d.cell1 = p.cell1 AND d.cell2 = p.cell2
+       AND d.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "ann_imi_topk",
+    _imi_oracle(),
+    doc="Inverted multi-index ANN (Babenko-Lempitsky): two sub-"
+    "codebooks of K2 ~ N^(1/4) centroids over the dim-halves form "
+    "K2^2 product cells; each vector scores only 2*K2 half-dots to "
+    f"be assigned, queries probe {_IMI_PROBE}x{_IMI_PROBE} product "
+    "cells, exact rerank inside — the sub-O(N^1.5) coarse assignment "
+    "flat IVF lacks (extension).",
+)
+def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI product-cell search over deterministic half codebooks.
+
+    Scale shape: both half-codebooks ride ONE one-row broadcast;
+    per-vector assignment is 2*K2 half-dots row-local inside codegen
+    (vs K = K2^2 full dots for flat IVF — the N^(1/4) vs sqrt(N)
+    difference is why IMI survives 1e9+ corpora); the probe join is a
+    two-column equi-join on the product-cell key, and rerank touches
+    only probed-cell rows. The corpus is never shuffled.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    k2 = max(2, round(n**0.25))
+    halves = emb.select(
+        "vec_id",
+        "v",
+        F.slice("v", 1, _IMI_HALF).alias("v1"),
+        F.slice("v", _IMI_HALF + 1, _IMI_HALF).alias("v2"),
+    )
+    cb = (
+        halves.where(F.col("vec_id") < k2)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v1").alias("c1"),
+            norm(F.col("v1")).alias("n1"),
+            F.col("v2").alias("c2"),
+            norm(F.col("v2")).alias("n2"),
+        )
+        .agg(
+            F.collect_list(F.struct("cid", "c1", "n1", "c2", "n2")).alias(
+                "cents"
+            )
+        )
+    )
+
+    def ranked_half(vcol: str, ccol: str, ncol: str):
+        # per-half centroid ranking, row-local over the broadcast
+        # codebook array: (-cos6, cid) structs sorted best-first
+        return F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (
+                        -F.round(
+                            dot_fixed(F.col(vcol), c[ccol], _IMI_HALF)
+                            / (F.col(f"__n{vcol}") * c[ncol]),
+                            6,
+                        )
+                    ).alias("ncos"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    scored = (
+        halves.withColumn("__nv1", norm(F.col("v1")))
+        .withColumn("__nv2", norm(F.col("v2")))
+        .crossJoin(broadcast(cb))
+        .select(
+            "vec_id",
+            "v",
+            ranked_half("v1", "c1", "n1").alias("r1"),
+            ranked_half("v2", "c2", "n2").alias("r2"),
+        )
+    )
+    cells = scored.select(
+        "vec_id",
+        "v",
+        F.element_at("r1", 1)["cid"].alias("cell1"),
+        F.element_at("r2", 1)["cid"].alias("cell2"),
+    )
+    probes = (
+        scored.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice("r1", 1, _IMI_PROBE)).alias("p1"),
+            "r2",
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.col("p1")["cid"].alias("cell1"),
+            F.explode(F.slice("r2", 1, _IMI_PROBE)).alias("p2"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "cell1",
+            F.col("p2")["cid"].alias("cell2"),
+        )
+    )
+    cand = (
+        cells.join(broadcast(probes), ["cell1", "cell2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )

@@ -93,8 +93,9 @@ QUERIES = [
     # round-7 additions
     "embedding_covariance_hd",  # d=64 Arrow Gramian: constant-size partials
     "kcore_item_graph",  # bounded peel rounds; graph densifies like triangles
-    "hard_negative_mining",  # IVF-probe-bounded negative sampling
+    "hard_negative_mining",  # LSH-bucket-keyed negative sampling
     "bpe_pair_merge_counts",  # dictionary-weighted pair counts
+    "ann_imi_topk",  # N^(1/4) half-codebooks: sub-O(N^1.5) assignment
 ]
 
 
