@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_pair_merge_counts",
     "zorder_layout_keys",
     "ann_imi_topk",
+    "asof_next_quote",
     # (c) every query whose oracle text or plan source changed this
     # round (signed-zero guards, pagerank top-N, OOV TakeOrdered vocab,
     # sql_davg users, snapshot_diff null-PK hardening)
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "sink_truncate_reload",
     "sink_upsert_catalog",
     "coercion_ptbr_roundtrip",
-    "sliding_event_stats",
     # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
     # wider driver window always refreshes the stalest rows next ----
+    "sliding_event_stats",
     "customer_revenue_moving_avg",
     "doc_token_count",
     "doc_quality_score",

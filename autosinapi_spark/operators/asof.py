@@ -86,3 +86,64 @@ def asof_join(
         ],
     )
     return carried.where(F.col(_SIDE) == left_side).select(*l_cols, *value_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """left rows + EARLIEST right ``value_cols`` with right.ts >=
+    left.ts — pandas ``merge_asof(direction='forward')`` semantics
+    (next scheduled price, next maintenance window, next review date).
+
+    Mirror of :func:`asof_join`: same union, same single hash shuffle
+    on the keys, but the window looks FORWARD
+    (current-row..unbounded-following) and carries the first non-null
+    payload. Exact-ts ties resolve by side order: with
+    ``allow_exact_match`` the right row at the same timestamp sorts
+    after the left row and is picked up; without, it sorts before and
+    is excluded.
+    """
+    on = list(on)
+    overlap = set(left.columns) & set(value_cols)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    # side ordering decides exact-ts ties: right-after-left => '>='
+    left_side, right_side = (0, 1) if allow_exact_match else (1, 0)
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(right_side).alias(_SIDE),
+        *[F.col(c).alias(_PAYLOAD_PREFIX + c) for c in value_cols],
+    )
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *l_cols,
+        F.lit(left_side).alias(_SIDE),
+        *[F.lit(None).cast(t)
+          .alias(_PAYLOAD_PREFIX + c)
+          for c, t in zip(value_cols,
+                          [dict(right.dtypes)[c] for c in value_cols])],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(_PAYLOAD_PREFIX + c, ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col(_SIDE) == left_side).select(*l_cols, *value_cols)

@@ -59,3 +59,58 @@ def asof_latest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.col("value").alias("preco_asof"),
     )
+
+
+@register(
+    "asof_next_quote",
+    """
+    WITH q AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 5 = 0
+      ) WHERE rn = 1
+    ),
+    e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           q.value AS preco_next
+    FROM e ASOF LEFT JOIN q
+      ON e.user_id = q.user_id AND e.ts <= q.ts
+    """,
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): "
+    "earliest per-user quote at or after each event's timestamp, via "
+    "the mirrored union-window form (first non-null over "
+    "current..unbounded-following); oracle = DuckDB ASOF LEFT JOIN "
+    "with the <= condition.",
+)
+def asof_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-scheduled-value attachment per event.
+
+    Scale shape: identical to ``asof_latest_quote`` — one hash
+    shuffle on the key, linear within-partition window scan; never
+    the quadratic theta-join formulation.
+    """
+    from ..operators.asof import asof_join_forward
+
+    ev = load(spark, sf_dir, "events")
+    quotes = dedup_keep_first(
+        ev.where(F.col("event_id") % 5 == 0).select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+        descending=True,
+    ).select("user_id", "ts", "value")
+    lefts = ev.where(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_forward(lefts, quotes, ["user_id"], "ts", ["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("preco_next"),
+    )
