@@ -105,6 +105,42 @@ def test_asof_join_is_single_window_pass(registry, spark):
     assert "Window" in plan
 
 
+def test_asof_forward_is_single_window_pass(registry, spark):
+    plan = _plan(_q(registry, spark, "asof_next_quote"), "simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_asof_forward_exact_match_semantics(spark):
+    """Tie at equal timestamps: allow_exact_match picks the same-ts
+    right row; strict mode skips to the next one."""
+    from datetime import datetime
+
+    from autosinapi_spark.operators.asof import asof_join_forward
+
+    TS = datetime
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10)), (1, TS(2024, 1, 1, 12))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), 100.0), (1, TS(2024, 1, 1, 11), 110.0)],
+        "k int, ts timestamp, v double",
+    )
+    inc = {
+        (r.k, r.ts.hour): r.v
+        for r in asof_join_forward(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    assert inc == {(1, 10): 100.0, (1, 12): None}
+    strict = {
+        (r.k, r.ts.hour): r.v
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", ["v"], allow_exact_match=False
+        ).collect()
+    }
+    assert strict == {(1, 10): 110.0, (1, 12): None}
+
+
 def test_range_join_drops_inverted_intervals(spark):
     """end <= start can never contain a point; an inverted pair must be
     filtered BEFORE the bin explode (a descending F.sequence would
