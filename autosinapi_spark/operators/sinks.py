@@ -391,6 +391,17 @@ def snapshot_diff(
             f"change_col and the generated old_/new_ names must be "
             f"disjoint from pk + attrs"
         )
+    reserved = {"__o_present", "__n_present"} & set(
+        list(pk) + list(attrs) + [change_col]
+    )
+    if reserved:
+        # these internal presence markers drive insert/delete
+        # classification; a same-named input column would shadow them
+        # and silently corrupt the diff
+        raise ValueError(
+            f"snapshot_diff reserved column name(s) {sorted(reserved)}: "
+            f"__o_present/__n_present are internal presence markers"
+        )
     o = old.select(*pk, *attrs).withColumn("__o_present", F.lit(True)).alias("o")
     n = new.select(*pk, *attrs).withColumn("__n_present", F.lit(True)).alias("n")
     # null-safe key equality (still a keyed equi-join plan shape:

@@ -1138,48 +1138,73 @@ def _z_expr(xcol: str, ycol: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _z_norm(col: str, lo: str, hi: str, idiv: str) -> str:
+    """Range-normalize a BIGINT key into the [0, 2^bits) budget:
+    ((x - min) * (2^bits - 1)) idiv (max - min). Pure integer
+    arithmetic — operands are non-negative, so DuckDB's ``//`` and
+    Spark's ``DIV`` truncate identically. Without this, any key
+    exceeding 2^bits - 1 (l_partkey at sf>=1) would alias distinct
+    values onto one z-cell and min/max skipping on that key degrades
+    — same equal-width binning as
+    ``operators/maintenance.write_zorder_layout``."""
+    top = (1 << _Z_BITS) - 1
+    return (
+        f"(CASE WHEN {hi} = {lo} THEN 0 "
+        f"ELSE ((CAST({col} AS BIGINT) - {lo}) * {top}) "
+        f"{idiv} ({hi} - {lo}) END)"
+    )
+
+
+def _z_sql(table: str, idiv: str) -> str:
+    """The full z-order key query, parameterized only by the fact
+    table reference and the engine's integer-division token."""
+    return f"""
+    WITH mm AS (
+      SELECT MIN(CAST(l_partkey AS BIGINT)) AS pmin,
+             MAX(CAST(l_partkey AS BIGINT)) AS pmax,
+             MIN(CAST(l_suppkey AS BIGINT)) AS smin,
+             MAX(CAST(l_suppkey AS BIGINT)) AS smax
+      FROM {table}
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {_z_norm('l_partkey', 'pmin', 'pmax', idiv)} AS px,
+             {_z_norm('l_suppkey', 'smin', 'smax', idiv)} AS sx
+      FROM {table} CROSS JOIN mm
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_z_expr('px', 'sx')} AS BIGINT) AS zval,
+           CAST({_z_expr('px', 'sx')} % {_Z_FILES} AS BIGINT) AS zbucket
+    FROM b
+    """
+
+
 @register(
     "zorder_layout_keys",
-    f"""
-    WITH b AS (
-      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             {_z_expr('l_partkey', 'l_suppkey')} AS zval
-      FROM lineitem
-    ),
-    n AS (SELECT COUNT(*) AS total FROM b)
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           CAST(zval AS BIGINT) AS zval,
-           CAST(zval % {_Z_FILES} AS BIGINT) AS zbucket
-    FROM b
-    """,
-    doc=f"Z-order layout keys over (l_partkey, l_suppkey): "
-    f"{_Z_BITS}-bit Morton interleave per row plus a {_Z_FILES}-way "
-    "clustering bucket — the OPTIMIZE ZORDER write-layout pass of "
-    "lakehouse table maintenance, which makes min/max file statistics "
-    "selective for BOTH keys at once (extension).",
+    _z_sql("lineitem", "//"),
+    doc=f"Z-order layout keys over (l_partkey, l_suppkey): each key "
+    f"range-normalized into the {_Z_BITS}-bit budget (true OPTIMIZE "
+    f"ZORDER behavior — works for any key domain), then Morton "
+    f"interleaved per row plus a {_Z_FILES}-way clustering bucket — "
+    "the write-layout pass of lakehouse table maintenance, which "
+    "makes min/max file statistics selective for BOTH keys at once "
+    "(extension).",
 )
 def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every lineitem row with its Morton z-value and layout bucket.
 
-    Scale shape: the z-value is a pure row-local integer expression
-    (bit shifts inside codegen — no UDF, no shuffle); writing the
-    layout is then ``repartitionByRange(zbucket, zval)`` + a sorted
-    parquet write, which range-partitions on the SINGLE z dimension
-    instead of sorting twice. Rows close in (partkey, suppkey) space
-    land in the same files, so min/max skipping prunes on either key;
-    the modulo bucket here stands in for the range boundaries the
-    writer would compute from a z-value quantile sketch (the
-    registered query keeps it deterministic for the oracle).
+    Scale shape: one 1-row min/max aggregate (broadcast back as a
+    scalar — the only exchange in the plan), then the normalization
+    and z-value are pure row-local integer expressions (bit shifts
+    inside codegen — no UDF, no fact-table shuffle). Normalizing into
+    the bit budget first is what keeps pruning selective on BOTH keys
+    at any scale: raw keys above 2^bits - 1 would alias distinct
+    parts to one z-cell (l_partkey crosses 65535 at sf>=1). Writing
+    the layout is then ``repartitionByRange(zbucket, zval)`` + a
+    sorted parquet write; the modulo bucket stands in for the range
+    boundaries the writer would compute from a z-value quantile
+    sketch (the registered query keeps it deterministic for the
+    oracle).
     """
     li = load(spark, sf_dir, "lineitem")
-    return spark.sql(
-        f"""
-        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-               CAST({_z_expr('l_partkey', 'l_suppkey')} AS BIGINT)
-                 AS zval,
-               CAST({_z_expr('l_partkey', 'l_suppkey')} % {_Z_FILES}
-                    AS BIGINT) AS zbucket
-        FROM {{li}}
-        """,
-        li=li,
-    )
+    return spark.sql(_z_sql("{li}", "DIV"), li=li)

@@ -11,6 +11,8 @@ float accumulation-order differences cannot flip a rank.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -664,7 +666,7 @@ _IVF_ORACLE = f"""
     ),
     c AS (
       SELECT vec_id AS cid, v AS cv FROM e
-      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
+      WHERE vec_id < (SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*)) + 0.5) AS BIGINT))
                       FROM e)
     ),
     assign AS (
@@ -776,7 +778,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     n = emb.count()
-    k = max(4, round(n**0.5))
+    # floor(sqrt + 0.5) shared literally with the oracle (see
+    # ann_imi_topk's k2 note): round() rules differ across engines
+    k = max(4, math.floor(math.sqrt(n) + 0.5))
     # Inside _ivf_scored, norms are precomputed ONCE per vector and
     # per centroid — a bare cosine() inside the assignment lambda
     # would re-evaluate norm(v) per centroid (K extra O(d) passes per
@@ -1495,7 +1499,7 @@ def _ivf_pq_oracle() -> str:
     WITH {_pq_ctes()},
     c AS (
       SELECT vec_id AS ccid, v AS ccv FROM e
-      WHERE vec_id < (SELECT GREATEST(4, CAST(round(sqrt(COUNT(*))) AS BIGINT))
+      WHERE vec_id < (SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*)) + 0.5) AS BIGINT))
                       FROM e)
     ),
     cassign AS (
@@ -1589,7 +1593,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e, subs, cb, a2 = _pq_encode(spark, sf_dir)
     n = e.count()
-    k = max(4, round(n**0.5))
+    # floor(sqrt + 0.5) shared literally with the oracle (see
+    # ann_imi_topk's k2 note): round() rules differ across engines
+    k = max(4, math.floor(math.sqrt(n) + 0.5))
     # scored feeds BOTH the per-vector cell map and the probe list:
     # materialize the K-way cosine ranking once
     scored = _ivf_scored(e, k).localCheckpoint(eager=False)
@@ -2037,7 +2043,12 @@ def _imi_oracle() -> str:
       FROM e0
     ),
     k2 AS (
-      SELECT GREATEST(2, CAST(round(pow(COUNT(*), 0.25)) AS BIGINT)) AS k
+      -- floor(x + 0.5) mirrored LITERALLY by the Spark side: Python's
+      -- round() is banker's, DuckDB's is half-away-from-zero, and the
+      -- two disagree exactly at a .5 boundary — which the fourth root
+      -- hits at smaller N than the sqrt-based queries
+      SELECT GREATEST(2, CAST(floor(pow(COUNT(*), 0.25) + 0.5) AS BIGINT))
+               AS k
       FROM e
     ),
     cb AS (
@@ -2113,7 +2124,10 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     n = emb.count()
-    k2 = max(2, round(n**0.25))
+    # floor(x + 0.5), NOT round(): shared literally with the oracle's
+    # floor(pow(n, 0.25) + 0.5) so neither banker's rounding nor a
+    # half-away rule can flip k2 at a .5 boundary
+    k2 = max(2, math.floor(n**0.25 + 0.5))
     halves = emb.select(
         "vec_id",
         "v",

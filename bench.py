@@ -74,7 +74,11 @@ def main() -> int:
         n = 3 if best <= 10.0 else (2 if best <= 30.0 else 1)
         for _ in range(n - 1):
             t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
+            try:
+                _materialize(fn(spark, sf_dir))
+            except Exception as exc:  # flaky repeat: keep best good run
+                print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
+                continue
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         runs[name] = n
@@ -103,6 +107,27 @@ def main() -> int:
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
+    # The driver archives only the last ~2000 chars of stdout; the full
+    # line above outgrew that in r7 (query_runs/query_load_1m dicts), so
+    # its artifact showed "parsed: null". Emit a second, FINAL compact
+    # line (<=1500 chars) carrying the headline number plus the slowest
+    # queries so the artifact tail is always self-describing.
+    slowest = dict(
+        sorted(((k, v) for k, v in ok.items()), key=lambda kv: -kv[1])[:15]
+    )
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": out["n_queries"],
+        "n_failed": out["n_failed"],
+        "warmup_sec": out["warmup_sec"],
+        "load_avg_1m": out["load_avg_1m"],
+        "slowest": slowest,
+        "failed": sorted(k for k, v in timings.items() if v < 0)[:10],
+    }
+    print(json.dumps(summary))
     return 0 if len(ok) == len(timings) else 1
 
 

@@ -166,13 +166,34 @@ def test_inverted_index_postings_state_is_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_zorder_layout_is_shuffle_free(spark):
-    """The Morton value is a pure row-local expression: the plan must
-    contain NO exchange at all."""
+def test_zorder_layout_never_shuffles_the_fact_table(spark):
+    """The Morton value is row-local after a 1-row min/max scalar is
+    broadcast back: the fact table itself must never be exchanged —
+    the only allowed exchanges are the scalar aggregate's
+    single-partition gather and its broadcast."""
     from autosinapi_spark.plans.olap_queries import zorder_layout_keys
 
     plan = _plan(zorder_layout_keys(spark, SF_SMOKE))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_keys_fill_the_bit_budget(spark):
+    """Range normalization must spread any key domain across the full
+    2^bits cell space — a key domain wider than 2^bits must NOT alias
+    (the max normalized cell is 2^bits - 1, reached by the max key)."""
+    from pyspark.sql import functions as F
+
+    from autosinapi_spark.plans.olap_queries import (
+        _Z_BITS,
+        zorder_layout_keys,
+    )
+
+    df = zorder_layout_keys(spark, SF_SMOKE)
+    top = df.agg(F.max("zval").alias("m")).collect()[0]["m"]
+    # max zval = interleave(px_max, sx_max) where both hit 2^bits - 1
+    assert top == (1 << (2 * _Z_BITS)) - 1
 
 
 def test_kcore_rounds_are_keyed_joins(spark):

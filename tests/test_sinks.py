@@ -282,3 +282,20 @@ def test_snapshot_diff_rejects_colliding_output_names(spark):
     df2 = spark.createDataFrame([(1, "a")], "k int, v string")
     with _pytest.raises(ValueError, match="overlap"):
         snapshot_diff(df2, df2, ["k"], ["k", "v"])
+
+
+def test_snapshot_diff_rejects_reserved_marker_names(spark):
+    import pytest as _pytest
+
+    from autosinapi_spark.operators.sinks import snapshot_diff
+
+    df = spark.createDataFrame(
+        [(1, "a", "b")], "`__o_present` int, v string, `__n_present` string"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(df, df, ["__o_present"], ["v"])
+    with _pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(df, df, ["v"], ["__n_present"])
+    df2 = spark.createDataFrame([(1, "a")], "k int, v string")
+    with _pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(df2, df2, ["k"], ["v"], change_col="__o_present")
