@@ -1615,53 +1615,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    codes = a2.select(F.col("vec_id").alias("cand_id"), "m", "cid")
-    qsubs = subs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "m", "sv"
-    )
-    lut = qsubs.join(cb, "m").select(
-        "query_id",
-        "m",
-        "cid",
-        F.round(_pq_sub_dist(F.col("sv"), F.col("cv")), 6).alias("d6"),
-    )
-    adc = (
-        cand0.join(codes, "cand_id")
-        .join(broadcast(lut), ["query_id", "m", "cid"])
-        .groupBy("query_id", "cand_id")
-        .agg(dsum(F.col("d6"), "adc_dist", 6))
-    )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("cand_id")
-    )
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w_adc))
-        .where(F.col("rn") <= _IVFPQ_R)
-        .select("query_id", "cand_id")
-    )
-    qv = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    rerank = (
-        shortlist.join(broadcast(qv), "query_id")
-        .join(
-            e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
-            "cand_id",
-        )
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("cand_id")
-    )
-    return (
-        rerank.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _TOP_K)
-        .drop("rn")
-    )
+    return _adc_rerank(e, subs, cb, a2, cand0)
 
 
 # ---------------------------------------------------------------------------
@@ -2123,10 +2077,46 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    scored = _imi_scored(emb)
+    cells = scored.select(
+        "vec_id",
+        "v",
+        F.element_at("r1", 1)["cid"].alias("cell1"),
+        F.element_at("r2", 1)["cid"].alias("cell2"),
+    )
+    probes = _imi_probes(scored, extra_cols=["v"]).withColumnRenamed(
+        "v", "qv"
+    )
+    cand = (
+        cells.join(broadcast(probes), ["cell1", "cell2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+def _imi_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, r1, r2): every vector's per-half centroid rankings
+    over the deterministic first-K2 half codebooks, best-first.
+
+    The IMI routing core shared by ``ann_imi_topk`` (exact in-cell
+    rerank) and ``ann_imi_pq_topk`` (ADC in-cell scoring). K2 sizing
+    uses floor(x + 0.5), NOT round(): shared literally with the
+    oracle's floor(pow(n, 0.25) + 0.5) so neither banker's rounding
+    nor a half-away rule can flip K2 at a .5 boundary.
+    """
     n = emb.count()
-    # floor(x + 0.5), NOT round(): shared literally with the oracle's
-    # floor(pow(n, 0.25) + 0.5) so neither banker's rounding nor a
-    # half-away rule can flip k2 at a .5 boundary
     k2 = max(2, math.floor(n**0.25 + 0.5))
     halves = emb.select(
         "vec_id",
@@ -2169,7 +2159,7 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    scored = (
+    return (
         halves.withColumn("__nv1", norm(F.col("v1")))
         .withColumn("__nv2", norm(F.col("v2")))
         .crossJoin(broadcast(cb))
@@ -2180,47 +2170,264 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked_half("v2", "c2", "n2").alias("r2"),
         )
     )
-    cells = scored.select(
-        "vec_id",
-        "v",
-        F.element_at("r1", 1)["cid"].alias("cell1"),
-        F.element_at("r2", 1)["cid"].alias("cell2"),
-    )
-    probes = (
+
+
+def _imi_probes(scored: DataFrame, extra_cols: list[str] = []) -> DataFrame:
+    """(query_id[, extras], cell1, cell2): the probe^2 product cells
+    each query visits — the query-side fan-out stays a tiny broadcast
+    (queries x probe^2 rows) regardless of corpus size."""
+    return (
         scored.where(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
+            *extra_cols,
             F.explode(F.slice("r1", 1, _IMI_PROBE)).alias("p1"),
             "r2",
         )
         .select(
             "query_id",
-            "qv",
+            *extra_cols,
             F.col("p1")["cid"].alias("cell1"),
             F.explode(F.slice("r2", 1, _IMI_PROBE)).alias("p2"),
         )
         .select(
             "query_id",
-            "qv",
+            *extra_cols,
             "cell1",
             F.col("p2")["cid"].alias("cell2"),
         )
     )
-    cand = (
-        cells.join(broadcast(probes), ["cell1", "cell2"])
-        .where(F.col("vec_id") != F.col("query_id"))
+
+
+# --- IMI-PQ: N^(1/4) coarse routing + in-cell ADC ---------------------
+# The production composition past ~1e8 vectors: ann_ivf_pq_topk's flat
+# coarse assignment is O(N * sqrt(N)) dots by construction (every
+# vector scores every one of the sqrt(N) coarse centroids), which was
+# the one remaining scale-killer in the ANN suite (measured 7.0x at
+# 10x data). IMI's product-cell routing needs only 2 * N^(1/4)
+# half-dots per vector for the same ~sqrt(N) cell count, and the ADC /
+# shortlist / exact-rerank tail is IDENTICAL — so this query swaps
+# stage 1 and keeps stage 2 byte-for-byte.
+
+
+def _imi_cand0_ctes() -> str:
+    """IMI routing CTEs (i-prefixed to avoid colliding with
+    ``_pq_ctes``'s e/subs/cb/a1/a2) producing ``cand0(query_id,
+    cand_id)`` — the probed-product-cell candidate set. References the
+    ``e`` CTE from ``_pq_ctes``."""
+    half_dot = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    d_q1 = half_dot.format(a="ih.v1", b="c.c1")
+    d_q2 = half_dot.format(a="ih.v2", b="c.c2")
+    return f"""ih AS (
+      SELECT vec_id, v,
+             v[1:{_IMI_HALF}] AS v1,
+             v[{_IMI_HALF + 1}:{_DIM}] AS v2
+      FROM e
+    ),
+    ik AS (
+      SELECT GREATEST(2, CAST(floor(pow(COUNT(*), 0.25) + 0.5) AS BIGINT))
+               AS k
+      FROM ih
+    ),
+    icb AS (
+      SELECT vec_id AS cid, v1 AS c1, v2 AS c2 FROM ih, ik
+      WHERE vec_id < ik.k
+    ),
+    ia1 AS (
+      SELECT ih.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY ih.vec_id
+               ORDER BY {d_q1} DESC, c.cid) AS rn
+      FROM ih, (SELECT cid, c1 FROM icb) c
+    ),
+    ia2 AS (
+      SELECT ih.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY ih.vec_id
+               ORDER BY {d_q2} DESC, c.cid) AS rn
+      FROM ih, (SELECT cid, c2 FROM icb) c
+    ),
+    icells AS (
+      SELECT ih.vec_id, x.cid AS cell1, y.cid AS cell2
+      FROM ih
+      JOIN ia1 x ON x.vec_id = ih.vec_id AND x.rn = 1
+      JOIN ia2 y ON y.vec_id = ih.vec_id AND y.rn = 1
+    ),
+    iprobes AS (
+      SELECT q.vec_id AS query_id, x.cid AS cell1, y.cid AS cell2
+      FROM ih q
+      JOIN ia1 x ON x.vec_id = q.vec_id AND x.rn <= {_IMI_PROBE}
+      JOIN ia2 y ON y.vec_id = q.vec_id AND y.rn <= {_IMI_PROBE}
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cand0 AS (
+      SELECT p.query_id, d.vec_id AS cand_id
+      FROM iprobes p
+      JOIN icells d
+        ON d.cell1 = p.cell1 AND d.cell2 = p.cell2
+       AND d.vec_id <> p.query_id
+    )"""
+
+
+def _adc_rerank_sql() -> str:
+    """ADC scoring + shortlist + exact-rerank SQL tail over a
+    ``cand0(query_id, cand_id)`` CTE — shared verbatim by the IVF-PQ
+    and IMI-PQ oracles (the coarse stage is the only difference)."""
+    dist = _PQ_SQL_DIST
+    return f"""codes AS (SELECT vec_id, m, cid FROM a2 WHERE rn = 1),
+    qsubs AS (
+      SELECT vec_id AS query_id, m, sv FROM subs
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    lut AS (
+      SELECT s.query_id, s.m, c.cid, ROUND({dist}, 6) AS d6
+      FROM (SELECT query_id, m, sv FROM qsubs) s
+      JOIN cb c ON c.m = s.m
+    ),
+    adc AS (
+      SELECT c0.query_id, c0.cand_id,
+             ROUND(CAST(SUM(CAST(l.d6 AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM cand0 c0
+      JOIN codes co ON co.vec_id = c0.cand_id
+      JOIN lut l ON l.query_id = c0.query_id
+             AND l.m = co.m AND l.cid = co.cid
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_IVFPQ_R}
+    ),
+    rerank AS (
+      SELECT t.query_id, t.cand_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) + 0 AS cos_sim
+      FROM shortlist t
+      JOIN e q ON q.vec_id = t.query_id
+      JOIN e c ON c.vec_id = t.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {_TOP_K}"""
+
+
+def _imi_pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()},
+    {_imi_cand0_ctes()},
+    {_adc_rerank_sql()}
+    """
+
+
+def _adc_rerank(
+    e: DataFrame,
+    subs: DataFrame,
+    cb: DataFrame,
+    a2: DataFrame,
+    cand0: DataFrame,
+    shortlist_r: int = _IVFPQ_R,
+) -> DataFrame:
+    """ADC scoring + shortlist + exact-rerank over a (query_id,
+    cand_id) candidate frame — the stage-2 tail shared by IVF-PQ and
+    IMI-PQ. Scale shape: the per-query LUT (queries x M x K rounded
+    distances) broadcasts into the codes join; the ADC aggregate
+    partial-combines map-side; full vectors are read only for the
+    R x queries rerank rows."""
+    codes = a2.select(F.col("vec_id").alias("cand_id"), "m", "cid")
+    qsubs = subs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    lut = qsubs.join(cb, "m").select(
+        "query_id",
+        "m",
+        "cid",
+        F.round(_pq_sub_dist(F.col("sv"), F.col("cv")), 6).alias("d6"),
+    )
+    adc = (
+        cand0.join(codes, "cand_id")
+        .join(broadcast(lut), ["query_id", "m", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(dsum(F.col("d6"), "adc_dist", 6))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= shortlist_r)
+        .select("query_id", "cand_id")
+    )
+    qv = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = (
+        shortlist.join(broadcast(qv), "query_id")
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
         .select(
             "query_id",
-            F.col("vec_id").alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        rerank.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+@register(
+    "ann_imi_pq_topk",
+    _imi_pq_oracle(),
+    doc="IMI-PQ ANN: inverted-multi-index coarse routing (two N^(1/4) "
+    "half codebooks -> product cells, 2 * N^(1/4) half-dots per "
+    f"vector to assign, {_IMI_PROBE}x{_IMI_PROBE} probed product "
+    "cells) feeding the PQ asymmetric-distance scorer, ADC "
+    f"top-{_IVFPQ_R} shortlist, exact cosine rerank — the coarse "
+    "stage flat IVF-PQ cannot afford past ~1e8 vectors (Babenko & "
+    "Lempitsky 2012 x Jegou et al. 2011; extension).",
+)
+def ann_imi_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully sub-O(N^1.5) production index: every stage's
+    per-vector work is bounded by N^(1/4) half-dots (assignment) or
+    M code lookups (ADC), and the corpus is never shuffled.
+
+    Scale shape: identical to ``ann_ivf_pq_topk`` EXCEPT stage 1 —
+    flat IVF scores sqrt(N) full-dim centroids per vector (the
+    O(N^1.5) term its own docstring owns); IMI scores 2 * N^(1/4)
+    half-dim centroids for the same ~sqrt(N)-cell selectivity. The
+    probe join is a two-column equi-join of the corpus cell map
+    against a broadcast (queries x probe^2) list; the ADC tail
+    (broadcast LUT join, map-side-combined aggregate, R-row exact
+    rerank) is shared code with IVF-PQ (``_adc_rerank``).
+    """
+    e, subs, cb, a2 = _pq_encode(spark, sf_dir)
+    # scored feeds BOTH the per-vector cell map and the probe list:
+    # materialize the 2 x N^(1/4) half-dot ranking once
+    scored = _imi_scored(e).localCheckpoint(eager=False)
+    cells = scored.select(
+        "vec_id",
+        F.element_at("r1", 1)["cid"].alias("cell1"),
+        F.element_at("r2", 1)["cid"].alias("cell2"),
+    )
+    probes = _imi_probes(scored)
+    cand0 = (
+        cells.join(broadcast(probes), ["cell1", "cell2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    return _adc_rerank(e, subs, cb, a2, cand0)

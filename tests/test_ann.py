@@ -278,6 +278,60 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall@5 {recall:.3f} < 0.8"
 
 
+def test_imi_recall_vs_bruteforce(spark):
+    """IMI product-cell routing must hold recall near its flat-IVF
+    sibling: 2x2 probed product cells cover the same neighborhoods the
+    IVF probe list does, with N^(1/4)-sized codebooks."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_imi_topk,
+    )
+
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ann_imi_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.5, f"recall@5 {recall:.3f} < 0.5"
+
+
+def test_imi_pq_recall_vs_bruteforce(spark):
+    """The composed IMI-PQ index: IMI candidate coverage with the
+    64-deep ADC shortlist + exact rerank must stay within reach of
+    the flat-scan baseline (the rerank recovers what the 8-byte codes
+    mis-rank; remaining loss is cells not probed)."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_imi_pq_topk,
+        ann_imi_topk,
+    )
+
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    imi = {
+        (r.query_id, r.cand_id)
+        for r in ann_imi_topk(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ann_imi_pq_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(brute) > 0
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.5, f"recall@5 {recall:.3f} < 0.5"
+    # the PQ stage reranks exactly from a deep shortlist, so composing
+    # it must not lose much vs IMI-exact on the same probed cells
+    vs_imi = len(imi & got) / len(imi)
+    assert vs_imi >= 0.8, f"IMI-PQ vs IMI-exact overlap {vs_imi:.3f} < 0.8"
+
+
 def test_kmeans_cluster_assign_python_replay(spark):
     """Two Lloyd iterations replayed in Python with the same
     quantization (dist round 6, centroid means round 8)."""

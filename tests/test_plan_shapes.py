@@ -196,6 +196,18 @@ def test_zorder_keys_fill_the_bit_budget(spark):
     assert top == (1 << (2 * _Z_BITS)) - 1
 
 
+def test_imi_pq_has_no_cartesian_and_broadcast_probes(spark):
+    """IMI-PQ composition: the corpus cell map must meet the probe
+    list through a broadcast equi-join on the product-cell key — no
+    cartesian anywhere, and the only nested-loop join allowed is the
+    1-row codebook scalar broadcast."""
+    from autosinapi_spark.plans.similarity_queries import ann_imi_pq_topk
+
+    plan = _plan(ann_imi_pq_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_kcore_rounds_are_keyed_joins(spark):
     from autosinapi_spark.plans.graph_analytics_queries import (
         kcore_item_graph,

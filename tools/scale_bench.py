@@ -96,6 +96,8 @@ QUERIES = [
     "hard_negative_mining",  # LSH-bucket-keyed negative sampling
     "bpe_pair_merge_counts",  # dictionary-weighted pair counts
     "ann_imi_topk",  # N^(1/4) half-codebooks: sub-O(N^1.5) assignment
+    # round-8 additions
+    "ann_imi_pq_topk",  # IMI coarse routing + ADC: no O(N^1.5) stage left
 ]
 
 
