@@ -1669,6 +1669,121 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IDX_BLOCK = 8  # postings block size (production: ~4096 ids/block)
+
+
+@register(
+    "inverted_index_postings_full",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS term
+      FROM tok
+    ),
+    pd AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM b GROUP BY term, doc_id
+    ),
+    st AS (
+      SELECT term, doc_id,
+             COUNT(*) OVER (PARTITION BY term) AS df,
+             SUM(tf) OVER (PARTITION BY term) AS ctf,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pd
+    )
+    SELECT term,
+           CAST((rn - 1) // {_IDX_BLOCK} AS BIGINT) AS block_no,
+           CAST(df AS BIGINT) AS df,
+           CAST(ctf AS BIGINT) AS ctf,
+           CAST(COUNT(*) AS BIGINT) AS n_block,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM st
+    WHERE df >= {_IDX_MIN_DF}
+    GROUP BY term, (rn - 1) // {_IDX_BLOCK}, df, ctf
+    """,
+    doc="Full inverted-index postings as fixed-size sharded blocks: "
+    f"(term, block_no) -> up to {_IDX_BLOCK} sorted doc ids, plus "
+    f"per-term df/ctf, min-df {_IDX_MIN_DF} — the complete postings "
+    "lists the bounded-head query truncates, without any "
+    "list-of-all-docs aggregation buffer (extension).",
+)
+def inverted_index_postings_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """term -> COMPLETE postings list, sharded into bounded blocks.
+
+    ``inverted_index_postings`` bounds its aggregation state by
+    keeping only the K-head of each list; a real IR consumer needs
+    the whole list, and a stopword bigram's whole list is
+    corpus-df-sized — collecting it into ONE aggregation buffer is
+    the 100 TB OOM this family exists to avoid. This query emits the
+    full list as ``(term, block_no)`` rows of at most ``_IDX_BLOCK``
+    ids each:
+    the same term-partitioned ROW_NUMBER window assigns each posting
+    its in-term rank, ``(rn - 1) div B`` becomes a secondary grouping
+    key, and the block aggregate's collect_list is bounded at B by
+    construction. df/ctf ride the same term-partitioned window (one
+    exchange, reused by the block aggregate: partitioning on term
+    already satisfies the (term, block_no) grouping), and the window
+    buffers spill per term partition instead of living in agg hash
+    state. Readers reassemble a list by scanning a term's blocks in
+    block_no order; at deployment block size is ~4096 and the output
+    is range-laid-out on (term, block_no) for contiguous scans.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    base = docs.select("doc_id", ts.alias("ts"))
+    n = F.size(F.col("ts"))
+    bigrams = F.zip_with(
+        F.slice(F.col("ts"), 1, n - 1),
+        F.slice(F.col("ts"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = base.select("doc_id", F.explode(bigrams).alias("term"))
+    per_doc = inst.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w_t = Window.partitionBy("term")
+    w_rn = Window.partitionBy("term").orderBy("doc_id")
+    st = per_doc.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(w_t).alias("df"),
+        F.sum("tf").over(w_t).alias("ctf"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).where(F.col("df") >= _IDX_MIN_DF)
+    blocks = (
+        st.withColumn(
+            "block_no",
+            # integer DIV, not float-divide-and-cast: exact at any rn
+            F.expr(f"CAST((rn - 1) DIV {_IDX_BLOCK} AS BIGINT)"),
+        )
+        .groupBy("term", "block_no", "df", "ctf")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_block"),
+            F.array_sort(F.collect_list("doc_id")).alias("ids"),
+        )
+    )
+    return blocks.select(
+        "term",
+        "block_no",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("ctf").cast("bigint").alias("ctf"),
+        "n_block",
+        F.array_join(
+            F.transform("ids", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
 # --- BPE merge-round pair counting -----------------------------------
 
 _BPE_TOP_PAIRS = 20

@@ -491,3 +491,46 @@ def test_dsir_gumbel_resample_python_replay(spark):
     # selection must enrich for high scores vs the pool average
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
     assert mean([weights[d] for d in got]) > mean(list(weights.values()))
+
+
+def test_inverted_index_full_blocks_reassemble(spark):
+    """Sharded blocks must reassemble to the exact full postings list:
+    contiguous block numbering, every block bounded at _IDX_BLOCK (all
+    but the last exactly full), concatenation sorted and df-sized, and
+    the first K ids equal to the bounded-head query's postings."""
+    from collections import defaultdict
+
+    from autosinapi_spark.plans.corpus_queries import (
+        _IDX_BLOCK,
+        _IDX_POSTINGS_K,
+        inverted_index_postings,
+        inverted_index_postings_full,
+    )
+
+    by_term = defaultdict(list)
+    for r in inverted_index_postings_full(spark, SF_SMOKE).collect():
+        assert 1 <= r.n_block <= _IDX_BLOCK
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.n_block
+        by_term[r.term].append((r.block_no, ids, r.df, r.ctf))
+
+    head = {
+        r.term: r for r in inverted_index_postings(spark, SF_SMOKE).collect()
+    }
+    assert set(by_term) == set(head)
+    assert any(len(bs) > 1 for bs in by_term.values())  # multi-block terms
+
+    for term, blocks in by_term.items():
+        blocks.sort()
+        assert [b[0] for b in blocks] == list(range(len(blocks)))
+        for _, ids, _, _ in blocks[:-1]:
+            assert len(ids) == _IDX_BLOCK
+        full = [i for _, ids, _, _ in blocks for i in ids]
+        assert full == sorted(full)
+        assert len(full) == blocks[0][2]  # df spans all blocks
+        hr = head[term]
+        assert hr.df == blocks[0][2]
+        assert hr.ctf == blocks[0][3]
+        assert full[:_IDX_POSTINGS_K] == [
+            int(x) for x in hr.postings.split(",")
+        ]

@@ -98,6 +98,7 @@ QUERIES = [
     "ann_imi_topk",  # N^(1/4) half-codebooks: sub-O(N^1.5) assignment
     # round-8 additions
     "ann_imi_pq_topk",  # IMI coarse routing + ADC: no O(N^1.5) stage left
+    "inverted_index_postings_full",  # full lists, block-bounded buffers
 ]
 
 
