@@ -451,6 +451,29 @@ def test_triangles_adjacency_intersection_no_wedge_join(spark):
     assert njoin <= 4
 
 
+def test_oriented_triangles_match_id_oriented_counts(spark):
+    """(degree, id) orientation is just a different acyclic edge
+    direction over the same undirected graph: per-vertex triangle
+    counts must be IDENTICAL to the id-oriented query's."""
+    from autosinapi_spark.plans.graph_analytics_queries import (
+        item_cooccurrence_triangles,
+        item_cooccurrence_triangles_oriented,
+    )
+
+    base = {
+        (r.part_key, r.n_triangles)
+        for r in item_cooccurrence_triangles(spark, SF_SMOKE).collect()
+    }
+    oriented = {
+        (r.part_key, r.n_triangles)
+        for r in item_cooccurrence_triangles_oriented(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(base) > 0
+    assert oriented == base
+
+
 def test_inverted_index_bounded_state_single_scan(registry, spark):
     """One documents scan; bigrams build row-locally; per-term
     aggregation state is BOUNDED at the K-id head (r7: the full-list

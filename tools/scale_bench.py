@@ -99,6 +99,7 @@ QUERIES = [
     # round-8 additions
     "ann_imi_pq_topk",  # IMI coarse routing + ADC: no O(N^1.5) stage left
     "inverted_index_postings_full",  # full lists, block-bounded buffers
+    "item_cooccurrence_triangles_oriented",  # degree-oriented adj lists
 ]
 
 
