@@ -56,82 +56,37 @@ def _registry():
 # (b) queries whose code changed this round, then (c) long-green rows
 # as filler. Anything not listed keeps registration order at the end.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r7 front window (first 50 = the driver's correctness window;
+    # ---- r8 front window (first 50 = the driver's correctness window;
     # composition enforced by tools/rotation_check.py) ----
-    # (a) the one never-green query, fixed this round (-0.0 oracle guard)
-    "embedding_covariance",
-    # (b) never-driver-checked: the 13 round-6 late additions + the new
-    # d=64 Gramian query -- all sim-verified, none has a driver row yet
-    "min_cost_supplier_per_part",
-    "nation_pair_trade_volume",
-    "product_profit_by_nation",
-    "returned_item_top_customers",
-    "part_revenue_concentration",
-    "promo_revenue_share",
-    "supplier_count_by_part_attrs",
-    "item_cooccurrence_triangles",
-    "inverted_index_postings",
-    "proportional_allocation_sample",
-    "dominant_share_suppliers",
-    "user_growth_curve",
-    "streaming_session_replay",
-    "embedding_covariance_hd",
-    "kcore_item_graph",
-    "hard_negative_mining",
-    "bpe_pair_merge_counts",
+    # (a) new this round — never driver-checked
+    "ann_imi_pq_topk",
+    "inverted_index_postings_full",
+    "item_cooccurrence_triangles_oriented",
+    # (b) code/oracle changed this round (incl. manual promotions for
+    # shared-helper refactors the fingerprint can't see: the triangles
+    # edge-build/intersect factor-out, the snapshot_diff marker guard)
     "zorder_layout_keys",
     "ann_imi_topk",
-    "asof_next_quote",
-    # (c) every query whose oracle text or plan source changed this
-    # round (signed-zero guards, pagerank top-N, OOV TakeOrdered vocab,
-    # sql_davg users, snapshot_diff null-PK hardening)
-    "item_cooccurrence_pagerank",
-    "source_oov_rate",
-    "snapshot_diff_cdc",
-    "pricing_summary",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
-    "near_dedup_embedding",
-    "semdedup_embeddings",
-    "embedding_outlier_zscore",
-    "embedding_pca_project",
-    "embedding_pca_top2",
-    "source_zipf_fit",
-    "perplexity_buckets",
-    "events_gap_fill",
-    "item_price_history",
-    "cost_lookup",
-    "dup_overlap_by_source",
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    # (d) oldest-stale-green refresh fill (last green r4)
-    "cube_revenue",
-    "rollup_revenue",
-    "sink_append_nodup",
-    "sink_replace_period",
-    "sink_truncate_reload",
-    "sink_upsert_catalog",
-    "coercion_ptbr_roundtrip",
-    # ---- tail: refresh pool, oldest green first (r4 -> r5 -> r6) so a
-    # wider driver window always refreshes the stalest rows next ----
-    "sliding_event_stats",
+    "item_cooccurrence_triangles",
+    "snapshot_diff_cdc",
+    # (c) stale-green refresh, oldest cohort first: the full r4 set —
+    # rotation_check now enforces a max-3-round staleness bound
     "customer_revenue_moving_avg",
-    "doc_token_count",
-    "doc_quality_score",
-    "doc_lang_id",
-    "exact_dedup_documents",
     "dedup_first_item_per_order",
     "doc_bpe_token_count",
     "doc_char_entropy",
     "doc_fingerprint",
+    "doc_lang_id",
     "doc_ngram_profile",
+    "doc_quality_score",
     "doc_simhash",
+    "doc_token_count",
     "doc_winnow_fingerprint",
     "embedding_label_centroids",
     "events_json_extract",
+    "exact_dedup_documents",
     "filter_parent_rows",
     "hourly_event_stats",
     "key_domain_union",
@@ -140,8 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "normalize_text_codes",
     "orphan_check_facts",
     "pivot_qty_by_status",
+    "sliding_event_stats",
     "union_view_itens",
     "unpivot_qty_by_status",
+    # (d) oldest r5 rows as remaining fill
     "asof_latest_quote",
     "bm25_doc_ranking",
     "bom_cost_rollup",
@@ -158,6 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "event_rate_anomalies",
     "heavy_hitter_tokens",
+    # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
+    # then r7) so a wider driver window always refreshes stalest next ----
     "latest_event_per_user",
     "media_binary_stats",
     "media_decode_stats",
@@ -218,6 +177,50 @@ _PRIORITY: tuple[str, ...] = (
     "top_supplier_revenue",
     "top_unshipped_orders",
     "user_retention_cohorts",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "asof_next_quote",
+    "bpe_pair_merge_counts",
+    "coercion_ptbr_roundtrip",
+    "cost_lookup",
+    "cube_revenue",
+    "doc_bigram_logprob",
+    "doc_unigram_logprob",
+    "dominant_share_suppliers",
+    "dup_overlap_by_source",
+    "embedding_covariance",
+    "embedding_covariance_hd",
+    "embedding_outlier_zscore",
+    "embedding_pca_project",
+    "embedding_pca_top2",
+    "events_gap_fill",
+    "hard_negative_mining",
+    "inverted_index_postings",
+    "item_cooccurrence_pagerank",
+    "item_price_history",
+    "kcore_item_graph",
+    "min_cost_supplier_per_part",
+    "nation_pair_trade_volume",
+    "near_dedup_embedding",
+    "part_revenue_concentration",
+    "perplexity_buckets",
+    "pricing_summary",
+    "product_profit_by_nation",
+    "promo_revenue_share",
+    "proportional_allocation_sample",
+    "returned_item_top_customers",
+    "rollup_revenue",
+    "semdedup_embeddings",
+    "sink_append_nodup",
+    "sink_replace_period",
+    "sink_truncate_reload",
+    "sink_upsert_catalog",
+    "source_oov_rate",
+    "source_zipf_fit",
+    "streaming_session_replay",
+    "supplier_count_by_part_attrs",
+    "user_growth_curve",
 )
 
 

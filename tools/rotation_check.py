@@ -29,7 +29,24 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 WINDOW = 50
+STALE_MAX = 3  # a green older than this many rounds must re-enter
 SNAP = Path(__file__).resolve().parent / "registry_fingerprint.json"
+
+
+def last_greens() -> tuple[dict[str, int], int]:
+    """(query -> most recent green driver round, latest round seen),
+    from the CORRECTNESS_r*.json artifacts at the repo root."""
+    import glob
+
+    last: dict[str, int] = {}
+    latest = 0
+    for f in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        latest = max(latest, rnd)
+        for q, row in json.loads(Path(f).read_text()).items():
+            if row.get("rows_match") and row.get("schema_match"):
+                last[q] = max(last.get(q, 0), rnd)
+    return last, latest
 
 
 def fingerprints() -> dict[str, str]:
@@ -82,10 +99,34 @@ def main() -> int:
             f"first-{WINDOW} driver window: {', '.join(changed)}"
         )
         return 1
+    # staleness bound: any query whose most recent green would be more
+    # than STALE_MAX rounds old at the NEXT driver check (next round =
+    # latest+1, so last_green <= latest - STALE_MAX) must be in the
+    # window now; so must any registered query with no green row ever.
+    last, latest = last_greens()
+    overdue = sorted(
+        n
+        for n in cur
+        if last.get(n, -(10**9)) <= latest - STALE_MAX and n not in window
+    )
+    if overdue:
+        print(
+            f"rotation: FAIL — {len(overdue)} quer"
+            f"{'y' if len(overdue) == 1 else 'ies'} with last green <= "
+            f"r{latest - STALE_MAX} (or never green) outside the "
+            f"first-{WINDOW} window: {', '.join(overdue)}"
+        )
+        return 1
     n_changed = sum(1 for n, h in cur.items() if snap.get(n) != h)
+    n_stale_in = sum(
+        1
+        for n in set(list(cur)) & window
+        if last.get(n, -(10**9)) <= latest - STALE_MAX
+    )
     print(
         f"rotation: ok — {n_changed} changed/new queries, all inside "
-        f"the first-{WINDOW} window"
+        f"the first-{WINDOW} window; {n_stale_in} overdue-stale "
+        f"(<= r{latest - STALE_MAX}) refreshed in-window"
     )
     return 0
 
