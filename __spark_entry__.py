@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_imi_pq_topk",
     "inverted_index_postings_full",
     "item_cooccurrence_triangles_oriented",
+    "ann_lsh_topk_auto",
+    "ann_lsh_topk",
     # (b) code/oracle changed this round (incl. manual promotions for
     # shared-helper refactors the fingerprint can't see: the triangles
     # edge-build/intersect factor-out, the snapshot_diff marker guard)
@@ -113,10 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     "doc_repetition_filter",
     "doc_similarity_topk",
     "embedding_pq_codes",
-    "event_rate_anomalies",
-    "heavy_hitter_tokens",
     # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
     # then r7) so a wider driver window always refreshes stalest next ----
+    "event_rate_anomalies",
+    "heavy_hitter_tokens",
     "latest_event_per_user",
     "media_binary_stats",
     "media_decode_stats",

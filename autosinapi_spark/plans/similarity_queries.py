@@ -236,10 +236,10 @@ def _lsh_topk_plan(
     _lsh_oracle(),
     doc="Multi-table random-hyperplane LSH ANN: 2 tables x 8 bits of "
     "seeded Rademacher projections over all dims; candidates only "
-    "within shared buckets, exact cosine re-rank — the 100 TB scale "
-    "path (extension). Parameters are PINNED here so the DuckDB "
-    "oracle replays identical plane literals; the corpus-size-derived "
-    "variant is ann_lsh_topk_auto (recall-tested vs brute force).",
+    "within shared buckets, exact cosine re-rank (extension). "
+    "Parameters are PINNED here (the simple-oracle contrast row); "
+    "the corpus-size-derived production path is ann_lsh_topk_auto, "
+    "registered with a COUNT(*)-deriving oracle.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
@@ -251,32 +251,129 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-size-derived LSH for the REGISTERED auto top-k query — the
+# production path past fixed-parameter ann_lsh_topk. Replayability
+# trick (same as the dedup family below): a FIXED master plane set
+# strided at max_bits per table, so any derived (bits, tables) uses
+# literal PREFIXES of it; the oracle embeds the static literals,
+# derives bits/tables in SQL from COUNT(*), and replays multi-probe
+# as a Hamming-radius predicate (query-bucket XOR any weight<=r mask
+# equals a corpus bucket IFF bit_count(xor) <= r).
+_TOPK_TARGET = 128
+_TOPK_MIN_BITS = 4
+_TOPK_MAX_BITS = 24
+_TOPK_T_MAX = max(2, 1 + _TOPK_MAX_BITS // 4)
+_TOPK_PROBE_R = 2
+_TOPK_MASTER = rademacher_planes(_TOPK_T_MAX * _TOPK_MAX_BITS, _DIM)
+
+
+def _topk_planes(bits: int, tables: int) -> list[list[float]]:
+    """Contiguous (tables x bits) plane list from the strided master."""
+    return [
+        _TOPK_MASTER[t * _TOPK_MAX_BITS + j]
+        for t in range(tables)
+        for j in range(bits)
+    ]
+
+
+def _sql_topk_bucket(table: int) -> str:
+    """Bucket for one table with RUNTIME bit count (p.bits in scope)."""
+    terms = " + ".join(
+        f"(CASE WHEN {j} < p.bits AND list_dot_product(v, "
+        f"{_sql_plane(_TOPK_MASTER[table * _TOPK_MAX_BITS + j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_TOPK_MAX_BITS)
+    )
+    return f"({terms})"
+
+
+def _lsh_auto_oracle() -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, v, {t} AS tbl, {_sql_topk_bucket(t)} "
+        f"AS bucket FROM e, p WHERE {t} < p.tables"
+        for t in range(_TOPK_T_MAX)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+      SELECT bits,
+             GREATEST(2, 1 + CAST(FLOOR(bits / 4.0) AS INT)) AS tables
+      FROM (
+        SELECT CASE WHEN n <= {_TOPK_TARGET} THEN {_TOPK_MIN_BITS}
+               ELSE GREATEST({_TOPK_MIN_BITS}, LEAST({_TOPK_MAX_BITS},
+                 CAST(FLOOR(log2(n / {_TOPK_TARGET}.0) + 0.5) AS INT)))
+               END AS bits
+        FROM (SELECT COUNT(*) AS n FROM embeddings)
+      )
+    ),
+    eb AS (
+{branches}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM eb q JOIN eb c
+        ON c.tbl = q.tbl
+       AND bit_count(CAST(xor(q.bucket, c.bucket) AS BIGINT))
+             <= {_TOPK_PROBE_R}
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    pairs AS (
+      SELECT cand.query_id, cand.cand_id,
+             ROUND({_COS_SQL}, 6) + 0 AS cos_sim
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e c ON c.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {_TOP_K}
+    """
+
+
+@register(
+    "ann_lsh_topk_auto",
+    _lsh_auto_oracle(),
+    doc="Multi-probe LSH ANN with corpus-size-DERIVED parameters: "
+    "bits ~ log2(N / 128) and tables = f(bits) off a fixed strided "
+    f"master plane set, query-side Hamming-radius-{_TOPK_PROBE_R} "
+    "probing, exact cosine re-rank — the 100 TB production path "
+    "(fixed 8-bit buckets collapse as N grows); the oracle derives "
+    "the same parameters from COUNT(*) and replays multi-probe as a "
+    "bit_count(xor) predicate (extension).",
+)
 def ann_lsh_topk_auto(
     spark: SparkSession,
     sf_dir: str,
     k: int = _TOP_K,
     n_queries: int = _N_QUERIES,
-    dim: int = _DIM,
 ) -> DataFrame:
     """ANN top-k with corpus-size-derived LSH parameters.
 
     One count() sizes the corpus, ``derive_lsh_params`` picks
     bits ≈ log2(N / target_bucket) and tables = f(bits) so bucket
     occupancy stays bounded at any scale (the round-2/3 ask: fixed
-    8-bit buckets collapse at 100 TB). Not registered as an oracle
-    query — the plane set depends on the runtime corpus size, which
-    static oracle SQL cannot replay across sf dirs — verified instead
-    by tests/test_ann.py's recall@k >= 0.9 bound vs the brute-force
-    baseline.
+    8-bit buckets collapse at 100 TB). Scale shape: identical to
+    ``ann_lsh_topk`` — corpus keyed once per table, candidates via a
+    (tbl, bucket) equi-join against the broadcast multi-probed query
+    side (probing multiplies only queries x C(bits, <=r) masks, never
+    the corpus). The plan-time count() is parameter derivation, not a
+    data collect; recall@5 >= 0.9 vs brute force is additionally
+    pinned in tests/test_ann.py.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
     )
     bits, tables = derive_lsh_params(emb.count())
-    planes = rademacher_planes(bits * tables, dim)
+    planes = _topk_planes(bits, tables)
     return _lsh_topk_plan(
-        emb, planes, bits, tables, n_queries, k, probe_radius=2
+        emb, planes, bits, tables, n_queries, k, probe_radius=_TOPK_PROBE_R
     )
 
 
