@@ -100,6 +100,8 @@ QUERIES = [
     "ann_imi_pq_topk",  # IMI coarse routing + ADC: no O(N^1.5) stage left
     "inverted_index_postings_full",  # full lists, block-bounded buffers
     "item_cooccurrence_triangles_oriented",  # degree-oriented adj lists
+    "ann_lsh_topk_auto",  # derived bits/tables off the strided master
+    "zorder_layout_keys",  # min/max-normalized Morton keys, row-local
 ]
 
 
