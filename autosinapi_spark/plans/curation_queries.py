@@ -96,6 +96,152 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom-prefiltered decontamination -------------------------------
+# decontaminate_ngram_overlap broadcasts the eval split's DISTINCT
+# n-gram set — fine while the eval side is benchmark-sized, but a
+# 100 TB pipeline also decontaminates against huge reference corpora
+# (all of held-out validation, licensed-content denylists) whose gram
+# set does not fit a broadcast. The bloom variant broadcasts a FIXED
+# 8 KB bitmap instead, prefilters corpus grams row-locally inside
+# codegen, and verifies only the (tiny) survivor set with an exact
+# join — the output is identical (false positives never survive the
+# verify join), so the oracle is the plain exact-overlap SQL.
+
+_BLOOM_BITS = 1 << 16  # 8 KB bitmap, broadcast-constant at any scale
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(g: Column) -> list[Column]:
+    """K bit positions per gram: xxhash64(g, seed_i) mod m."""
+    return [
+        F.pmod(F.xxhash64(g, F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - {_CONTAM_N - 1}),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                    || ts[i+3] || ' ' || ts[i+4])) AS gs
+      FROM tok WHERE len(ts) >= {_CONTAM_N}
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams
+      WHERE source IN ('src0', 'src1')
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+      WHERE source NOT IN ('src0', 'src1')
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+    doc="Bloom-prefiltered benchmark decontamination: the eval gram "
+    f"set is folded into a fixed {_BLOOM_BITS // 8 // 1024} KB bitmap "
+    f"({_BLOOM_K} xxhash64 probes), corpus grams are prefiltered "
+    "row-locally, and only survivors reach the exact verify join — "
+    "output identical to decontaminate_ngram_overlap (false "
+    "positives cannot survive the verify join), which is the oracle "
+    "(extension).",
+)
+def decontaminate_bloom_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-side docs leaking eval n-grams, bloom-prefiltered.
+
+    Scale shape: ``decontaminate_ngram_overlap`` must broadcast the
+    eval split's distinct grams — unbounded in the eval side's size.
+    Here the only broadcast is ONE row holding a fixed
+    ``_BLOOM_WORDS x int64`` bitmap (built with a bounded groupBy on
+    word index + bit_or, densified once into an array), the corpus
+    gram stream is filtered row-locally (K codegen'd hash-and-test
+    probes per gram — no join, no shuffle), and the exact verify join
+    runs over only the survivors: true matches plus a
+    fill^K false-positive trickle, so the verify join's build side is
+    survivor-sized and Catalyst/AQE picks its own strategy instead of
+    being forced to broadcast the full gram set. At a 21% fill (the
+    fixture's) the false-positive rate is under 1%; production sizes
+    the bitmap to the denylist (~10 bits per element keeps fp ~ 1%)
+    and still ships kilobytes-to-megabytes, not the gram corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sg = shingles(F.col("text"), _CONTAM_N)
+    grams = docs.where(F.size(sg) >= 1).select(
+        "doc_id", "source", F.explode(sg).alias("g")
+    )
+    bench = (
+        grams.where(F.col("source").isin(*_EVAL_SOURCES))
+        .select("g")
+        .distinct()
+    )
+    train = grams.where(~F.col("source").isin(*_EVAL_SOURCES))
+
+    # build: positions -> (word, bit) -> bit_or per word -> dense array
+    pos = bench.select(
+        F.explode(F.array(*_bloom_positions(F.col("g")))).alias("p")
+    )
+    words = pos.select(
+        (F.col("p") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+    )
+    bitmap = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i), F.lit(0).cast("bigint")
+                ),
+            ).alias("bm")
+        )
+    )
+
+    # probe: materialize the K positions as real columns (outer
+    # expressions referenced inside lambdas/exprs re-evaluate — the
+    # documented O(n^2) trap), then test each position's bit
+    probed = train.crossJoin(F.broadcast(bitmap))
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"__p{i}",
+            F.pmod(F.xxhash64(F.col("g"), F.lit(i)), F.lit(_BLOOM_BITS)),
+        )
+    cond = None
+    for i in range(_BLOOM_K):
+        hit = F.expr(
+            f"(element_at(bm, CAST(__p{i} / 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST(__p{i} % 64 AS INT))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    survivors = probed.where(cond).select("doc_id", "g")
+
+    # exact verify: survivor-sized join (NOT forced broadcast — the
+    # point is that the full gram set never needs to ship)
+    return (
+        survivors.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 # --- sequence packing ------------------------------------------------
 
 _PACK_BUDGET = 512  # tokens per context bin

@@ -534,3 +534,25 @@ def test_inverted_index_full_blocks_reassemble(spark):
         assert full[:_IDX_POSTINGS_K] == [
             int(x) for x in hr.postings.split(",")
         ]
+
+
+def test_bloom_prefilter_matches_exact_decontamination(spark):
+    """The bloom stage is a pure prefilter: output must be IDENTICAL
+    to the exact broadcast-join query (false positives die in the
+    verify join), and the plan must actually contain the row-local
+    hash probes plus no forced broadcast of the full gram set."""
+    from autosinapi_spark.plans.curation_queries import (
+        decontaminate_bloom_prefilter,
+        decontaminate_ngram_overlap,
+    )
+
+    exact = {
+        (r.doc_id, r.n_shared_ngrams)
+        for r in decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+    }
+    bloom_df = decontaminate_bloom_prefilter(spark, SF_SMOKE)
+    bloom = {(r.doc_id, r.n_shared_ngrams) for r in bloom_df.collect()}
+    assert len(exact) > 0
+    assert bloom == exact
+    plan = _plan(bloom_df)
+    assert "xxhash64" in plan
