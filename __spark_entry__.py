@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_postings_full",
     "item_cooccurrence_triangles_oriented",
     "decontaminate_bloom_prefilter",
+    "label_propagation_communities",
     "ann_lsh_topk_auto",
     "ann_lsh_topk",
     # (b) code/oracle changed this round (incl. manual promotions for
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_length_quantiles",
     "doc_mixed_language",
     "doc_repetition_filter",
-    "doc_similarity_topk",
     # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
     # then r7) so a wider driver window always refreshes stalest next ----
+    "doc_similarity_topk",
     "embedding_pq_codes",
     "event_rate_anomalies",
     "heavy_hitter_tokens",

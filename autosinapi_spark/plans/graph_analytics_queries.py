@@ -680,3 +680,107 @@ def kcore_item_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("part_key"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+# --- label-propagation communities -----------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_cte(prev: str, name: str) -> str:
+    """One synchronous LPA round: each vertex adopts its neighbors'
+    most frequent label, ties broken by the smallest label."""
+    return f"""{name} AS (
+  SELECT v, lab FROM (
+    SELECT e.u AS v, l.lab, COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.u ORDER BY COUNT(*) DESC, l.lab) AS rn
+    FROM sym e JOIN {prev} l ON l.v = e.v
+    GROUP BY e.u, l.lab
+  ) WHERE rn = 1
+)"""
+
+
+_LPA_ROUND_CTES = ",\n".join(
+    _lpa_round_cte(f"lab{r}", f"lab{r + 1}") for r in range(_LPA_ROUNDS)
+)
+
+_LPA_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON b.o = a.o AND b.p > a.p
+),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+lab0 AS (SELECT DISTINCT u AS v, u AS lab FROM sym),
+{_LPA_ROUND_CTES}
+SELECT v AS part_key, CAST(lab AS BIGINT) AS community
+FROM lab{_LPA_ROUNDS}
+"""
+
+
+@register(
+    "label_propagation_communities",
+    _LPA_SQL,
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} bounded "
+    "rounds) over the item co-occurrence graph: init label = vertex "
+    "id, each round every vertex adopts its neighbors' most frequent "
+    "label with a deterministic min-label tiebreak — community "
+    "detection for topic-cluster curation (Raghavan et al. 2007; "
+    "extension).",
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(part_key, community) after bounded synchronous LPA rounds.
+
+    Determinism: classic LPA is order-dependent (async updates,
+    random tie-breaks); this is the synchronous variant with a
+    (count DESC, label ASC) tiebreak, so both engines converge to
+    bit-identical labels — the same determinism discipline as the
+    integer PageRank.
+
+    Scale shape: per round, one vertex-keyed equi-join (neighbor
+    labels) + one (vertex, label)-keyed count + one vertex-partitioned
+    window — all hash-partitionable, no vertex ever holds more state
+    than one label. Rounds are BOUNDED (fixed iterations, like the
+    PageRank and k-core operators) and each round's labels are
+    localCheckpoint-pinned: labels feed both the join and (without
+    pinning) every earlier round's lineage would re-derive per round
+    (the 2^rounds recompute trap). The symmetrized edge list reuses
+    the checkpointed undirected edges, so the reversal does not run
+    the basket expansion twice.
+    """
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    und = _basket_edges(spark, sf_dir, _ck)
+    sym = _ck(
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    labels = sym.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(_LPA_ROUNDS):
+        nl = sym.join(
+            labels.select(F.col("v").alias("nbr"), "lab"),
+            sym["v"] == F.col("nbr"),
+        ).select(F.col("u"), F.col("lab"))
+        cnt = nl.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lab"))
+        labels = _ck(
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("v"), "lab")
+        )
+    return labels.select(
+        F.col("v").alias("part_key"),
+        F.col("lab").cast("long").alias("community"),
+    )

@@ -494,3 +494,21 @@ def test_proportional_allocation_broadcast_quotas(registry, spark):
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" in simple  # 1-row scalar attach
     assert "BroadcastHashJoin" in simple  # quota-by-lang attach
+
+
+def test_lpa_communities_coalesce_and_plan_is_keyed(spark):
+    """After 3 synchronous rounds the label space must have coalesced
+    (strictly fewer distinct communities than vertices — neighbors
+    adopt shared labels), every vertex keeps exactly one label, and
+    the per-round plan stays keyed (no cartesian)."""
+    from autosinapi_spark.plans.graph_analytics_queries import (
+        label_propagation_communities,
+    )
+
+    df = label_propagation_communities(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len({r.part_key for r in rows}) == len(rows)
+    n_comm = len({r.community for r in rows})
+    assert 0 < n_comm < len(rows)
+    assert "CartesianProduct" not in _plan(df, "simple")
