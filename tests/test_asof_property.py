@@ -110,3 +110,43 @@ def test_asof_exact_tie_and_empty_partition_handcrafted(spark):
     assert got == [(1, 5, 50), (1, 5, 50), (2, 7, None)]
     got = _spark_result(spark, left, right, "forward", False)
     assert got == [(1, 5, None), (1, 5, None), (2, 7, None)]
+
+
+@given(left=_LEFT, right=_RIGHT, exact=st.booleans())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_asof_nearest_matches_merge_asof(spark, left, right, exact):
+    from autosinapi_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left] or [], "k int, ts int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right.items()] or [],
+        "k int, ts int, v int",
+    )
+    got = sorted(
+        (r.k, r.ts, r.v)
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], ts_col="ts", value_cols=["v"],
+            allow_exact_match=exact,
+        ).collect()
+    )
+    assert got == _pandas_result(left, right, "nearest", exact)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from autosinapi_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame([(1, 10)], "k int, ts int")
+    rdf = spark.createDataFrame(
+        [(1, 8, 100), (1, 12, 200)], "k int, ts int, v int"
+    )
+    out = asof_join_nearest(ldf, rdf, ["k"], "ts", ["v"]).collect()
+    assert [(r.k, r.ts, r.v) for r in out] == [(1, 10, 100)]

@@ -512,3 +512,14 @@ def test_lpa_communities_coalesce_and_plan_is_keyed(spark):
     n_comm = len({r.community for r in rows})
     assert 0 < n_comm < len(rows)
     assert "CartesianProduct" not in _plan(df, "simple")
+
+
+def test_asof_nearest_single_shuffle_no_join(registry, spark):
+    """Nearest direction keeps the union-window discipline: no join
+    node, and BOTH direction windows ride one key exchange — the only
+    other hash exchange is the upstream quote dedup's (user_id, ts)
+    window, exactly as in the backward/forward queries."""
+    plan = _plan(_q(registry, spark, "asof_nearest_quote"), "simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
