@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "label_propagation_communities",
     "asof_nearest_quote",
+    "mmr_diverse_sample",
     "ann_lsh_topk_auto",
     "ann_lsh_topk",
     # (b) code/oracle changed this round (incl. manual promotions for
@@ -114,9 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_resolution",
     "dedup_lines_c4",
     "doc_length_quantiles",
-    "doc_mixed_language",
     # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
     # then r7) so a wider driver window always refreshes stalest next ----
+    "doc_mixed_language",
     "doc_repetition_filter",
     "doc_similarity_topk",
     "embedding_pq_codes",

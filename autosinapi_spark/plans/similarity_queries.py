@@ -2528,3 +2528,174 @@ def ann_imi_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
     return _adc_rerank(e, subs, cb, a2, cand0)
+
+
+# --- MMR diverse sampling (greedy maximal marginal relevance) ---------
+# Curation shape: pick a small, DIVERSE exemplar set (dedup-aware
+# few-shot pools, eval seeds, topic probes) instead of the top-k
+# nearest, which collapses onto one mode. Greedy MMR (Carbonell &
+# Goldstein 1998): each round adds argmax of
+# lambda * rel(c) - (1 - lambda) * max_{s in S} sim(c, s).
+# The selection is INHERENTLY sequential in K, so the plan unrolls K
+# bounded rounds — each round is one distributed argmax
+# (TakeOrderedAndProject over the corpus) against the <= K-row
+# selected set riding a broadcast; nothing is ever collected.
+
+_MMR_K = 8
+_MMR_LAM = 0.7
+
+_MMR_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _mmr_oracle() -> str:
+    # every CTE is MATERIALIZED: the greedy chain references sel{i-1}
+    # multiple times per round, and DuckDB's default CTE inlining
+    # re-expands the whole upstream chain per reference — O(3^K)
+    # plan blowup (the unmaterialized form never finished at sf0.001;
+    # materialized it runs in ~0.5s)
+    cos_bs = _MMR_COS.format(a="b.v", b="s.v")
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+    base AS MATERIALIZED (
+      SELECT c.vec_id, c.v,
+             {_MMR_COS.format(a='c.v', b='q.qv')} AS rel
+      FROM e c, q WHERE c.vec_id <> 0
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, v, rel, {_MMR_LAM} * rel AS score
+      FROM base ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id, v FROM p1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT vec_id, v, rel, score FROM (
+        SELECT b.vec_id, b.v, b.rel,
+               {_MMR_LAM} * b.rel
+                 - {round(1 - _MMR_LAM, 10)} * MAX({cos_bs}) AS score
+        FROM base b, sel{i - 1} s
+        WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY b.vec_id, b.v, b.rel
+      ) ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT vec_id, v FROM sel{i - 1}
+      UNION ALL SELECT vec_id, v FROM p{i}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sample_rank, vec_id, "
+        f"ROUND(score, 6) + 0 AS mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {selects}
+    """
+
+
+@register(
+    "mmr_diverse_sample",
+    _mmr_oracle(),
+    doc=f"Greedy MMR diverse sampling: {_MMR_K} exemplars maximizing "
+    f"{_MMR_LAM}*relevance-to-query minus {round(1 - _MMR_LAM, 10)}*"
+    "max-similarity-to-already-selected (Carbonell-Goldstein 1998) — "
+    "the diversity-aware alternative to top-k for few-shot/eval seed "
+    "selection; oracle unrolls the greedy rounds as CTEs "
+    "(extension).",
+)
+def mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sample_rank, vec_id, mmr_score) for the K greedy picks.
+
+    Scale shape: relevance is computed ONCE (one broadcast of the
+    1-row query vector, row-local cosine) and localCheckpoint-pinned;
+    each of the K bounded rounds is one distributed argmax —
+    ``orderBy().limit(1)`` compiles to TakeOrderedAndProject, a
+    per-partition top-1 merged on the driver — over the corpus with
+    the <= K selected vectors riding a one-row broadcast (max-sim is
+    an array_max over at most K row-local cosines; norms precomputed
+    per corpus row, never per selected element). Nothing is
+    collected: the selected set stays a 1-row DataFrame of arrays and
+    each round's winner is localCheckpoint-pinned so round lineage
+    does not re-derive earlier argmaxes.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), norm(F.col("v")).alias("nq")
+    )
+    base = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qrow))
+        .select(
+            "vec_id",
+            "v",
+            norm(F.col("v")).alias("nv"),
+            F.round(
+                dot_fixed(F.col("v"), F.col("qv"), _DIM)
+                / (norm(F.col("v")) * F.col("nq")),
+                6,
+            ).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    picked: list[DataFrame] = []
+    sel_rows: DataFrame | None = None
+    for i in range(1, _MMR_K + 1):
+        if sel_rows is None:
+            scored = base.select(
+                "vec_id", "v", (F.lit(lam) * F.col("rel")).alias("score")
+            )
+        else:
+            sel = sel_rows.agg(
+                F.collect_list("vec_id").alias("sids"),
+                F.collect_list("v").alias("svs"),
+            )
+            maxsim = F.array_max(
+                F.transform(
+                    "svs",
+                    lambda s: F.round(
+                        dot_fixed(F.col("v"), s, _DIM)
+                        / (F.col("nv") * norm(s)),
+                        6,
+                    ),
+                )
+            )
+            scored = (
+                base.crossJoin(broadcast(sel))
+                .where(~F.array_contains(F.col("sids"), F.col("vec_id")))
+                .select(
+                    "vec_id",
+                    "v",
+                    (F.lit(lam) * F.col("rel") - F.lit(mu) * maxsim).alias(
+                        "score"
+                    ),
+                )
+            )
+        cur = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picked.append(
+            cur.select(
+                F.lit(i).cast("bigint").alias("sample_rank"),
+                "vec_id",
+                F.round("score", 6).alias("mmr_score"),
+            )
+        )
+        piece = cur.select("vec_id", "v")
+        sel_rows = piece if sel_rows is None else sel_rows.unionByName(piece)
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out

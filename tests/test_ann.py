@@ -421,3 +421,42 @@ def test_cluster_balanced_sample_cap_and_determinism(spark):
     sizes = [len(v) for v in by_cluster.values()]
     assert any(s > _KM_CAP for s in sizes)
     assert any(s <= _KM_CAP for s in sizes)
+
+
+def test_mmr_diverse_sample_semantics(spark):
+    """Greedy MMR: the first pick IS the relevance argmax, later picks
+    trade relevance for diversity (the selection ORDER must differ
+    from pure relevance ranking on this corpus), K unique picks."""
+    from pyspark.sql import functions as F
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.functions.vectors import as_double, cosine
+    from autosinapi_spark.plans.similarity_queries import (
+        _MMR_K,
+        mmr_diverse_sample,
+    )
+
+    picks = sorted(
+        mmr_diverse_sample(spark, SF_SMOKE).collect(),
+        key=lambda r: r.sample_rank,
+    )
+    assert len(picks) == _MMR_K
+    assert len({r.vec_id for r in picks}) == _MMR_K
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    by_rel = [
+        r.vec_id
+        for r in emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_K)
+        .collect()
+    ]
+    assert picks[0].vec_id == by_rel[0]
+    assert [r.vec_id for r in picks] != by_rel  # diversity reranks
