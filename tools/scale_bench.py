@@ -102,6 +102,10 @@ QUERIES = [
     "item_cooccurrence_triangles_oriented",  # degree-oriented adj lists
     "ann_lsh_topk_auto",  # derived bits/tables off the strided master
     "zorder_layout_keys",  # min/max-normalized Morton keys, row-local
+    "decontaminate_bloom_prefilter",  # fixed 8KB bitmap, survivor verify
+    "label_propagation_communities",  # bounded sync rounds, keyed joins
+    "asof_nearest_quote",  # two direction windows, one key shuffle
+    "mmr_diverse_sample",  # K bounded argmax rounds, 1-row broadcasts
 ]
 
 
