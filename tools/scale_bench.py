@@ -46,8 +46,7 @@ COPIES = 10
 QUERIES = [
     "near_dedup_minhash",
     "coercion_ptbr_roundtrip",
-    "near_dedup_embedding",  # oracle-pinned 8-bit buckets: DEGRADES by design
-    "near_dedup_embedding_auto",  # derived buckets: the actual scale path
+    "near_dedup_embedding",  # = the derived-parameter auto path since r5
     "near_dedup_ngram_jaccard",  # output grows ~166x: replicas form 20-cliques
     "ann_lsh_topk",
     "doc_simhash",
@@ -215,13 +214,8 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from autosinapi_spark.session import get_spark
 
-    from autosinapi_spark.plans.similarity_queries import (
-        near_dedup_embedding_auto,
-    )
-
     spark = get_spark(app_name="scale_bench")
     qs = dict(entrymod.queries())
-    qs["near_dedup_embedding_auto"] = near_dedup_embedding_auto
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -238,12 +232,12 @@ def main() -> int:
         small = run(name, str(SRC))
         big = run(name, str(DST))
         ratio = big / small
-        # excluded from the gate: the pinned-param contrast row, and the
-        # exact Jaccard join whose QUALIFYING OUTPUT grows ~166x here by
-        # construction (every replicated doc forms a 20-member near-dup
-        # clique with its copies+twins; runtime stays sublinear in that
-        # output, which is the optimal shape for an exact join)
-        if name not in ("near_dedup_embedding", "near_dedup_ngram_jaccard"):
+        # excluded from the gate: the exact Jaccard join, whose
+        # QUALIFYING OUTPUT grows ~166x here by construction (every
+        # replicated doc forms a 20-member near-dup clique with its
+        # copies+twins; runtime stays sublinear in that output, which
+        # is the optimal shape for an exact join)
+        if name != "near_dedup_ngram_jaccard":
             worst = max(worst, ratio)
         print(f"{name:28s} {small:7.2f}s {big:7.2f}s {ratio:5.1f}x")
     print(f"worst ratio for 10x data: {worst:.1f}x", file=sys.stderr)
