@@ -191,9 +191,17 @@ def test_zorder_keys_fill_the_bit_budget(spark):
     )
 
     df = zorder_layout_keys(spark, SF_SMOKE)
-    top = df.agg(F.max("zval").alias("m")).collect()[0]["m"]
-    # max zval = interleave(px_max, sx_max) where both hit 2^bits - 1
-    assert top == (1 << (2 * _Z_BITS)) - 1
+    row = df.agg(
+        F.max("zval").alias("hi"), F.min("zval").alias("lo")
+    ).collect()[0]
+    # the row holding the max l_suppkey normalizes its sx to
+    # 2^bits - 1, whose top interleaved bit is bit 2*bits - 1 — so the
+    # max zval must reach at least 2^(2*bits - 1) (we do NOT require
+    # one row to hold BOTH key maxima), and every zval stays inside
+    # the 2*bits budget
+    assert row["hi"] >= 1 << (2 * _Z_BITS - 1)
+    assert row["hi"] < 1 << (2 * _Z_BITS)
+    assert row["lo"] >= 0
 
 
 def test_imi_pq_has_no_cartesian_and_broadcast_probes(spark):

@@ -44,7 +44,13 @@ def last_greens() -> tuple[dict[str, int], int]:
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         latest = max(latest, rnd)
         for q, row in json.loads(Path(f).read_text()).items():
-            if row.get("rows_match") and row.get("schema_match"):
+            # hash_match may be absent (rows-only checks) but an
+            # explicit false is a FAILED compare, not a green
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            ):
                 last[q] = max(last.get(q, 0), rnd)
     return last, latest
 
