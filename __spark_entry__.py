@@ -77,6 +77,13 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "item_cooccurrence_triangles",
     "snapshot_diff_cdc",
+    # dedup_keep_first rewrite (min/max_by) consumers not already
+    # in-window — the shared-helper manual-promotion rule
+    "asof_next_quote",
+    "sink_upsert_catalog",
+    "sinapi_cost_lookup_q1",
+    "sinapi_unpivot_precos",
+    "user_status_sync",
     # (c) stale-green refresh, oldest cohort first: the full r4 set —
     # rotation_check now enforces a max-3-round staleness bound
     "customer_revenue_moving_avg",
