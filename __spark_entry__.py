@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "sinapi_cost_lookup_q1",
     "sinapi_unpivot_precos",
     "user_status_sync",
+    "latest_event_per_user",
     # (c) stale-green refresh, oldest cohort first: the full r4 set —
     # rotation_check now enforces a max-3-round staleness bound
     "customer_revenue_moving_avg",

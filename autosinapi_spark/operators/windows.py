@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,13 +37,21 @@ def latest_per_group(
 
     ``tiebreak_cols`` make the survivor deterministic when ``order_col``
     ties — required for oracle-comparable output.
+
+    Implemented as ``max_by`` of the full-row struct over the
+    (order, tiebreaks) struct — same rewrite as
+    ``operators/dedup.dedup_keep_first``: the aggregate
+    partial-combines map-side so same-group rows collapse before the
+    exchange and no per-group sort runs; struct comparison's
+    nulls-first field order makes max_by prefer non-null, matching
+    the window's DESC NULLS LAST default.
     """
-    ordering = [F.desc(order_col)] + [F.desc(c) for c in tiebreak_cols]
-    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    val = F.struct(*df.columns)
+    ordk = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*group_cols)
+        .agg(F.max_by(val, ordk).alias("__kept"))
+        .select("__kept.*")
     )
 
 
