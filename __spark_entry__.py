@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "label_propagation_communities",
     "asof_nearest_quote",
     "mmr_diverse_sample",
+    "inverted_index_positional",
+    "phrase_match_positional",
     "ann_lsh_topk_auto",
     "ann_lsh_topk",
     # (b) code/oracle changed this round (incl. manual promotions for

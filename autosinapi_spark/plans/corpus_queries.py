@@ -1853,3 +1853,210 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BPE_TOP_PAIRS)
     )
+
+
+# --- positional inverted index + phrase query ------------------------
+# The two IR operators a search user hits right after plain postings:
+# a POSITIONAL index (term -> (doc, tf, sorted positions)) and the
+# phrase-query plan over it (w1 w2 w3 matches where pos(w2) = pos(w1)+1
+# and pos(w3) = pos(w1)+2 within one document). The registered phrase
+# is data-derived (the corpus's most frequent trigram, ties broken by
+# string) so the query is deterministic at any sf.
+
+
+@register(
+    "inverted_index_positional",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.pos AS pos, u.w AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts)),
+                                     i -> {{pos: i, w: ts[i]}})) AS u
+        FROM tok
+      )
+    ),
+    per AS (
+      SELECT w, doc_id, COUNT(*) AS tf, list_sort(list(pos)) AS ps
+      FROM tp GROUP BY w, doc_id
+    ),
+    st AS (
+      SELECT w, doc_id, tf, ps,
+             COUNT(*) OVER (PARTITION BY w) AS df
+      FROM per
+    )
+    SELECT w AS term, doc_id,
+           CAST(df AS BIGINT) AS df,
+           CAST(tf AS BIGINT) AS tf,
+           array_to_string(ps, ',') AS positions
+    FROM st WHERE df >= {_IDX_MIN_DF}
+    """,
+    doc="Positional inverted index over unigram terms: per (term, doc) "
+    "tf and the SORTED in-document position list (aggregation state "
+    "bounded by one document's length — never corpus-df-sized), plus "
+    f"per-term df, min-df {_IDX_MIN_DF} — the index phrase and "
+    "proximity queries run on (extension).",
+)
+def inverted_index_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(term, doc_id, df, tf, positions) — the phrase-capable index.
+
+    Scale shape: position lists aggregate per (term, doc) — the
+    buffer is bounded by ONE document's occurrences of one term, so
+    unlike a naive per-term position list no aggregation state scales
+    with corpus df; per-term df rides a term-partitioned window
+    (spillable) over the (term, doc) rows, which are postings-sized.
+    At deployment the rows range-lay-out on (term, doc_id) so one
+    term's postings are a contiguous scan.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    tp = base.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    per = tp.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("ps"),
+    )
+    w_t = Window.partitionBy("w")
+    st = per.withColumn("df", F.count(F.lit(1)).over(w_t)).where(
+        F.col("df") >= _IDX_MIN_DF
+    )
+    return st.select(
+        F.col("w").alias("term"),
+        "doc_id",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("tf").cast("bigint").alias("tf"),
+        F.array_join(
+            F.transform("ps", lambda x: x.cast("string")), ","
+        ).alias("positions"),
+    )
+
+
+@register(
+    "phrase_match_positional",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.pos AS pos, u.w AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts)),
+                                     i -> {pos: i, w: ts[i]})) AS u
+        FROM tok
+      )
+    ),
+    tri AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS t
+      FROM tok
+    ),
+    top AS (
+      SELECT string_split(t, ' ')[1] AS w1,
+             string_split(t, ' ')[2] AS w2,
+             string_split(t, ' ')[3] AS w3,
+             t AS phrase
+      FROM (SELECT t, COUNT(*) AS c FROM tri GROUP BY t
+            ORDER BY c DESC, t LIMIT 1)
+    )
+    SELECT t1.doc_id, top.phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_phrase
+    FROM tp t1
+    JOIN top ON t1.w = top.w1
+    JOIN tp t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+              AND t2.w = top.w2
+    JOIN tp t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+              AND t3.w = top.w3
+    GROUP BY t1.doc_id, top.phrase
+    """,
+    doc="Phrase query over the positional index: the corpus's most "
+    "frequent trigram (tie -> lexicographic), matched per document "
+    "via positional adjacency joins (pos, pos+1, pos+2) — the classic "
+    "positional-index phrase plan (extension).",
+)
+def phrase_match_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, phrase, n_phrase) for documents containing the phrase.
+
+    Scale shape: the phrase terms arrive as a 1-row broadcast (the
+    trigram TakeOrdered head), each term's postings are a broadcast-
+    filtered slice of the position stream, and the adjacency match is
+    two (doc_id, pos)-keyed equi-joins — the merge pattern a
+    positional index exists for. Nothing fans out: each join's output
+    is bounded by the rarest term's postings. The trigram count feeds
+    one TakeOrdered(1), never a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n = F.size(F.col("ts"))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(F.col("ts"), 1, n - 2),
+            F.slice(F.col("ts"), 2, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(F.col("ts"), 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    top = (
+        base.where(n >= 3)
+        .select(F.explode(tri).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.split("t", " ").getItem(0).alias("w1"),
+            F.split("t", " ").getItem(1).alias("w2"),
+            F.split("t", " ").getItem(2).alias("w3"),
+            F.col("t").alias("phrase"),
+        )
+    )
+    tp = base.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    t1 = tp.join(F.broadcast(top), tp["w"] == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2", "w3"
+    )
+    t2 = tp.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("w").alias("x2"),
+    )
+    t3 = tp.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("p3"),
+        F.col("w").alias("x3"),
+    )
+    m = (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("pos") + 1)
+            & (F.col("x2") == F.col("w2")),
+        )
+        .join(
+            t3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("p3") == F.col("pos") + 2)
+            & (F.col("x3") == F.col("w3")),
+        )
+    )
+    return m.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_phrase")
+    )

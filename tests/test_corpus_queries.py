@@ -556,3 +556,69 @@ def test_bloom_prefilter_matches_exact_decontamination(spark):
     assert bloom == exact
     plan = _plan(bloom_df)
     assert "xxhash64" in plan
+
+
+def test_phrase_match_python_replay(spark):
+    """Phrase occurrences recounted with plain python over the raw
+    text must equal the positional-join result exactly."""
+    import re as _re
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import (
+        phrase_match_positional,
+    )
+
+    got = {
+        r.doc_id: (r.phrase, r.n_phrase)
+        for r in phrase_match_positional(spark, SF_SMOKE).collect()
+    }
+    assert got
+    phrase = next(iter(got.values()))[0]
+    w = phrase.split(" ")
+    assert len(w) == 3
+
+    exp = {}
+    for r in load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        ts = _re.sub(r"\s+", " ", r.text.strip()).split(" ")
+        n = sum(
+            1
+            for i in range(len(ts) - 2)
+            if ts[i : i + 3] == w
+        )
+        if n:
+            exp[r.doc_id] = (phrase, n)
+    assert got == exp
+
+
+def test_positional_index_positions_are_exact(spark):
+    """Every posting's positions must point at actual occurrences of
+    the term in the document, tf == len(positions), and df counts the
+    docs the term appears in."""
+    import re as _re
+    from collections import defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.corpus_queries import (
+        inverted_index_positional,
+    )
+
+    toks = {
+        r.doc_id: _re.sub(r"\s+", " ", r.text.strip()).split(" ")
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = inverted_index_positional(spark, SF_SMOKE).collect()
+    assert rows
+    docs_per_term = defaultdict(set)
+    for r in rows:
+        ps = [int(x) for x in r.positions.split(",")]
+        assert r.tf == len(ps)
+        assert ps == sorted(ps)
+        for p in ps:
+            assert toks[r.doc_id][p - 1] == r.term  # 1-based positions
+        docs_per_term[r.term].add(r.doc_id)
+    for r in rows:
+        assert r.df == len(docs_per_term[r.term])
