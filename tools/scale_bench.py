@@ -105,6 +105,8 @@ QUERIES = [
     "label_propagation_communities",  # bounded sync rounds, keyed joins
     "asof_nearest_quote",  # two direction windows, one key shuffle
     "mmr_diverse_sample",  # K bounded argmax rounds, 1-row broadcasts
+    "inverted_index_positional",  # per-(term,doc) bounded position lists
+    "phrase_match_positional",  # trigram top-1 + positional adjacency joins
 ]
 
 
