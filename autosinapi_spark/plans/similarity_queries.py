@@ -2181,7 +2181,7 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("r1", 1)["cid"].alias("cell1"),
         F.element_at("r2", 1)["cid"].alias("cell2"),
     )
-    probes = _imi_probes(scored, extra_cols=["v"]).withColumnRenamed(
+    probes = _imi_probes(scored, extra_cols=("v",)).withColumnRenamed(
         "v", "qv"
     )
     cand = (
@@ -2269,7 +2269,9 @@ def _imi_scored(emb: DataFrame) -> DataFrame:
     )
 
 
-def _imi_probes(scored: DataFrame, extra_cols: list[str] = []) -> DataFrame:
+def _imi_probes(
+    scored: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(query_id[, extras], cell1, cell2): the probe^2 product cells
     each query visits — the query-side fan-out stays a tiny broadcast
     (queries x probe^2 rows) regardless of corpus size."""
