@@ -112,6 +112,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     duck = duckdb.connect()
+    # bound DuckDB's footprint and let it SPILL instead of dying: the
+    # default in-memory connection has no temp_directory (no
+    # out-of-core) and a limit of ~80% of physical RAM — sharing the
+    # box with the Spark JVM, a heavy oracle (e.g. the in-SQL power
+    # iteration) can then hit a hard OutOfMemoryException that a
+    # spill-enabled run absorbs (seen once in an r8 preflight; the
+    # identical standalone run passed)
+    duck.execute("SET temp_directory = '/tmp/duckdb_sim_spill'")
+    duck.execute("SET memory_limit = '32GB'")
     for t in TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
