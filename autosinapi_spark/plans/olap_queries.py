@@ -1208,3 +1208,151 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     return spark.sql(_z_sql("{li}", "DIV"), li=li)
+
+
+# --- 2D skyline (Pareto frontier) ------------------------------------
+# Classic OLAP operator (Borzsony, Kossmann & Stocker 2001, "The
+# Skyline Operator") the reference has no analogue for: return every
+# part not DOMINATED on (retail price, size) — no other part is <= on
+# both attributes and strictly < on at least one. The textbook
+# distributed form is sort-filter-skyline: after sorting by price, a
+# point is on the skyline iff its size is strictly below the minimum
+# size of every strictly-cheaper point — a prefix-min, which at scale
+# is computed hierarchically (per-range partial mins + a tiny
+# boundary combine), never as one unpartitioned global window.
+
+_SKY_BUCKETS = 64
+
+_SKY_SQL = """
+    WITH pm AS (
+      SELECT p_retailprice AS price, MIN(p_size) AS msize
+      FROM part GROUP BY 1
+    ),
+    w AS (
+      SELECT price, msize,
+             MIN(msize) OVER (
+               ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_min
+      FROM pm
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p JOIN w ON w.price = p.p_retailprice
+    WHERE p.p_size = w.msize
+      AND (w.prior_min IS NULL OR w.prior_min > p.p_size)
+    ORDER BY price, p.p_partkey
+"""
+
+
+@register(
+    "skyline_pareto_parts",
+    _SKY_SQL,
+    doc="2D skyline / Pareto frontier over parts on (retail price, "
+    "size): strict-dominance filter via the sort-filter-skyline "
+    "prefix-min, computed hierarchically (per-price min -> "
+    f"{_SKY_BUCKETS} range-bucket partial mins -> tiny boundary "
+    "combine) so no data-scale frame is ever a single unpartitioned "
+    "window (Borzsony-Kossmann-Stocker 2001; extension).",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, price, size) for every non-dominated part.
+
+    Scale shape: the prefix "min size over all strictly-cheaper
+    prices" is a distributed prefix-scan, NOT a global sort window:
+
+    1. per-price min size — one map-side-combinable groupBy;
+    2. prices hashed into range buckets off a broadcast 1-row
+       min/max aggregate (same scalar-bounds pattern as the z-order
+       layout pass);
+    3. per-bucket partial mins — a second tiny groupBy whose output
+       is <= _SKY_BUCKETS rows, so the strictly-prior-bucket
+       cumulative min runs on a metadata-scale frame (the only sort
+       window in the plan, bounded by the bucket count, never by the
+       data);
+    4. each price's prefix min = min(cum-min of all strictly-prior
+       buckets [broadcast lookup], running min over the strictly
+       smaller prices INSIDE its own bucket — a window partitioned
+       by bucket, whose partitions the range bucketing keeps
+       balanced).
+
+    A part survives iff its size equals its price's min AND the
+    prefix min of strictly-cheaper prices is null-or-larger —
+    exactly strict Pareto dominance (ties on both attributes all
+    survive, matching the NOT EXISTS formulation). The fact table is
+    touched once for the per-price min and once for the final
+    survivor join against the distinct-price frame.
+    """
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    pm = part.groupBy("price").agg(F.min("size").alias("msize"))
+    bounds = pm.agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    # range bucket off the broadcast scalar bounds; guard hi == lo
+    bucketed = pm.crossJoin(broadcast(bounds)).select(
+        "price",
+        "msize",
+        F.least(
+            F.floor(
+                (F.col("price") - F.col("lo"))
+                * _SKY_BUCKETS
+                / F.when(
+                    F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")
+                ).otherwise(F.lit(1.0))
+            ),
+            F.lit(_SKY_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    bm = bucketed.groupBy("bkt").agg(F.min("msize").alias("bmin"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # <= _SKY_BUCKETS rows: a metadata-scale frame, like the z-order
+    # bounds aggregate — the unpartitioned window is bounded by the
+    # bucket constant, not the data
+    bprior = bm.select(
+        "bkt", F.min("bmin").over(w_bkt).alias("bkt_prior")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixed = (
+        bucketed.join(broadcast(bprior), "bkt")
+        .withColumn("in_prior", F.min("msize").over(w_in))
+        .select(
+            "price",
+            "msize",
+            F.least(
+                F.coalesce("bkt_prior", F.lit(2**31)),
+                F.coalesce("in_prior", F.lit(2**31)),
+            ).alias("prior_raw"),
+        )
+        .select(
+            "price",
+            "msize",
+            F.when(
+                F.col("prior_raw") < 2**31, F.col("prior_raw")
+            ).alias("prior_min"),
+        )
+    )
+    return (
+        part.join(prefixed, "price")
+        .where(
+            (F.col("size") == F.col("msize"))
+            & (
+                F.col("prior_min").isNull()
+                | (F.col("prior_min") > F.col("size"))
+            )
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
