@@ -907,3 +907,111 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valor_locf"),
         "is_gap",
     ).orderBy("event_type", "hora")
+
+
+# --- exponentially weighted moving average ---------------------------
+# EWMA over the per-part monthly price series. Weights are the exact
+# binary decay 2^-j over the last _EWMA_LOOKBACK observations
+# (alpha = 0.5), renormalized over the lags actually present, so the
+# head of each series is a proper partial average. Power-of-two
+# weights make every product an exact exponent shift and the fixed
+# left-associated 8-term addition chain is IEEE-identical across
+# engines — no decimal detour needed.
+
+_EWMA_LOOKBACK = 8
+_EWMA_MAXPART = 500
+
+
+def _ewma_sql() -> str:
+    lags = ",\n             ".join(
+        f"LAG(preco_medio, {j}) OVER w AS m{j}"
+        for j in range(1, _EWMA_LOOKBACK)
+    )
+    num = " + ".join(
+        f"COALESCE(m{j} * {2.0 ** -j!r}, 0)"
+        for j in range(_EWMA_LOOKBACK)
+    )
+    den = " + ".join(
+        f"(CASE WHEN m{j} IS NOT NULL THEN {2.0 ** -j!r} ELSE 0 END)"
+        for j in range(_EWMA_LOOKBACK)
+    )
+    return f"""
+    WITH monthly AS (
+      SELECT l_partkey AS item_codigo,
+             strftime(l_shipdate, '%Y-%m') AS periodo,
+             {{davg}}
+      FROM lineitem
+      WHERE l_partkey <= {_EWMA_MAXPART}
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT item_codigo, periodo, preco_medio AS m0,
+             {lags}
+      FROM monthly
+      WINDOW w AS (PARTITION BY item_codigo ORDER BY periodo)
+    )
+    SELECT item_codigo, periodo, m0 AS preco_medio,
+           ROUND(({num}) / ({den}), 6) AS preco_ewma
+    FROM lagged
+    ORDER BY item_codigo, periodo
+    """.format(davg=sql_davg("l_extendedprice", "preco_medio"))
+
+
+@register(
+    "item_price_ewma",
+    _ewma_sql(),
+    doc="Exponentially weighted moving average (alpha=0.5) of the "
+    f"per-part monthly price over the last {_EWMA_LOOKBACK} observed "
+    "months, renormalized at series heads — exact power-of-two decay "
+    "weights keep the float chain engine-identical (extension; the "
+    "exponential-smoothing analytic shape next to the uniform "
+    "moving average).",
+)
+def item_price_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_codigo, periodo, preco_medio, preco_ewma) per observed
+    month.
+
+    Scale shape: one map-side-combinable monthly aggregate keyed by
+    (part, month), then a window PARTITIONED by part (hash exchange,
+    no global sort — AQE can reuse the aggregate's exchange). The
+    EWMA itself is 7 LAGs plus a fixed 8-term arithmetic chain, all
+    whole-stage-codegen row-local work; weights 2^-j are exact
+    exponent shifts so the chain is bit-identical in both engines
+    over the 6dp-rounded monthly means. Smoothing over the
+    OBSERVATION sequence (not the calendar grid) is deliberate: gap
+    months carry no fabricated zero, matching pandas
+    ``ewm(alpha=.5, ignore_na=True)`` semantics.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    monthly = (
+        li.where(F.col("l_partkey") <= _EWMA_MAXPART)
+        .groupBy(
+            F.col("l_partkey").alias("item_codigo"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("periodo"),
+        )
+        .agg(davg(F.col("l_extendedprice"), "preco_medio"))
+    )
+    w = Window.partitionBy("item_codigo").orderBy("periodo")
+    m = [F.col("preco_medio")] + [
+        F.lag("preco_medio", j).over(w)
+        for j in range(1, _EWMA_LOOKBACK)
+    ]
+    num = None
+    den = None
+    for j in range(_EWMA_LOOKBACK):
+        wt = 2.0 ** -j
+        term = F.coalesce(m[j] * F.lit(wt), F.lit(0.0))
+        dterm = F.when(m[j].isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return (
+        monthly.select(
+            "item_codigo",
+            "periodo",
+            "preco_medio",
+            F.round(num / den, 6).alias("preco_ewma"),
+        )
+        .orderBy("item_codigo", "periodo")
+    )
