@@ -1356,3 +1356,145 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price", "size")
         .orderBy("price", "p_partkey")
     )
+
+
+# --- KMV (bottom-k) distinct-count sketch ----------------------------
+# The third sketch family next to the count-min (frequency) and Bloom
+# (membership) sketches: K-Minimum-Values cardinality estimation
+# (Bar-Yossef et al. 2002). Hash every key to a uniform [0,1) value
+# via the md5 portable-hash contract; the k-th smallest DISTINCT
+# hash u_k estimates the cardinality as (k-1)/u_k. The sketch is
+# mergeable (union = bottom-k of the concatenated bottom-k sets),
+# which is the whole point at 100 TB: per-partition bottom-k partials
+# combine in O(k) instead of shuffling every distinct key to one
+# reducer.
+
+_KMV_K = 256
+_KMV_SALTS = 32
+_KMV_SEED = 11
+_KMV_SPACE = float(1 << 60)  # matches portable_hash64's 15 hex digits
+_KMV_BOUND = round(3.0 / _KMV_K ** 0.5, 6)  # ~3 sigma of 1/sqrt(k-2)
+
+_KMV_SQL = f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             CAST('0x' || substr(md5('{_KMV_SEED}:' ||
+                  CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, h,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn
+      FROM d
+    ),
+    km AS (
+      SELECT flag, COUNT(*) AS nk, MAX(h) AS hk
+      FROM r WHERE rn <= {_KMV_K} GROUP BY flag
+    ),
+    ex AS (SELECT flag, COUNT(*) AS n_exact FROM d GROUP BY flag),
+    est AS (
+      SELECT e.flag, e.n_exact,
+             ROUND(CASE WHEN km.nk < {_KMV_K}
+                        THEN CAST(km.nk AS DOUBLE)
+                        ELSE {_KMV_K - 1}.0
+                             / (CAST(km.hk AS DOUBLE) / {_KMV_SPACE!r})
+                   END, 4) AS n_est
+      FROM ex e JOIN km ON km.flag = e.flag
+    )
+    SELECT flag AS l_returnflag, n_exact, n_est,
+           ROUND(ABS(n_est - n_exact) / n_exact, 6) AS rel_err,
+           ABS(n_est - n_exact) / n_exact <= {_KMV_BOUND!r}
+             AS within_bound
+    FROM est
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "distinct_kmv_orders",
+    _KMV_SQL,
+    doc=f"KMV (bottom-{_KMV_K}) distinct-count sketch: per return "
+    "flag, estimate the distinct order count from the k-th smallest "
+    "md5-uniform hash, exact companion + relative error + 3-sigma "
+    "bound check — the mergeable cardinality sketch next to CMS "
+    "(frequency) and Bloom (membership) (Bar-Yossef et al. 2002; "
+    "extension).",
+)
+def distinct_kmv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, n_exact, n_est, rel_err, within_bound) per flag.
+
+    Scale shape: the hash is row-local; the distinct pass is a
+    map-side-combinable partial dedup on (flag, hash). The bottom-k
+    selection is HIERARCHICAL — a first ROW_NUMBER window over
+    (flag, hash % {_KMV_SALTS}) salt groups keeps k per salt (every
+    sort partition bounded by distinct/{_KMV_SALTS}), a second
+    window over the <= {_KMV_SALTS}*k survivors per flag takes the
+    global bottom-k — exploiting KMV mergeability (bottom-k of
+    bottom-k partials == global bottom-k) so no per-flag sort ever
+    sees more than {_KMV_SALTS}*k rows. At 100 TB the same combine
+    runs per input partition (an Aggregator holding a k-bounded
+    heap); the exact-companion arm disappears and only the k-row
+    sketches move. The estimate (k-1)/u_k and the error check are
+    exact IEEE ops on both engines.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hcol = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_KMV_SEED}:"),
+                    F.col("l_orderkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = (
+        li.select(F.col("l_returnflag").alias("flag"), hcol.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("flag", F.pmod(F.col("h"), _KMV_SALTS)).orderBy(
+        "h"
+    )
+    w2 = Window.partitionBy("flag").orderBy("h")
+    bottom = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    km = bottom.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")
+    )
+    ex = d.groupBy("flag").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = ex.join(km, "flag").select(
+        "flag",
+        "n_exact",
+        F.round(
+            F.when(
+                F.col("nk") < _KMV_K, F.col("nk").cast("double")
+            ).otherwise(
+                F.lit(float(_KMV_K - 1))
+                / (F.col("hk").cast("double") / F.lit(_KMV_SPACE))
+            ),
+            4,
+        ).alias("n_est"),
+    )
+    return est.select(
+        F.col("flag").alias("l_returnflag"),
+        "n_exact",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+            <= F.lit(_KMV_BOUND)
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
