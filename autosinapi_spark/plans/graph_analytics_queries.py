@@ -794,3 +794,108 @@ def label_propagation_communities(
         F.col("v").alias("part_key"),
         F.col("lab").cast("long").alias("community"),
     )
+
+
+# --- bounded multi-source BFS (k-hop distances) ----------------------
+# Frontier-expansion breadth-first search from a fixed seed set, hop
+# count bounded — the neighborhood-distance primitive under "within
+# k hops" graph features (related-item expansion, contamination blast
+# radius, influence neighborhoods). The DuckDB oracle replays it as a
+# recursive CTE whose UNION (set) semantics dedupe (seed, node, dist)
+# states per round, exactly mirroring the frontier dedup.
+
+_BFS_HOPS = 4
+_BFS_SEEDS = 3
+
+_BFS_SQL = f"""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON b.o = a.o AND b.p > a.p
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+),
+seeds AS (
+  SELECT x AS seed FROM (
+    SELECT u AS x FROM und UNION SELECT v FROM und
+  ) ORDER BY x LIMIT {_BFS_SEEDS}
+),
+walk(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, s.dst, w.d + 1
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.d < {_BFS_HOPS}
+)
+SELECT seed, node, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY seed, node
+ORDER BY seed, dist, node
+"""
+
+
+@register(
+    "bfs_khop_distances",
+    _BFS_SQL,
+    doc=f"Bounded multi-source BFS: hop distance (<= {_BFS_HOPS}) "
+    f"from the {_BFS_SEEDS} smallest items in the order-basket "
+    "co-occurrence graph to every reachable item — frontier "
+    "expansion with per-round dedup against the visited set; the "
+    "oracle replays it as a hop-bounded recursive CTE (extension).",
+)
+def bfs_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seed, node, dist) for every node within _BFS_HOPS of a seed.
+
+    Scale shape: textbook distributed BFS — each round is one
+    frontier-vs-edges hash join (shuffle keyed on the frontier
+    node / edge src, never all-pairs), a frontier-local distinct,
+    and an anti-join against the visited set so closed nodes never
+    re-enter the frontier (the frontier SHRINKS once the wave
+    passes; without it the walk count grows as degree^hops). Both
+    the visited set and the new frontier are localCheckpoint-pinned
+    per round — lineage stays O(1) per round instead of 2^rounds
+    (the k-core lesson). The hop bound makes the round count a
+    compile-time constant, so the whole plan is _BFS_HOPS joins —
+    no driver-side convergence loop at bench scale; an unbounded
+    BFS would check frontier emptiness per round instead.
+    """
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    edges = _basket_edges(spark, sf_dir, _ck)
+    sym = _ck(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    nodes = sym.select(F.col("src").alias("x")).distinct()
+    seeds = (
+        nodes.orderBy("x").limit(_BFS_SEEDS).select(F.col("x").alias("seed"))
+    )
+    visited = _ck(
+        seeds.select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    frontier = visited
+    for t in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = _ck(
+            nxt.join(visited, ["seed", "node"], "left_anti").withColumn(
+                "dist", F.lit(t).cast("int")
+            )
+        )
+        visited = _ck(visited.unionByName(new))
+        frontier = new
+    return visited.orderBy("seed", "dist", "node")
