@@ -2701,3 +2701,203 @@ def mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picked[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- SQ8 scalar-quantized ANN (8-bit codes + exact rerank) -----------
+# The FAISS "SQ8" storage tier: per-dimension global [min, max]
+# ranges, each coordinate quantized to one byte, search scored
+# against DEQUANTIZED reconstructions (midpoint-of-cell, the
+# standard reconstruction rule), exact cosine rerank of the
+# shortlist. 4x smaller vectors than float32 is the 100 TB point:
+# the full-corpus scan becomes memory-bandwidth-bound on 64-byte
+# codes instead of 256-byte floats, and the codes column is what a
+# lakehouse table would persist next to (or instead of) the raw
+# embeddings. Every arithmetic step is basic IEEE ops (sub/mul/div/
+# floor/clamp), so codes and reconstructions are bit-identical in
+# both engines — no libm anywhere before the 6dp rounding.
+
+_SQ_R = 40  # approx-stage shortlist per query, reranked exactly
+
+_SQ_DEQ = f"""list_transform(generate_series(1, {_DIM}), i ->
+        CASE WHEN st.mx[i] - st.mn[i] = 0 THEN st.mn[i]
+             ELSE st.mn[i]
+                  + (LEAST(GREATEST(FLOOR((v[i] - st.mn[i]) * 255.0
+                                          / (st.mx[i] - st.mn[i])), 0),
+                           255) + 0.5)
+                    * (st.mx[i] - st.mn[i]) / 256.0
+        END)"""
+
+_SQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT d.i, MIN(v[d.i]) AS mn, MAX(v[d.i]) AS mx
+      FROM e, (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+      GROUP BY d.i
+    ),
+    st AS (
+      SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+      FROM dims
+    ),
+    dq AS (
+      SELECT vec_id, v, {_SQ_DEQ} AS d
+      FROM e, st
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(list_dot_product(q.d, c.d), 6) AS approx
+      FROM dq q JOIN dq c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx DESC, cand_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_SQ_R}
+    ),
+    rer AS (
+      SELECT s.query_id, s.cand_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM rer
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+def _sq_dequant(v) -> Column:
+    """Midpoint dequantization of the 8-bit code of ``v`` against the
+    broadcast per-dimension ``mn``/``mx`` range columns — the exact
+    expression the oracle's ``_SQ_DEQ`` spells in SQL."""
+
+    def mn(i):
+        return F.element_at(F.col("mn"), i)
+
+    def mx(i):
+        return F.element_at(F.col("mx"), i)
+
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        lambda i: F.when(mx(i) - mn(i) == 0, mn(i)).otherwise(
+            mn(i)
+            + (
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.element_at(v, i) - mn(i))
+                            * 255.0
+                            / (mx(i) - mn(i))
+                        ),
+                        F.lit(0).cast("bigint"),
+                    ),
+                    F.lit(255).cast("bigint"),
+                ).cast("double")
+                + 0.5
+            )
+            * (mx(i) - mn(i))
+            / 256.0
+        ),
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    _SQ_ORACLE,
+    doc="Scalar-quantized (SQ8) ANN: per-dimension global ranges, "
+    "one-byte codes, midpoint-dequantized approximate dot over the "
+    f"whole corpus, top-{_SQ_R} shortlist, exact cosine rerank to "
+    f"top-{_TOP_K} — the 4x-compression storage tier of a FAISS-"
+    "style index, all basic-IEEE arithmetic (extension).",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, cos_sim) — brute-force-compatible output.
+
+    Scale shape: the range stats are ONE map-side-combined reduce
+    (2 x {dim} partial min/max) broadcast back as a 1-row scalar
+    frame; quantize+dequantize is row-local (the HOF runs once per
+    corpus row, not per pair — the per-pair hot path is the
+    straight-line ``dot_fixed`` over the precomputed reconstruction
+    array). The approximate scan is the same broadcast-queries shape
+    as ``ann_bruteforce_topk`` — deliberately: SQ8 is a STORAGE tier,
+    not a routing structure; at 100 TB it composes with IMI/IVF
+    coarse routing (the scan then touches 64-byte codes in the
+    probed cells only) while this registered form isolates the
+    quantize-score-rerank contract. Exact rerank touches _SQ_R rows
+    per query.
+    """.replace("{dim}", str(_DIM))
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    st = emb.agg(
+        *[
+            F.min(F.element_at("v", i)).alias(f"mn{i}")
+            for i in range(1, _DIM + 1)
+        ],
+        *[
+            F.max(F.element_at("v", i)).alias(f"mx{i}")
+            for i in range(1, _DIM + 1)
+        ],
+    ).select(
+        F.array(*[f"mn{i}" for i in range(1, _DIM + 1)]).alias("mn"),
+        F.array(*[f"mx{i}" for i in range(1, _DIM + 1)]).alias("mx"),
+    )
+    dq = (
+        emb.crossJoin(broadcast(st))
+        .select("vec_id", "v", _sq_dequant(F.col("v")).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    q = dq.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("d").alias("qd")
+    )
+    pairs = dq.join(
+        broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(dot_fixed(F.col("qd"), F.col("d"), _DIM), 6).alias(
+            "approx"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("cand_id")
+    )
+    short = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SQ_R)
+        .select("query_id", "cand_id")
+    )
+    ev = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    qv = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        short.join(ev, "cand_id")
+        .join(broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot_fixed(F.col("qv"), F.col("cv"), _DIM)
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "cand_id", "cos_sim")
+    )
