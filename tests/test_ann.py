@@ -460,3 +460,24 @@ def test_mmr_diverse_sample_semantics(spark):
     ]
     assert picks[0].vec_id == by_rel[0]
     assert [r.vec_id for r in picks] != by_rel  # diversity reranks
+
+
+def test_sq8_recall_vs_brute_force(spark):
+    """8-bit scalar quantization with a 40-wide shortlist must not
+    lose any true top-5 neighbor on the fixture corpus."""
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_sq8_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    sq8 = {
+        (r.query_id, r.cand_id)
+        for r in ann_sq8_topk(spark, SF_SMOKE).collect()
+    }
+    assert brute, "brute-force baseline must be non-empty"
+    assert brute == sq8, "SQ8 recall@5 dropped below 1.0"

@@ -179,3 +179,53 @@ def test_new_queries_have_oracles(q):
 
     assert q in e.queries()
     assert q in e.oracle_sql()
+
+
+def test_bfs_khop_python_replay(spark):
+    """BFS distances replayed with a plain Python queue over the same
+    basket-co-occurrence edges."""
+    from collections import deque
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.graph_analytics_queries import (
+        _BFS_HOPS,
+        _BFS_SEEDS,
+        bfs_khop_distances,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.seed, r.node): r.dist
+        for r in bfs_khop_distances(spark, SF_SMOKE).collect()
+    }
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for ps in baskets.values():
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seeds = sorted(adj)[:_BFS_SEEDS]
+    want = {}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            if dist[x] == _BFS_HOPS:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        for n, d in dist.items():
+            want[(s, n)] = d
+    assert got == want

@@ -461,3 +461,95 @@ def test_user_growth_curve_python_replay(spark):
         exp.append((h, hourly[h], run))
     assert [(r.h_us, r.new_users, r.total_users) for r in rows] == exp
     assert rows[-1].total_users == len(first)
+
+
+def test_skyline_pareto_brute_force_replay(spark):
+    """Skyline must equal the O(n^2) strict-dominance filter."""
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import skyline_pareto_parts
+
+    got = {
+        (r.p_partkey, r.price, r.size)
+        for r in skyline_pareto_parts(spark, SF_SMOKE).collect()
+    }
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    want = set()
+    for k, p, s in pts:
+        dominated = any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s))
+            for _, p2, s2 in pts
+        )
+        if not dominated:
+            want.add((k, p, s))
+    assert got == want
+    assert got, "skyline must be non-empty"
+
+
+def test_item_price_ewma_lag_chain_replay(spark):
+    """preco_ewma re-derived in Python from the query's own monthly
+    means: renormalized 2^-j decay over <= 8 trailing observations."""
+    from collections import defaultdict
+
+    from autosinapi_spark.plans.queries import (
+        _EWMA_LOOKBACK,
+        item_price_ewma,
+    )
+
+    rows = item_price_ewma(spark, SF_SMOKE).collect()
+    series = defaultdict(list)
+    for r in rows:  # already ordered by (item, periodo)
+        series[r.item_codigo].append(r)
+    assert series
+    for hist in series.values():
+        means = [r.preco_medio for r in hist]
+        for t, r in enumerate(hist):
+            lags = means[max(0, t - _EWMA_LOOKBACK + 1) : t + 1][::-1]
+            num = sum(m * 2.0**-j for j, m in enumerate(lags))
+            den = sum(2.0**-j for j in range(len(lags)))
+            assert abs(r.preco_ewma - num / den) < 1e-6, (
+                r.item_codigo,
+                r.periodo,
+            )
+
+
+def test_distinct_kmv_hashlib_replay(spark):
+    """KMV estimate replayed with hashlib bottom-k per flag; both the
+    estimator branch and the under-k fallback must match."""
+    import hashlib
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _KMV_K,
+        _KMV_SEED,
+        _KMV_SPACE,
+        distinct_kmv_orders,
+    )
+
+    got = {r.l_returnflag: r for r in distinct_kmv_orders(spark, SF_SMOKE).collect()}
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    ).distinct().collect()
+    per_flag = {}
+    for r in li:
+        h = int(
+            hashlib.md5(
+                f"{_KMV_SEED}:{r.l_orderkey}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        per_flag.setdefault(r.l_returnflag, set()).add(h)
+    assert set(got) == set(per_flag)
+    for flag, hs in per_flag.items():
+        bottom = sorted(hs)[:_KMV_K]
+        if len(bottom) < _KMV_K:
+            est = float(len(bottom))
+        else:
+            est = (_KMV_K - 1) / (bottom[-1] / _KMV_SPACE)
+        r = got[flag]
+        assert r.n_exact == len(hs)
+        assert abs(r.n_est - round(est, 4)) < 1e-9, flag
