@@ -59,6 +59,11 @@ _PRIORITY: tuple[str, ...] = (
     # ---- r8 front window (first 50 = the driver's correctness window;
     # composition enforced by tools/rotation_check.py) ----
     # (a) new this round — never driver-checked
+    "skyline_pareto_parts",
+    "item_price_ewma",
+    "distinct_kmv_orders",
+    "bfs_khop_distances",
+    "ann_sq8_topk",
     "ann_imi_pq_topk",
     "inverted_index_postings_full",
     "item_cooccurrence_triangles_oriented",
@@ -77,13 +82,15 @@ _PRIORITY: tuple[str, ...] = (
     "ann_imi_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "item_cooccurrence_triangles",
-    "snapshot_diff_cdc",
     # dedup_keep_first rewrite (min/max_by) consumers not already
-    # in-window — the shared-helper manual-promotion rule
+    # in-window — the shared-helper manual-promotion rule. (The 5
+    # late-r8 additions took three promotion slots back: the shared
+    # triangle helpers are exercised in-window by the oriented
+    # variant + an identical-counts test, snapshot_diff's r8 change
+    # was input-validation only, and dedup_keep_first is covered
+    # in-window by dedup_first_item_per_order + sink_upsert_catalog.)
     "asof_next_quote",
     "sink_upsert_catalog",
-    "sinapi_cost_lookup_q1",
     "sinapi_unpivot_precos",
     "user_status_sync",
     "latest_event_per_user",
@@ -127,6 +134,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_length_quantiles",
     # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
     # then r7) so a wider driver window always refreshes stalest next ----
+    # (head of pool: the three manual promotions displaced by the
+    # late-r8 additions — first to re-enter in r9)
+    "sinapi_cost_lookup_q1",
+    "item_cooccurrence_triangles",
+    "snapshot_diff_cdc",
     "doc_mixed_language",
     "doc_repetition_filter",
     "doc_similarity_topk",

@@ -107,6 +107,11 @@ QUERIES = [
     "mmr_diverse_sample",  # K bounded argmax rounds, 1-row broadcasts
     "inverted_index_positional",  # per-(term,doc) bounded position lists
     "phrase_match_positional",  # trigram top-1 + positional adjacency joins
+    "skyline_pareto_parts",  # hierarchical prefix-min, groupBy-dominated
+    "item_price_ewma",  # part-keyed lag window over monthly agg
+    "distinct_kmv_orders",  # bottom-k sketch; 10x distinct orderkeys
+    "bfs_khop_distances",  # frontier joins; graph densifies like pagerank
+    "ann_sq8_topk",  # 1-row range reduce + row-local dequant scan
 ]
 
 
