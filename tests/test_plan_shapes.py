@@ -124,6 +124,9 @@ def test_no_new_unpartitioned_windows():
         "plans/corpus_queries.py": 1,
         # Hamilton remainder ranking over the fixed language set
         "plans/curation_queries.py": 1,
+        # skyline bucket-boundary cumulative min over the
+        # <= _SKY_BUCKETS (64) range-bucket partial mins
+        "plans/olap_queries.py": 1,
     }
     pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
     found: dict[str, int] = {}
