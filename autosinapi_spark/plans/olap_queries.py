@@ -1498,3 +1498,189 @@ def distinct_kmv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_KMV_BOUND)
         ).alias("within_bound"),
     ).orderBy("l_returnflag")
+
+
+# --- KMV set-operation estimation (theta-sketch algebra) -------------
+# The reason production systems keep KMV/theta sketches around is not
+# single-set counting but SET ALGEBRA without re-scanning: union,
+# intersection, and Jaccard estimates straight from two k-row
+# sketches (Dasgupta et al. 2016, the DataSketches theta sketch).
+# Sets: distinct order keys carrying an 'A' vs an 'R' return flag.
+# Union: bottom-k of the merged sketches (KMV mergeability);
+# intersection: common hashes below theta (the union's k-th value),
+# scaled by 1/theta.
+
+_KMV2_K = 256
+
+_KMV2_SQL = f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             CAST('0x' || substr(md5('{_KMV_SEED}:' ||
+                  CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    sk AS (
+      SELECT flag, h FROM (
+        SELECT flag, h,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn
+        FROM d
+      ) WHERE rn <= {_KMV2_K}
+    ),
+    un AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)
+      ) WHERE rn <= {_KMV2_K}
+    ),
+    theta AS (
+      SELECT MAX(h) AS hk, COUNT(*) AS nk FROM un
+    ),
+    common AS (
+      SELECT COUNT(*) AS nc
+      FROM (SELECT h FROM sk WHERE flag = 'A') a
+      JOIN (SELECT h FROM sk WHERE flag = 'R') r USING (h),
+           theta t
+      WHERE a.h <= t.hk
+    ),
+    exact AS (
+      SELECT
+        (SELECT COUNT(*) FROM d WHERE flag = 'A') AS n_a,
+        (SELECT COUNT(*) FROM d WHERE flag = 'R') AS n_r,
+        (SELECT COUNT(DISTINCT h) FROM d) AS n_union,
+        (SELECT COUNT(*) FROM
+           (SELECT h FROM d WHERE flag = 'A'
+            INTERSECT SELECT h FROM d WHERE flag = 'R')) AS n_inter
+    )
+    SELECT e.n_a, e.n_r, e.n_union, e.n_inter,
+           ROUND(CASE WHEN t.nk < {_KMV2_K}
+                      THEN CAST(t.nk AS DOUBLE)
+                      ELSE {_KMV2_K - 1}.0
+                           / (CAST(t.hk AS DOUBLE) / {_KMV_SPACE!r})
+                 END, 4) AS union_est,
+           ROUND(CAST(c.nc AS DOUBLE)
+                 / (CAST(t.hk AS DOUBLE) / {_KMV_SPACE!r}), 4)
+             AS inter_est,
+           ROUND(CAST(e.n_inter AS DOUBLE) / e.n_union, 6)
+             AS jaccard_exact,
+           ROUND(CAST(c.nc AS DOUBLE)
+                   / (CAST(t.hk AS DOUBLE) / {_KMV_SPACE!r})
+                 / (CASE WHEN t.nk < {_KMV2_K}
+                         THEN CAST(t.nk AS DOUBLE)
+                         ELSE {_KMV2_K - 1}.0
+                              / (CAST(t.hk AS DOUBLE) / {_KMV_SPACE!r})
+                    END), 6) AS jaccard_est
+    FROM exact e, theta t, common c
+"""
+
+
+@register(
+    "kmv_set_overlap",
+    _KMV2_SQL,
+    doc="Theta-sketch set algebra from two bottom-"
+    f"{_KMV2_K} KMV sketches ('A' vs 'R' return-flag order-key "
+    "sets): union via sketch merge, intersection via common hashes "
+    "below theta scaled 1/theta, Jaccard from both — set-operation "
+    "cardinalities without re-scanning the fact table, exact "
+    "companions alongside (Dasgupta et al. 2016; extension).",
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: exact and sketched |A|, |R|, union, intersection,
+    Jaccard.
+
+    Scale shape: after the map-side-combined distinct on (flag,
+    hash), EVERYTHING downstream operates on <= 2k sketch rows —
+    that is the operational win: the two k-row sketches are what a
+    warehouse would persist per partition/day, and union/intersect/
+    Jaccard for any pair of partitions then costs O(k log k) with no
+    fact-table access. Per-flag bottom-k uses the same hierarchical
+    salt-group windows as ``distinct_kmv_orders``; the union sketch,
+    theta cut, and common-hash count are metadata-scale joins. The
+    exact companions (one distinct + one intersect over the same
+    frame) exist only to pin the estimator in the oracle compare.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hcol = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_KMV_SEED}:"),
+                    F.col("l_orderkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = (
+        li.where(F.col("l_returnflag").isin("A", "R"))
+        .select(F.col("l_returnflag").alias("flag"), hcol.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("flag", F.pmod(F.col("h"), _KMV_SALTS)).orderBy(
+        "h"
+    )
+    w2 = Window.partitionBy("flag").orderBy("h")
+    sk = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _KMV2_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _KMV2_K)
+        .select("flag", "h")
+        .localCheckpoint(eager=False)
+    )
+    # union sketch: bottom-k of the merged <= 2k distinct hashes —
+    # a metadata-scale frame, constant-partitioned window is fine
+    wu = Window.partitionBy(F.lit(1)).orderBy("h")
+    un = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= _KMV2_K)
+    )
+    theta = un.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("nk"))
+    common = (
+        sk.where(F.col("flag") == "A")
+        .select("h")
+        .join(sk.where(F.col("flag") == "R").select("h"), "h")
+        .crossJoin(broadcast(theta))
+        .where(F.col("h") <= F.col("hk"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    exact = d.agg(
+        F.sum(F.when(F.col("flag") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("flag") == "R", 1).otherwise(0)).alias("n_r"),
+        F.count_distinct(F.col("h")).alias("n_union"),
+    ).crossJoin(
+        broadcast(
+            d.groupBy("h")
+            .agg(F.count_distinct("flag").alias("nf"))
+            .where(F.col("nf") == 2)
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    )
+    u_theta = F.col("hk").cast("double") / F.lit(_KMV_SPACE)
+    union_est = F.when(
+        F.col("nk") < _KMV2_K, F.col("nk").cast("double")
+    ).otherwise(F.lit(float(_KMV2_K - 1)) / u_theta)
+    inter_est = F.col("nc").cast("double") / u_theta
+    return (
+        exact.crossJoin(broadcast(theta))
+        .crossJoin(broadcast(common))
+        .select(
+            "n_a",
+            "n_r",
+            "n_union",
+            "n_inter",
+            F.round(union_est, 4).alias("union_est"),
+            F.round(inter_est, 4).alias("inter_est"),
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard_exact"),
+            F.round(inter_est / union_est, 6).alias("jaccard_est"),
+        )
+    )
