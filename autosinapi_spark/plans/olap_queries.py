@@ -1684,3 +1684,91 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter_est / union_est, 6).alias("jaccard_est"),
         )
     )
+
+
+# --- z-order data-skipping statistics (the layout's payoff) ----------
+# `zorder_layout_keys` computes the write layout; this query computes
+# WHY it matters: per-file min/max key statistics under the z-range
+# file assignment vs a hash (arrival-style) layout, and how many
+# files a bottom-quartile predicate on EITHER key can skip. The
+# z-range assignment takes the TOP 4 Morton bits (a 4x4 grid over
+# both normalized key ranges), which is what a real OPTIMIZE writer
+# produces when it range-partitions on zval; the hash layout spreads
+# every key range across every file, so its min/max stats prune
+# nothing — scan fraction 1.0 vs ~0.25.
+
+_ZS_FILES = 16  # top-4-Morton-bit file grid (4 ranges per key)
+_ZS_SHIFT = 1 << (2 * _Z_BITS - 4)  # zval // this = top 4 bits
+
+
+def _zstat_sql(table: str, idiv: str) -> str:
+    return f"""
+    WITH z AS ({_z_sql(table, idiv)}),
+    mm2 AS (
+      SELECT MIN(CAST(l_partkey AS BIGINT)) AS pmin,
+             MAX(CAST(l_partkey AS BIGINT)) AS pmax,
+             MIN(CAST(l_suppkey AS BIGINT)) AS smin,
+             MAX(CAST(l_suppkey AS BIGINT)) AS smax
+      FROM {table}
+    ),
+    pred AS (
+      SELECT pmin AS pk_lo, pmin + (pmax - pmin) {idiv} 4 AS pk_hi,
+             smin AS sk_lo, smin + (smax - smin) {idiv} 4 AS sk_hi
+      FROM mm2
+    ),
+    lay AS (
+      SELECT 'zorder' AS layout, zval {idiv} {_ZS_SHIFT} AS file_id,
+             l_partkey, l_suppkey
+      FROM z
+      UNION ALL
+      SELECT 'hash', l_orderkey % {_ZS_FILES}, l_partkey, l_suppkey
+      FROM z
+    ),
+    f AS (
+      SELECT layout, file_id, COUNT(*) AS n,
+             MIN(l_partkey) AS pkmin, MAX(l_partkey) AS pkmax,
+             MIN(l_suppkey) AS skmin, MAX(l_suppkey) AS skmax
+      FROM lay GROUP BY layout, file_id
+    )
+    SELECT layout, COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN f.pkmin > p.pk_hi OR f.pkmax < p.pk_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skip_pk,
+           CAST(SUM(CASE WHEN f.skmin > p.sk_hi OR f.skmax < p.sk_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skip_sk,
+           ROUND(CAST(SUM(CASE WHEN f.pkmin > p.pk_hi
+                               OR f.pkmax < p.pk_lo
+                               THEN 0 ELSE f.n END) AS DOUBLE)
+                 / SUM(f.n), 6) AS pk_scan_frac
+    FROM f, pred p
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@register(
+    "zorder_skipping_stats",
+    _zstat_sql("lineitem", "//"),
+    doc="Data-skipping payoff of the z-order layout: per-file min/max "
+    f"key stats under the top-4-Morton-bit {_ZS_FILES}-file z-range "
+    "assignment vs a hash layout, files skippable for a bottom-"
+    "quartile predicate on EITHER key, and the scan fraction — the "
+    "stats-collection pass a lakehouse writer persists next to the "
+    "layout (extension).",
+)
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layout, n_files, n_skip_pk, n_skip_sk, pk_scan_frac) for the
+    z-range vs hash file assignments.
+
+    Scale shape: the z-key subquery is the zorder_layout_keys plan
+    (one broadcast scalar bounds aggregate, then row-local shifts);
+    the per-file stats are a {files}-group map-side-combined
+    aggregate per layout — the shuffle carries file-granularity
+    stat rows, never data rows — and the skip classification joins
+    those few rows against the 1-row predicate bounds. This is
+    exactly the manifest-statistics pass of table maintenance: at
+    100 TB the `f` frame IS the file manifest, and the query shows
+    min/max pruning going from useless (hash layout, scan 100%) to
+    ~quarter-scan on both keys at once (z-range layout).
+    """.replace("{files}", str(_ZS_FILES))
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(_zstat_sql("{li}", "DIV"), li=li)
