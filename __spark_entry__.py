@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "skyline_pareto_parts",
     "item_price_ewma",
     "distinct_kmv_orders",
+    "kmv_set_overlap",
+    "zorder_skipping_stats",
     "bfs_khop_distances",
     "ann_sq8_topk",
     "ann_imi_pq_topk",
@@ -89,9 +91,12 @@ _PRIORITY: tuple[str, ...] = (
     # variant + an identical-counts test, snapshot_diff's r8 change
     # was input-validation only, and dedup_keep_first is covered
     # in-window by dedup_first_item_per_order + sink_upsert_catalog.)
-    "asof_next_quote",
+    # (asof_next_quote and sinapi_unpivot_precos gave their slots to
+    # the kmv_set_overlap/zorder_skipping_stats additions: the as-of
+    # pair is hypothesis-pinned against pandas merge_asof in all
+    # three directions, and unpivot + keep-first are both exercised
+    # by other in-window queries.)
     "sink_upsert_catalog",
-    "sinapi_unpivot_precos",
     "user_status_sync",
     "latest_event_per_user",
     # (c) stale-green refresh, oldest cohort first: the full r4 set —
@@ -139,6 +144,8 @@ _PRIORITY: tuple[str, ...] = (
     "sinapi_cost_lookup_q1",
     "item_cooccurrence_triangles",
     "snapshot_diff_cdc",
+    "asof_next_quote",
+    "sinapi_unpivot_precos",
     "doc_mixed_language",
     "doc_repetition_filter",
     "doc_similarity_topk",

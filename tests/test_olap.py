@@ -553,3 +553,65 @@ def test_distinct_kmv_hashlib_replay(spark):
         r = got[flag]
         assert r.n_exact == len(hs)
         assert abs(r.n_est - round(est, 4)) < 1e-9, flag
+
+
+def test_kmv_set_overlap_hashlib_replay(spark):
+    """Theta-sketch union/intersection replayed with hashlib."""
+    import hashlib
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.plans.olap_queries import (
+        _KMV2_K,
+        _KMV_SEED,
+        _KMV_SPACE,
+        kmv_set_overlap,
+    )
+
+    r = kmv_set_overlap(spark, SF_SMOKE).collect()[0]
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .distinct()
+        .collect()
+    )
+    sets = {"A": set(), "R": set()}
+    for row in li:
+        h = int(
+            hashlib.md5(
+                f"{_KMV_SEED}:{row.l_orderkey}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        sets[row.l_returnflag].add(h)
+    a, b = sets["A"], sets["R"]
+    assert (r.n_a, r.n_r) == (len(a), len(b))
+    assert r.n_union == len(a | b)
+    assert r.n_inter == len(a & b)
+    ska, skb = sorted(a)[:_KMV2_K], sorted(b)[:_KMV2_K]
+    un = sorted(set(ska) | set(skb))[:_KMV2_K]
+    theta_h, nk = un[-1], len(un)
+    u = theta_h / _KMV_SPACE
+    union_est = float(nk) if nk < _KMV2_K else (_KMV2_K - 1) / u
+    inter_est = sum(
+        1 for h in set(ska) & set(skb) if h <= theta_h
+    ) / u
+    assert abs(r.union_est - round(union_est, 4)) < 1e-9
+    assert abs(r.inter_est - round(inter_est, 4)) < 1e-9
+
+
+def test_zorder_skipping_beats_hash_layout(spark):
+    """The z-range file assignment must actually prune: hash layout
+    skips nothing (full scan), z-order skips most files on BOTH keys
+    and scans a strict subset."""
+    from autosinapi_spark.plans.olap_queries import zorder_skipping_stats
+
+    rows = {
+        r.layout: r for r in zorder_skipping_stats(spark, SF_SMOKE).collect()
+    }
+    h, z = rows["hash"], rows["zorder"]
+    assert h.n_skip_pk == 0 and h.n_skip_sk == 0
+    assert float(h.pk_scan_frac) == 1.0
+    assert z.n_skip_pk > 0 and z.n_skip_sk > 0
+    assert float(z.pk_scan_frac) < 1.0
+    assert z.n_files <= 16 and h.n_files <= 16

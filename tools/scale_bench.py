@@ -112,6 +112,8 @@ QUERIES = [
     "distinct_kmv_orders",  # bottom-k sketch; 10x distinct orderkeys
     "bfs_khop_distances",  # frontier joins; graph densifies like pagerank
     "ann_sq8_topk",  # 1-row range reduce + row-local dequant scan
+    "kmv_set_overlap",  # everything after the distinct is sketch-sized
+    "zorder_skipping_stats",  # file-granularity stat rows only
 ]
 
 
