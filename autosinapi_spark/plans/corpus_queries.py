@@ -2060,3 +2060,233 @@ def phrase_match_positional(
     return m.groupBy("doc_id", "phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_phrase")
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (dense + sparse) -------
+# The fixture's documents and embeddings tables are id-aligned
+# (doc_id == vec_id), so the two standard retrieval arms exist for
+# the same corpus: BM25 over the text (sparse/lexical) and embedding
+# cosine (dense). RRF (Cormode-free, Cormack et al. 2009) fuses the
+# two rank lists with score = sum over arms of 1 / (K + rank) — the
+# de-facto hybrid-search combiner in RAG stacks because it needs no
+# score calibration between arms, only RANKS, which also makes it
+# fully deterministic cross-engine (integer ranks; two exact IEEE
+# divisions per doc).
+
+_RRF_K = 60
+_RRF_ARM_TOP = 50  # per-arm shortlist fed to the fusion
+_RRF_TOP = 10
+_RRF_QDOC = 0  # query = document 0 (its text AND its embedding)
+
+_RRF_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT term FROM tok WHERE doc_id = {_RRF_QDOC}
+    ),
+    qdf AS (
+      SELECT df.term, df.df FROM df JOIN qterms q USING (term)
+    ),
+    sparse_scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(
+               (ln(1.0 + (s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                * (tf.tf * ({_BM25_K1} + 1.0)))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + ({_BM25_B} * dl.dl) / s.avgdl)),
+               6) AS DECIMAL(28,10))), 6) AS DOUBLE) AS score
+      FROM tf
+      JOIN qdf USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> {_RRF_QDOC}
+      GROUP BY tf.doc_id
+    ),
+    sparse_rank AS (
+      SELECT doc_id, rank_sparse FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id) AS rank_sparse
+        FROM sparse_scored
+      ) WHERE rank_sparse <= {_RRF_ARM_TOP}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_QDOC}),
+    dense_scored AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM e c, q WHERE c.vec_id <> {_RRF_QDOC}
+    ),
+    dense_rank_ AS (
+      SELECT doc_id, rank_dense FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY cos DESC, doc_id) AS rank_dense
+        FROM dense_scored
+      ) WHERE rank_dense <= {_RRF_ARM_TOP}
+    ),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rank_sparse, d.rank_dense,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + s.rank_sparse), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0.0), 6)
+               AS rrf_score
+      FROM sparse_rank s FULL OUTER JOIN dense_rank_ d USING (doc_id)
+    )
+    SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {_RRF_TOP}
+    ORDER BY rank
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    _RRF_SQL,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion (K={_RRF_K}, "
+    "Cormack et al. 2009): document-0-as-query BM25 lexical arm + "
+    "embedding-cosine dense arm over the id-aligned corpus, per-arm "
+    f"top-{_RRF_ARM_TOP} rank lists fused by 1/(K+rank) sums into "
+    f"the top-{_RRF_TOP} — the calibration-free sparse+dense "
+    "combiner RAG retrieval stacks run (extension).",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_sparse, rank_dense, rrf_score, rank) top fusion.
+
+    Scale shape: each arm is its existing scalable plan — the BM25
+    arm's aggregates partial-combine and its query-term set rides a
+    broadcast (the per-doc score SUM partial-combines on doc_id);
+    the dense arm is the broadcast-1-query cosine scan (at 100 TB it
+    would route through the IMI/SQ8 index instead — same (id, rank)
+    contract into the fusion). Fusion itself touches only the two
+    ARM_TOP-row rank lists: a full-outer join on doc_id plus two
+    IEEE divisions per row. Per-term BM25 scores are 6dp-rounded
+    BEFORE the per-doc sum (left-assoc order irrelevant: the SUM is
+    over <= |qterms| rounded values re-rounded at 6dp; both engines
+    aggregate the identical value set per doc — order effects sit
+    below the rounding grid) and ranks are integers, so the fused
+    ordering is engine-identical.
+    """
+    from ..functions.vectors import as_double, dot_fixed, norm
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        tok.where(F.col("doc_id") == _RRF_QDOC).select("term").distinct()
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = F.round(
+        (idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + (F.lit(_BM25_B) * F.col("dl")) / F.col("avgdl")
+            )
+        ),
+        6,
+    )
+    # restrict df to the query terms BEFORE broadcasting: the full
+    # term-df frame is vocabulary-scale, the restricted one is
+    # |qterms| rows at any corpus size
+    qdf = df.join(F.broadcast(qterms), "term")
+    sparse_scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("doc_id") != _RRF_QDOC)
+        .select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("ts").cast("decimal(28,10)")), 6)
+             .cast("double").alias("score"))
+    )
+    ws = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse_rank = (
+        sparse_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_ARM_TOP)
+        .withColumn("rank_sparse", F.row_number().over(ws))
+    ).select("doc_id", "rank_sparse")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == _RRF_QDOC).select(
+        F.col("v").alias("qv")
+    )
+    dense_scored = (
+        emb.where(F.col("vec_id") != _RRF_QDOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot_fixed(F.col("qv"), F.col("v"), 64)
+                / (norm(F.col("qv")) * norm(F.col("v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense_rank = (
+        dense_scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_RRF_ARM_TOP)
+        .withColumn("rank_dense", F.row_number().over(wd))
+    ).select("doc_id", "rank_dense")
+    fused = (
+        sparse_rank.join(dense_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_sparse",
+            "rank_dense",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sparse")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .orderBy("rank")
+    )

@@ -120,8 +120,10 @@ def test_no_new_unpartitioned_windows():
         "plans/graph_analytics_queries.py": 1,
         # cumulative sum over calendar-bounded hourly buckets
         "plans/behavior_queries.py": 1,
-        # rank over the N-row Gumbel top (follows .limit)
-        "plans/corpus_queries.py": 1,
+        # rank over the N-row Gumbel top (follows .limit), plus the
+        # three RRF rank assignments over .limit(ARM_TOP)/.limit(TOP)
+        # shortlists (<= 50 rows each)
+        "plans/corpus_queries.py": 4,
         # Hamilton remainder ranking over the fixed language set
         "plans/curation_queries.py": 1,
         # skyline bucket-boundary cumulative min over the

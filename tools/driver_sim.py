@@ -111,21 +111,31 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    duck = duckdb.connect()
-    # bound DuckDB's footprint and let it SPILL instead of dying: the
-    # default in-memory connection has no temp_directory (no
-    # out-of-core) and a limit of ~80% of physical RAM — sharing the
-    # box with the Spark JVM, a heavy oracle (e.g. the in-SQL power
-    # iteration) can then hit a hard OutOfMemoryException that a
-    # spill-enabled run absorbs (seen once in an r8 preflight; the
-    # identical standalone run passed)
-    duck.execute("SET temp_directory = '/tmp/duckdb_sim_spill'")
-    duck.execute("SET memory_limit = '32GB'")
-    for t in TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    def fresh_duck():
+        # bound DuckDB's footprint and let it SPILL instead of dying:
+        # the default in-memory connection has no temp_directory (no
+        # out-of-core) and a limit of ~80% of physical RAM — sharing
+        # the box with the Spark JVM, a heavy oracle (e.g. the in-SQL
+        # power iteration) can then hit a hard OutOfMemoryException
+        # that a spill-enabled run absorbs. A FRESH connection per
+        # query on top of that: one long-lived connection accumulates
+        # buffer-manager state across the whole registry sweep and the
+        # 64th query inherits 63 queries of pressure (a full-sweep run
+        # died inside embedding_pca_top2's fetchall at the 32GB cap
+        # even though the identical standalone query passes) —
+        # reconnecting makes every oracle's budget independent, and
+        # re-registering ten parquet views costs nothing.
+        d = duckdb.connect()
+        d.execute("SET temp_directory = '/tmp/duckdb_sim_spill'")
+        d.execute("SET memory_limit = '32GB'")
+        for t in TABLES:
+            d.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return d
+
+    duck = fresh_duck()
 
     if not lint_only:
         print("== entry() smoke ==")
@@ -139,6 +149,8 @@ def main():
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        duck.close()
+        duck = fresh_duck()
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         if lint_only:
