@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_skipping_stats",
     "bfs_khop_distances",
     "ann_sq8_topk",
+    "hybrid_search_rrf",
     "ann_imi_pq_topk",
     "inverted_index_postings_full",
     "item_cooccurrence_triangles_oriented",
@@ -91,13 +92,13 @@ _PRIORITY: tuple[str, ...] = (
     # variant + an identical-counts test, snapshot_diff's r8 change
     # was input-validation only, and dedup_keep_first is covered
     # in-window by dedup_first_item_per_order + sink_upsert_catalog.)
-    # (asof_next_quote and sinapi_unpivot_precos gave their slots to
-    # the kmv_set_overlap/zorder_skipping_stats additions: the as-of
-    # pair is hypothesis-pinned against pandas merge_asof in all
-    # three directions, and unpivot + keep-first are both exercised
-    # by other in-window queries.)
+    # (asof_next_quote, sinapi_unpivot_precos, and user_status_sync
+    # gave their slots to the late-r8 additions: the as-of pair is
+    # hypothesis-pinned against pandas merge_asof in all three
+    # directions, unpivot + keep-first are both exercised by other
+    # in-window queries, and latest_per_group's rewrite is covered
+    # in-window by its canonical consumer latest_event_per_user.)
     "sink_upsert_catalog",
-    "user_status_sync",
     "latest_event_per_user",
     # (c) stale-green refresh, oldest cohort first: the full r4 set —
     # rotation_check now enforces a max-3-round staleness bound
@@ -146,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff_cdc",
     "asof_next_quote",
     "sinapi_unpivot_precos",
+    "user_status_sync",
     "doc_mixed_language",
     "doc_repetition_filter",
     "doc_similarity_topk",

@@ -622,3 +622,102 @@ def test_positional_index_positions_are_exact(spark):
         docs_per_term[r.term].add(r.doc_id)
     for r in rows:
         assert r.df == len(docs_per_term[r.term])
+
+
+def test_hybrid_search_rrf_python_replay(spark):
+    """RRF fusion replayed in Python: BM25 arm from re-derived
+    tf/df/dl stats, dense arm from numpy cosines, 1/(K+rank) sums."""
+    import math
+    from collections import Counter, defaultdict
+
+    from autosinapi_spark.catalog import load
+    from autosinapi_spark.functions.text import tokens
+    from autosinapi_spark.plans.corpus_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _RRF_ARM_TOP,
+        _RRF_K,
+        _RRF_QDOC,
+        _RRF_TOP,
+        hybrid_search_rrf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = hybrid_search_rrf(spark, SF_SMOKE).collect()
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    toks = {r.doc_id: list(r.toks) for r in docs}
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    qterms = set(toks[_RRF_QDOC])
+    sparse = {}
+    for d in tf:
+        if d == _RRF_QDOC:
+            continue
+        s = sum(
+            round(
+                math.log(
+                    1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+                )
+                * (tf[d][t] * (_BM25_K1 + 1.0))
+                / (
+                    tf[d][t]
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + (_BM25_B * dl[d]) / avgdl)
+                ),
+                6,
+            )
+            for t in qterms
+            if tf[d][t]
+        )
+        if s:
+            sparse[d] = round(s, 6)
+    sparse_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(sparse.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_RRF_ARM_TOP
+            ]
+        )
+    }
+    emb = load(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    qv = vecs[_RRF_QDOC]
+    nq = math.sqrt(sum(x * x for x in qv))
+    dense = {}
+    for d, v in vecs.items():
+        if d == _RRF_QDOC:
+            continue
+        nv = math.sqrt(sum(x * x for x in v))
+        dense[d] = round(
+            sum(a * b for a, b in zip(qv, v)) / (nq * nv), 6
+        )
+    dense_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(dense.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_RRF_ARM_TOP
+            ]
+        )
+    }
+    fused = {}
+    for d in set(sparse_rank) | set(dense_rank):
+        fused[d] = round(
+            (1.0 / (_RRF_K + sparse_rank[d]) if d in sparse_rank else 0.0)
+            + (1.0 / (_RRF_K + dense_rank[d]) if d in dense_rank else 0.0),
+            6,
+        )
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOP]
+    assert [(r.doc_id, r.rrf_score) for r in got] == want
+    for r in got:
+        assert r.rank_sparse == sparse_rank.get(r.doc_id)
+        assert r.rank_dense == dense_rank.get(r.doc_id)

@@ -114,6 +114,7 @@ QUERIES = [
     "ann_sq8_topk",  # 1-row range reduce + row-local dequant scan
     "kmv_set_overlap",  # everything after the distinct is sketch-sized
     "zorder_skipping_stats",  # file-granularity stat rows only
+    "hybrid_search_rrf",  # two arm plans + ARM_TOP-row fusion join
 ]
 
 
