@@ -1,0 +1,699 @@
+"""Round-9 staged queries (extensions; built and tested in round 8).
+
+Four operators finished ahead of their registration round:
+
+- ``bpe_train_merges`` — full iterative BPE tokenizer training (the
+  multi-round loop ``bpe_pair_merge_counts`` documents): count pairs
+  over the weighted word dictionary, pick the argmax merge, APPLY it
+  to every word's symbol sequence, repeat; emits the learned merge
+  table.
+- ``personalized_pagerank_nation`` — personalized PageRank over the
+  item co-occurrence graph with the teleport mass restricted to a
+  seed set (parts supplied from one nation), in the same
+  bit-deterministic integer rank units as
+  ``item_cooccurrence_pagerank``.
+- ``streaming_kmv_distinct`` — windowed distinct-count estimation as
+  streaming state: the two-batch watermark admission replay of
+  ``streaming_window_late_data`` feeding a per-day bottom-k KMV
+  sketch (the mergeable sketch a Structured Streaming
+  ``applyInPandasWithState`` distinct-count operator would keep per
+  window).
+- ``compaction_bin_packing`` — the lakehouse small-file compaction
+  planner: per-partition file inventory -> size-descending next-fit-
+  decreasing bin packing into target-size output groups (the plan
+  step of Delta/Iceberg ``OPTIMIZE``; complements
+  ``zorder_layout_keys``, which plans the row layout INSIDE files).
+
+Why staged, not registered: the driver verifies the first 50 registry
+entries per round and round 8's window is fully claimed by the
+changed/new queries plus the 43 overdue-stale refresh cohort that
+``tools/rotation_check.py`` enforces — registering these now would
+evict mechanically-required entries. They carry full DuckDB oracles
+and Spark-vs-oracle + Python-replay tests (``tests/test_staged_r9.py``)
+and flip to ``@register`` + window slots first thing in round 9.
+
+No counterpart in the reference (a pandas Excel->Postgres ETL,
+`/root/reference/autosinapi/etl_pipeline.py`); these are the
+LLM-corpus / lakehouse extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import tokens
+from .registry import QuerySpec
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    """Park a finished query for next-round registration."""
+
+    def wrap(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+# --- iterative BPE training (apply the merge list) -------------------
+# Sennrich, Haddow & Birch 2016: repeat {count adjacent symbol pairs,
+# merge the most frequent pair everywhere} T times. The registered
+# bpe_pair_merge_counts runs ONE count round; this runs the whole
+# loop, including the greedy left-to-right non-overlapping merge
+# application, and returns the learned merge table.
+
+_BPE_ROUNDS = 6
+
+# Greedy left-to-right merge of the winning pair (x, y) over a word's
+# space-joined symbol string, as a fold: if the accumulated string's
+# LAST symbol is exactly x and the incoming symbol is y, fuse them.
+# The fused symbol x||y is strictly longer than x, so it can never
+# re-match as the left element in the same pass — exactly the
+# non-overlapping scan BPE specifies. DuckDB's list_reduce seeds the
+# fold with the first element; Spark's aggregate('') reproduces that
+# via the acc = '' branch.
+
+
+def _bpe_sql() -> str:
+    rounds = []
+    sel = []
+    prev = "dict0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    p{r} AS (
+      SELECT u.x AS x, u.y AS y, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                      i -> {{x: l[i], y: l[i + 1]}})) AS u,
+               freq
+        FROM (SELECT string_split(syms, ' ') AS l, freq FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    w{r} AS (SELECT x, y, n FROM p{r} ORDER BY n DESC, x, y LIMIT 1),
+    dict{r} AS (
+      SELECT list_reduce(string_split(d.syms, ' '),
+               (acc, s) -> CASE
+                 WHEN s = w.y AND (acc = w.x
+                      OR right(acc, length(w.x) + 1) = ' ' || w.x)
+                 THEN substr(acc, 1, length(acc) - length(w.x))
+                      || w.x || w.y
+                 ELSE acc || ' ' || s END) AS syms,
+             d.freq
+      FROM {prev} d CROSS JOIN w{r} w
+    )"""
+        )
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, x AS left_sym, "
+            f"y AS right_sym, x || y AS merged, n AS pair_n FROM w{r}"
+        )
+        prev = f"dict{r}"
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(
+               text, '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    dict0 AS (
+      SELECT array_to_string(list_transform(
+               generate_series(1, length(w)), i -> substr(w, i, 1)),
+               ' ') AS syms,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE w <> '' GROUP BY 1
+    ),{','.join(rounds)}
+    SELECT * FROM ({' UNION ALL '.join(sel)}) ORDER BY merge_round
+    """
+
+
+_BPE_FOLD = (
+    "aggregate(split(syms, ' '), '', (acc, s) -> CASE "
+    "WHEN acc = '' THEN s "
+    "WHEN s = y AND (acc = x "
+    "OR right(acc, char_length(x) + 1) = concat(' ', x)) "
+    "THEN concat(substr(acc, 1, char_length(acc) - char_length(x)), x, y) "
+    "ELSE concat(acc, ' ', s) END)"
+)
+
+
+@stage(
+    "bpe_train_merges",
+    _bpe_sql(),
+    doc=f"Iterative BPE tokenizer training, {_BPE_ROUNDS} merge rounds "
+    "(Sennrich et al. 2016): corpus-weighted pair counts over the "
+    "word dictionary -> argmax merge (count desc, pair tiebreak) -> "
+    "greedy left-to-right non-overlapping merge applied to every "
+    "word -> re-count; emits the learned merge table (extension; the "
+    "full loop whose inner round is bpe_pair_merge_counts).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_round, left_sym, right_sym, merged, pair_n), one row per
+    learned merge, in training order.
+
+    Scale shape: everything runs over the DISTINCT word dictionary
+    weighted by corpus frequency (the vocabulary-vs-token-stream
+    collapse — a 100 TB corpus's dictionary is millions of rows, not
+    trillions), so each round is one dictionary-sized hash aggregate
+    + a TakeOrdered(1) argmax + one row-local fold. The winning pair
+    stays IN-PLAN as a broadcast 1-row frame (crossJoin(broadcast)) —
+    no driver collect; ``localCheckpoint(eager=False)`` per round
+    caps lineage at T rounds like the BOM frontier loop. The merge
+    application is a codegen'd ``aggregate`` fold (greedy
+    non-overlapping scan: a fused symbol is strictly longer than its
+    left half, so it cannot re-match within the pass), mirrored
+    bit-for-bit by DuckDB's ``list_reduce``. Pair counts never
+    increase round-over-round (a merge only splits/renames existing
+    adjacencies), which the replay test asserts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).where(
+        F.col("w") != ""
+    )
+    # distinct words -> distinct symbol strings (the space-joined
+    # segmentation concatenates back to the word), so no re-group is
+    # ever needed after merges
+    dic = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    ).select(
+        F.expr(
+            "array_join(transform(sequence(1, char_length(w)), "
+            "i -> substr(w, i, 1)), ' ')"
+        ).alias("syms"),
+        "freq",
+    )
+    merges: DataFrame | None = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        base = dic.select(F.split("syms", " ").alias("l"), "freq").where(
+            F.size("l") >= 2
+        )
+        pairs = base.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(element_at(l, i) AS x, "
+                    "element_at(l, i + 1) AS y))"
+                )
+            ).alias("u"),
+            "freq",
+        )
+        p = pairs.groupBy("u.x", "u.y").agg(
+            F.sum("freq").cast("long").alias("n")
+        )
+        w = p.orderBy(F.desc("n"), F.asc("x"), F.asc("y")).limit(1)
+        row = w.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            F.col("x").alias("left_sym"),
+            F.col("y").alias("right_sym"),
+            F.concat("x", "y").alias("merged"),
+            F.col("n").alias("pair_n"),
+        )
+        merges = row if merges is None else merges.unionAll(row)
+        dic = (
+            dic.crossJoin(F.broadcast(w))
+            .select(F.expr(_BPE_FOLD).alias("syms"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    assert merges is not None
+    return merges.orderBy("merge_round")
+
+
+# --- personalized PageRank -------------------------------------------
+# Same integer-unit, fixed-iteration machinery as
+# item_cooccurrence_pagerank (graph_analytics_queries.py), but the
+# teleport/base mass goes ONLY to a seed set — here, parts supplied
+# by one nation's suppliers — so scores mean "proximity to the seed
+# supply chain", the query-biased relevance prior of web curation
+# (Haveliwala 2002, topic-sensitive PageRank).
+
+_PPR_INIT = 1_000_000_000_000
+_PPR_BASE = 150_000_000_000  # (1 - 0.85) * init, to seeds only
+_PPR_ITERS = 3
+_PPR_TOP = 100
+_PPR_NATION = "NATION_3"
+
+
+def _ppr_sql() -> str:
+    iters = []
+    prev = "r0"
+    for t in range(1, _PPR_ITERS + 1):
+        iters.append(
+            f"""
+    i{t} AS (
+      SELECT e.dst AS id,
+             CAST(SUM(r.pr // d.outdeg) AS BIGINT) AS incoming
+      FROM edges e
+      JOIN {prev} r ON r.id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r{t} AS (
+      SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN {_PPR_BASE}
+                       ELSE 0 END
+                  + (85 * COALESCE(i.incoming, 0)) // 100
+                  AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN seeds sd ON sd.id = n.id
+      LEFT JOIN i{t} i ON i.id = n.id
+    )"""
+        )
+        prev = f"r{t}"
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM li),
+    seeds AS (
+      SELECT DISTINCT l.l_partkey AS id
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{_PPR_NATION}'
+    ),
+    r0 AS (
+      SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN {_PPR_INIT}
+                       ELSE 0 END AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id
+    ),{','.join(iters)}
+    SELECT part_key, ppr_units, rank_pos, is_seed FROM (
+      SELECT r.id AS part_key, r.pr AS ppr_units,
+             CAST(RANK() OVER (ORDER BY r.pr DESC, r.id) AS BIGINT)
+               AS rank_pos,
+             sd.id IS NOT NULL AS is_seed
+      FROM {prev} r LEFT JOIN seeds sd ON sd.id = r.id
+    ) WHERE rank_pos <= {_PPR_TOP}
+    """
+
+
+@stage(
+    "personalized_pagerank_nation",
+    _ppr_sql(),
+    doc=f"Personalized PageRank over the order-basket co-occurrence "
+    f"graph, teleport mass restricted to parts supplied from "
+    f"{_PPR_NATION} (Haveliwala 2002): {_PPR_ITERS} damped "
+    "iterations in integer rank units with truncating division, "
+    "bit-deterministic; oracle unrolls the iterations as CTEs "
+    "(extension; the seed-biased relevance prior of corpus "
+    "curation).",
+)
+def personalized_pagerank_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-100 (part_key, ppr_units, rank_pos, is_seed) after 3 PPR
+    iterations seeded at one nation's supplied parts.
+
+    Scale shape: identical to ``item_cooccurrence_pagerank`` — basket-
+    local k^2 pair expansion (one shuffle), edges+outdeg materialized
+    once and pinned to src partitioning, each iteration one keyed
+    join + one partial-aggregated groupBy moving only (id, long)
+    frames — plus one broadcast-sized seed semi-structure: the seed
+    flag is attached to the node frame ONCE (node-sized left join,
+    reused every round via localCheckpoint), never recomputed. The
+    head cut is TakeOrdered over (pr, id), not a global rank window.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ps, a -> transform(ps, "
+                    "b -> struct(a AS src, b AS dst)))), "
+                    "x -> x.src != x.dst)"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == _PPR_NATION
+    )
+    li3 = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    nat_sup = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    seeds = (
+        li3.join(F.broadcast(nat_sup), li3["l_suppkey"] == nat_sup["s_suppkey"])
+        .select(F.col("l_partkey").alias("sid"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    # seed flag attached once; every iteration and the final output
+    # reuse this node-sized frame
+    nodes_seed = (
+        nodes.join(seeds, nodes["id"] == seeds["sid"], "left")
+        .select("id", F.col("sid").isNotNull().alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes_seed.select(
+        "id",
+        F.when(F.col("is_seed"), F.lit(_PPR_INIT))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = nodes_seed.join(
+            contrib, nodes_seed["id"] == contrib["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.when(F.col("is_seed"), F.lit(_PPR_BASE))
+                .otherwise(F.lit(0))
+                + F.expr("85 * coalesce(incoming, 0L) div 100")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    top = (
+        ranks.join(nodes_seed.select("id", "is_seed"), "id")
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(_PPR_TOP)
+    )
+    return top.select(
+        F.col("id").alias("part_key"),
+        F.col("pr").alias("ppr_units"),
+        F.rank()
+        .over(Window.orderBy(F.desc("pr"), F.asc("id")))
+        .cast("long")
+        .alias("rank_pos"),
+        "is_seed",
+    )
+
+
+# --- streaming windowed KMV distinct ---------------------------------
+# The stateful-streaming shape of the KMV sketch: per event-time day
+# window, keep a bottom-k sketch of user hashes as the window's state
+# (mergeable across micro-batches by construction — bottom-k of
+# bottom-k partials == global bottom-k), behind the same two-batch
+# watermark admission replay streaming_window_late_data pins. This is
+# the batch-replayed contract of an applyInPandasWithState distinct-
+# count operator whose per-window state is the k-row sketch instead
+# of an exact (unbounded) user set.
+
+_SKMV_K = 64
+_SKMV_SALTS = 8
+_SKMV_SEED = 11
+_SKMV_SPACE = float(1 << 60)
+_SKMV_BOUND = round(3.0 / (_SKMV_K - 2) ** 0.5, 6)
+_SKMV_B1_END = "2024-01-15 12:00:00"
+_SKMV_MOD = 20
+
+_SKMV_SQL = f"""
+    WITH b1 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '{_SKMV_B1_END}'
+        AND event_id % {_SKMV_MOD} <> 0
+    ),
+    b2 AS (
+      SELECT * FROM events
+      WHERE NOT (ts < TIMESTAMP '{_SKMV_B1_END}'
+                 AND event_id % {_SKMV_MOD} <> 0)
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 24 HOUR AS w FROM b1),
+    adm AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b2.* FROM b2, wm WHERE b2.ts >= wm.w
+    ),
+    d AS (
+      SELECT DISTINCT
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
+             CAST('0x' || substr(md5('{_SKMV_SEED}:' ||
+                  CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM adm
+    ),
+    r AS (
+      SELECT win_day, h,
+             ROW_NUMBER() OVER (PARTITION BY win_day ORDER BY h) AS rn
+      FROM d
+    ),
+    km AS (
+      SELECT win_day, COUNT(*) AS nk, MAX(h) AS hk
+      FROM r WHERE rn <= {_SKMV_K} GROUP BY win_day
+    ),
+    ex AS (
+      SELECT win_day, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM d GROUP BY win_day
+    ),
+    est AS (
+      SELECT e.win_day, e.n_exact,
+             ROUND(CASE WHEN km.nk < {_SKMV_K}
+                        THEN CAST(km.nk AS DOUBLE)
+                        ELSE {_SKMV_K - 1}.0
+                             / (CAST(km.hk AS DOUBLE) / {_SKMV_SPACE!r})
+                   END, 4) AS n_est
+      FROM ex e JOIN km ON km.win_day = e.win_day
+    )
+    SELECT win_day, n_exact, n_est,
+           ROUND(ABS(n_est - n_exact) / n_exact, 6) AS rel_err,
+           ABS(n_est - n_exact) / n_exact <= {_SKMV_BOUND!r}
+             AS within_bound
+    FROM est
+    ORDER BY win_day
+"""
+
+
+@stage(
+    "streaming_kmv_distinct",
+    _SKMV_SQL,
+    doc=f"Streaming windowed distinct-count sketch: watermark "
+    f"admission (24h delay, two-batch replay) then a per-day "
+    f"bottom-{_SKMV_K} KMV estimate of distinct users — the "
+    "mergeable sketch state of a stateful streaming distinct "
+    "operator, with exact companion + 3-sigma bound check "
+    "(Bar-Yossef et al. 2002; extension).",
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(win_day, n_exact, n_est, rel_err, within_bound) per admitted
+    event-time day window.
+
+    Scale shape: admission is two scans + one broadcast 1-row
+    watermark crossJoin (the established replay idiom); the hash is
+    row-local; the distinct pass is map-side-combinable on (win, h);
+    bottom-k selection is hierarchical — a first window over
+    (win, h % {_SKMV_SALTS}) salt groups bounds every sort partition,
+    the second sees <= {_SKMV_SALTS}*k survivors (KMV mergeability).
+    In the real streaming engine the k-row sketch IS the per-window
+    state, so state size is k*windows regardless of stream volume —
+    the exact-companion arm exists only for the bound check and
+    disappears in production.
+    """
+    ev = load(spark, sf_dir, "events")
+    in_b1 = (F.col("ts") < F.lit(_SKMV_B1_END).cast("timestamp")) & (
+        F.col("event_id") % _SKMV_MOD != 0
+    )
+    b1 = ev.where(in_b1)
+    b2 = ev.where(~in_b1)
+    wm = b1.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("w")
+    )
+    kept2 = (
+        b2.crossJoin(F.broadcast(wm))
+        .where(F.col("ts") >= F.col("w"))
+        .select(*ev.columns)
+    )
+    adm = b1.unionByName(kept2)
+    hcol = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_SKMV_SEED}:"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = (
+        adm.select(
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias(
+                "win_day"
+            ),
+            hcol.alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy(
+        "win_day", F.pmod(F.col("h"), _SKMV_SALTS)
+    ).orderBy("h")
+    w2 = Window.partitionBy("win_day").orderBy("h")
+    bottom = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _SKMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _SKMV_K)
+    )
+    km = bottom.groupBy("win_day").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")
+    )
+    ex = d.groupBy("win_day").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = ex.join(km, "win_day").select(
+        "win_day",
+        "n_exact",
+        F.round(
+            F.when(
+                F.col("nk") < _SKMV_K, F.col("nk").cast("double")
+            ).otherwise(
+                F.lit(float(_SKMV_K - 1))
+                / (F.col("hk").cast("double") / F.lit(_SKMV_SPACE))
+            ),
+            4,
+        ).alias("n_est"),
+    )
+    return est.select(
+        "win_day",
+        "n_exact",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+            <= F.lit(_SKMV_BOUND)
+        ).alias("within_bound"),
+    ).orderBy("win_day")
+
+
+# --- compaction bin-packing planner ----------------------------------
+# The small-file compaction planner of lakehouse table maintenance
+# (Delta/Iceberg OPTIMIZE bin-packing): from a per-partition file
+# inventory, group under-target files into output bins by next-fit-
+# decreasing. Distinct from pack_documents_bins (next-fit over
+# DOCUMENT TOKENS in doc-id order for training-batch assembly): this
+# operates on FILE METADATA, orders by size DESCENDING (NFD — the
+# classic 2x-optimal packing guarantee needs the decreasing order),
+# excludes already-big-enough files, and its output is a rewrite
+# plan, not a batch layout. Complements zorder_layout_keys, which
+# plans row order INSIDE the rewritten files.
+
+_CP_FILES = 256  # synthetic files per month partition
+_CP_TARGET = 32768  # target output file bytes
+_CP_ROW = "96 + l_linenumber * 8"  # deterministic per-row byte estimate
+
+_CP_SQL = f"""
+    WITH f AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+             l_orderkey % {_CP_FILES} AS file_no,
+             CAST(SUM({_CP_ROW}) AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ),
+    small AS (SELECT * FROM f WHERE bytes < {_CP_TARGET}),
+    c AS (
+      SELECT part_month, file_no, bytes,
+             SUM(bytes) OVER (
+               PARTITION BY part_month
+               ORDER BY bytes DESC, file_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM small
+    ),
+    b AS (
+      SELECT part_month,
+             CAST((cum - bytes) // {_CP_TARGET} AS BIGINT) AS bin,
+             file_no, bytes
+      FROM c
+    )
+    SELECT part_month, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_file_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_file_bytes
+    FROM b GROUP BY 1, 2
+    ORDER BY part_month, bin
+"""
+
+
+@stage(
+    "compaction_bin_packing",
+    _CP_SQL,
+    doc=f"Lakehouse compaction planner: per-month file inventory "
+    f"(synthetic {_CP_FILES}-way files with deterministic byte "
+    f"estimates), under-{_CP_TARGET}-byte files packed into output "
+    "bins by next-fit-decreasing prefix-sum binning — the plan step "
+    "of Delta/Iceberg OPTIMIZE bin-packing (extension; the rewrite "
+    "planner beside zorder_layout_keys' in-file row layout).",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_month, bin, n_files, bin_bytes, min/max_file_bytes) per
+    planned compaction task.
+
+    Scale shape: in production the file inventory comes from the
+    table's transaction log — metadata-sized (one row per FILE, not
+    per data row); the synthetic inventory here is one partial-
+    aggregated groupBy standing in for that log scan. The packing
+    window partitions by table partition (part_month) and orders by
+    size desc — never a global sort; each partition's plan is
+    independent, so 100 TB of table = millions of metadata rows
+    sharded by partition. Bin assignment is the exclusive-prefix-sum
+    next-fit-decreasing form (bin overflow bounded by one file,
+    asserted in tests), which needs no sequential recurrence.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    f = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("part_month"),
+            (F.col("l_orderkey") % _CP_FILES).alias("file_no"),
+        )
+        .agg(F.sum(F.expr(_CP_ROW)).cast("long").alias("bytes"))
+        .where(F.col("bytes") < _CP_TARGET)
+    )
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy(F.desc("bytes"), F.asc("file_no"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = f.select(
+        "part_month",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("excl_cum"),
+        "file_no",
+        "bytes",
+    ).select(
+        "part_month",
+        F.expr(f"CAST(excl_cum DIV {_CP_TARGET} AS BIGINT)").alias("bin"),
+        "file_no",
+        "bytes",
+    )
+    return (
+        b.groupBy("part_month", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("bytes").cast("long").alias("min_file_bytes"),
+            F.max("bytes").cast("long").alias("max_file_bytes"),
+        )
+        .orderBy("part_month", "bin")
+    )
