@@ -115,6 +115,11 @@ QUERIES = [
     "kmv_set_overlap",  # everything after the distinct is sketch-sized
     "zorder_skipping_stats",  # file-granularity stat rows only
     "hybrid_search_rrf",  # two arm plans + ARM_TOP-row fusion join
+    # round-8 staged-for-r9 additions (plans/staged_r9.py)
+    "bpe_train_merges",  # dictionary-sized rounds; in-plan broadcast argmax
+    "personalized_pagerank_nation",  # seeded PR over the densifying graph
+    "streaming_kmv_distinct",  # k-bounded sketch state per day window
+    "compaction_bin_packing",  # file-metadata grain; sf1 files near target
 ]
 
 
@@ -226,6 +231,10 @@ def main() -> int:
 
     spark = get_spark(app_name="scale_bench")
     qs = dict(entrymod.queries())
+    # staged-for-next-round queries are measurable before registration
+    from autosinapi_spark.plans.staged_r9 import STAGED
+
+    qs.update({n: spec.fn for n, spec in STAGED.items() if n not in qs})
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
