@@ -708,3 +708,265 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_month", "bin")
     )
+
+
+# --- CUSUM change-point detection ------------------------------------
+# Page 1954 CUSUM drift detection over a monitored metric series —
+# here, per-nation monthly order revenue. The textbook form is a
+# recurrence (S_t = max(0, S_{t-1} + d_t)), which looks
+# window-inexpressible; the identity S_t = P_t - min(0, min_{j<=t}
+# P_j) over the deviation prefix sums P makes it two plain running
+# windows. Everything is integer: monthly revenue as exact cents,
+# deviations scaled by the series length N (d_t = N*x_t - total) so
+# no division ever happens, and the alarm test S_t * N > C * A
+# (A = sum|d|) is the threshold "C mean absolute deviations"
+# cross-multiplied into pure int64 — bit-deterministic, the PageRank
+# integer-units discipline applied to time-series QC.
+
+_CUSUM_C = 12  # alarm threshold in mean-absolute-deviations
+
+_CUSUM_SQL = f"""
+    WITH m AS (
+      SELECT n.n_name AS n_name,
+             year(o.o_orderdate) AS y, month(o.o_orderdate) AS mo,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                        * 100, 0) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT n_name, y, mo, cents,
+             CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS nm,
+             SUM(cents) OVER (PARTITION BY n_name) AS tot
+      FROM m
+    ),
+    d AS (
+      SELECT n_name, y, mo, cents, nm, nm * cents - tot AS dd FROM s
+    ),
+    p AS (
+      SELECT n_name, y, mo, cents, nm, dd,
+             SUM(dd) OVER w AS pp,
+             SUM(ABS(dd)) OVER (PARTITION BY n_name) AS a
+      FROM d
+      WINDOW w AS (PARTITION BY n_name ORDER BY y, mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c2 AS (
+      SELECT n_name, y, mo, cents, nm, a, pp,
+             pp - LEAST(0, MIN(pp) OVER w) AS spos,
+             GREATEST(0, MAX(pp) OVER w) - pp AS sneg
+      FROM p
+      WINDOW w AS (PARTITION BY n_name ORDER BY y, mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT n_name, printf('%04d-%02d', y, mo) AS month,
+           cents AS revenue_cents,
+           CAST(spos AS BIGINT) AS cusum_pos_units,
+           CAST(sneg AS BIGINT) AS cusum_neg_units,
+           (spos * nm > {_CUSUM_C} * a) OR (sneg * nm > {_CUSUM_C} * a)
+             AS is_changepoint
+    FROM c2
+    ORDER BY n_name, month
+"""
+
+
+@stage(
+    "cusum_changepoints",
+    _CUSUM_SQL,
+    doc=f"CUSUM change-point detection over per-nation monthly order "
+    "revenue (Page 1954): two-sided cumulative-sum drift statistics "
+    "in exact integer cents via the prefix-sum identity "
+    "S_t = P_t - min(0, running min P), alarm at "
+    f"{_CUSUM_C} mean absolute deviations cross-multiplied to avoid "
+    "any division — the metric-drift monitor of pipeline QC "
+    "(extension).",
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, month, revenue_cents, cusum_pos_units,
+    cusum_neg_units, is_changepoint) per nation-month; cusum columns
+    are N-scaled (units of 1/N cents, N = series length).
+
+    Scale shape: the star join + monthly rollup is the only
+    data-bound stage (broadcast nation, partial-aggregated groupBy);
+    every window after it runs at METRIC grain — series-per-key x
+    months, bounded regardless of fact volume — partitioned by
+    nation, never global. The recurrence-free CUSUM identity is what
+    keeps it windowable: the textbook max(0, S+d) fold would need a
+    sequential pass per key. All arithmetic is int64 (exact-decimal
+    cents, N-scaled deviations, cross-multiplied threshold); at
+    int64-straining magnitudes (cents * N * months ~ 1e15 here)
+    the same plan swaps to DECIMAL(38,0) unchanged.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wp = Window.partitionBy("n_name")
+    wo = (
+        Window.partitionBy("n_name")
+        .orderBy("y", "mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = m.select(
+        "n_name",
+        "y",
+        "mo",
+        "cents",
+        F.count(F.lit(1)).over(wp).cast("long").alias("nm"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    d = s.withColumn("dd", F.col("nm") * F.col("cents") - F.col("tot"))
+    p = d.select(
+        "n_name",
+        "y",
+        "mo",
+        "cents",
+        "nm",
+        "dd",
+        F.sum("dd").over(wo).alias("pp"),
+        F.sum(F.abs(F.col("dd"))).over(wp).alias("a"),
+    )
+    c2 = p.withColumn(
+        "spos",
+        F.col("pp") - F.least(F.lit(0).cast("long"), F.min("pp").over(wo)),
+    ).withColumn(
+        "sneg",
+        F.greatest(F.lit(0).cast("long"), F.max("pp").over(wo))
+        - F.col("pp"),
+    )
+    thr = F.lit(_CUSUM_C).cast("long") * F.col("a")
+    return c2.select(
+        "n_name",
+        F.format_string("%04d-%02d", "y", "mo").alias("month"),
+        F.col("cents").alias("revenue_cents"),
+        F.col("spos").cast("long").alias("cusum_pos_units"),
+        F.col("sneg").cast("long").alias("cusum_neg_units"),
+        (
+            (F.col("spos") * F.col("nm") > thr)
+            | (F.col("sneg") * F.col("nm") > thr)
+        ).alias("is_changepoint"),
+    ).orderBy("n_name", "month")
+
+
+# --- data-quality expectations ---------------------------------------
+
+_DQ_SQL = """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS v_ship,
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+               AS v_rf,
+             COUNT(DISTINCT (l_orderkey, l_linenumber, l_partkey,
+                             l_suppkey)) AS u_key4,
+             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS u_key2,
+             SUM(CASE WHEN l_returnflag IS NULL
+                       OR l_returnflag NOT IN ('A', 'N', 'R')
+                 THEN 1 ELSE 0 END) AS v_dom_rf,
+             SUM(CASE WHEN l_linestatus IS NULL
+                       OR l_linestatus NOT IN ('O', 'F')
+                 THEN 1 ELSE 0 END) AS v_dom_ls,
+             SUM(CASE WHEN l_quantity IS NULL
+                       OR l_quantity < 1 OR l_quantity > 50
+                 THEN 1 ELSE 0 END) AS v_qty,
+             SUM(CASE WHEN l_extendedprice IS NULL
+                       OR l_extendedprice < 0
+                 THEN 1 ELSE 0 END) AS v_price
+      FROM lineitem
+    ),
+    o AS (
+      SELECT COUNT(*) AS v_ref FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    r AS (
+      SELECT 'completeness:l_shipdate' AS check_name, v_ship AS viol
+      FROM m
+      UNION ALL SELECT 'completeness:l_returnflag', v_rf FROM m
+      UNION ALL SELECT 'domain:l_returnflag', v_dom_rf FROM m
+      UNION ALL SELECT 'domain:l_linestatus', v_dom_ls FROM m
+      UNION ALL SELECT 'range:l_quantity', v_qty FROM m
+      UNION ALL SELECT 'nonneg:l_extendedprice', v_price FROM m
+      UNION ALL SELECT 'uniqueness:line_key4', n - u_key4 FROM m
+      UNION ALL SELECT 'uniqueness:line_key2', n - u_key2 FROM m
+      UNION ALL SELECT 'ref:l_orderkey->orders', v_ref FROM o
+    )
+    SELECT check_name,
+           CAST((m.n - r.viol) * 1000000 // m.n AS BIGINT)
+             AS observed_ppm,
+           CAST(r.viol AS BIGINT) AS n_violations,
+           r.viol = 0 AS passed
+    FROM r, m
+    ORDER BY check_name
+"""
+
+
+@stage(
+    "data_quality_expectations",
+    _DQ_SQL,
+    doc="Deequ-style data-quality expectation suite over lineitem "
+    "(Schelter et al. 2018): completeness, domain, range, "
+    "non-negativity, two uniqueness grains (the 4-col line key is "
+    "unique; the naive (orderkey, linenumber) pair is NOT — the "
+    "report shows real violations), and FK referential integrity — "
+    "all row/unique checks folded into ONE aggregate scan, ratios "
+    "as integer ppm (extension; `operators/quality.py`).",
+)
+def data_quality_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(check_name, observed_ppm, n_violations, passed) per check.
+
+    Scale shape: see ``operators/quality.expectations_report`` — N
+    row checks + 2 distinct-counts cost one scan of the fact table
+    (map-side partials; the distinct-aggregate expansion is the one
+    extra exchange, swappable for approx_count_distinct at extreme
+    scale), and the referential check is the single fk-keyed anti
+    join. Report output is check-count-sized. The reference validates
+    implicitly (coerce -> NULL -> dropna); this is the explicit,
+    monitorable contract.
+    """
+    from ..operators.quality import expectations_report
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    qty, px = F.col("l_quantity"), F.col("l_extendedprice")
+    return expectations_report(
+        li,
+        row_checks=[
+            ("completeness:l_shipdate", F.col("l_shipdate").isNull()),
+            ("completeness:l_returnflag", rf.isNull()),
+            ("domain:l_returnflag", rf.isNull() | ~rf.isin("A", "N", "R")),
+            ("domain:l_linestatus", ls.isNull() | ~ls.isin("O", "F")),
+            ("range:l_quantity", qty.isNull() | (qty < 1) | (qty > 50)),
+            ("nonneg:l_extendedprice", px.isNull() | (px < 0)),
+        ],
+        unique_checks=[
+            (
+                "uniqueness:line_key4",
+                ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            ),
+            ("uniqueness:line_key2", ["l_orderkey", "l_linenumber"]),
+        ],
+        ref_checks=[
+            ("ref:l_orderkey->orders", ["l_orderkey"], orders, ["o_orderkey"])
+        ],
+    )

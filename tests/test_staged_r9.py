@@ -238,3 +238,110 @@ def test_compaction_packing_invariants(spark, duck):
             # next-fit overflow is bounded by a single file
             assert r.bin_bytes < _CP_TARGET + r.max_file_bytes, (m, r.bin)
             assert r.min_file_bytes <= r.max_file_bytes
+
+
+# --- CUSUM: the window identity matches the textbook recursion -------
+
+
+def test_cusum_matches_python_recursion(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _CUSUM_C,
+        cusum_changepoints,
+    )
+
+    m = duck.execute(
+        """
+        SELECT n.n_name, year(o.o_orderdate) y, month(o.o_orderdate) mo,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                          * 100, 0) AS BIGINT) cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for name, y, mo, cents in m:
+        series[name].append((y, mo, cents))
+    expect = []
+    for name in sorted(series):
+        rows = series[name]
+        n = len(rows)
+        tot = sum(c for _, _, c in rows)
+        dd = [n * c - tot for _, _, c in rows]
+        a = sum(abs(x) for x in dd)
+        spos = sneg = 0
+        for (y, mo, cents), d in zip(rows, dd):
+            # textbook recursions; the query computes them via the
+            # prefix-sum identity instead
+            spos = max(0, spos + d)
+            sneg = max(0, sneg - d)
+            expect.append(
+                (
+                    name,
+                    f"{y:04d}-{mo:02d}",
+                    cents,
+                    spos,
+                    sneg,
+                    spos * n > _CUSUM_C * a or sneg * n > _CUSUM_C * a,
+                )
+            )
+    got = [tuple(r) for r in cusum_changepoints(spark, SF_SMOKE).collect()]
+    assert got == expect
+    # the fixture must exercise both alarm outcomes
+    flags = {r[5] for r in got}
+    assert flags == {True, False}
+
+
+# --- expectations report: planted violations -------------------------
+
+
+def test_quality_report_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from autosinapi_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5),
+            (1, "a", 7),  # dup key for uniqueness:k
+            (2, None, 3),  # null v -> completeness:v
+            (3, "b", -1),  # negative x -> nonneg:x
+            (9, "c", 2),  # k=9 missing from ref -> ref:k
+        ],
+        "k int, v string, x int",
+    )
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "rk int")
+    rows = {
+        r.check_name: r
+        for r in expectations_report(
+            df,
+            row_checks=[
+                ("completeness:v", F.col("v").isNull()),
+                ("nonneg:x", F.col("x").isNull() | (F.col("x") < 0)),
+            ],
+            unique_checks=[("uniqueness:k", ["k"])],
+            ref_checks=[("ref:k", ["k"], ref, ["rk"])],
+        ).collect()
+    }
+    assert rows["completeness:v"].n_violations == 1
+    assert rows["completeness:v"].observed_ppm == 800000
+    assert not rows["completeness:v"].passed
+    assert rows["nonneg:x"].n_violations == 1
+    assert rows["uniqueness:k"].n_violations == 1  # 5 rows, 4 distinct k
+    assert rows["ref:k"].n_violations == 1
+    assert all(not r.passed for r in rows.values())
+
+
+def test_quality_report_all_green(spark):
+    from pyspark.sql import functions as F
+
+    from autosinapi_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    rows = expectations_report(
+        df,
+        row_checks=[("completeness:v", F.col("v").isNull())],
+        unique_checks=[("uniqueness:k", ["k"])],
+    ).collect()
+    assert all(r.passed and r.observed_ppm == 1000000 for r in rows)

@@ -120,6 +120,8 @@ QUERIES = [
     "personalized_pagerank_nation",  # seeded PR over the densifying graph
     "streaming_kmv_distinct",  # k-bounded sketch state per day window
     "compaction_bin_packing",  # file-metadata grain; sf1 files near target
+    "cusum_changepoints",  # star rollup data-bound; windows metric-grain
+    "data_quality_expectations",  # one scan + distinct expansion + anti join
 ]
 
 
