@@ -1,6 +1,8 @@
 """Round-9 staged queries (extensions; built and tested in round 8).
 
-Four operators finished ahead of their registration round:
+Operators finished ahead of their registration round (see also
+``cusum_changepoints``, ``data_quality_expectations`` and
+``sssp_weighted_distances`` further down):
 
 - ``bpe_train_merges`` — full iterative BPE tokenizer training (the
   multi-round loop ``bpe_pair_merge_counts`` documents): count pairs
@@ -970,3 +972,139 @@ def data_quality_expectations(
             ("ref:l_orderkey->orders", ["l_orderkey"], orders, ["o_orderkey"])
         ],
     )
+
+
+# --- bounded weighted SSSP (Bellman-Ford rounds) ---------------------
+# The weighted complement of bfs_khop_distances: single-source (here
+# multi-source) shortest WEIGHTED distances under a bounded number of
+# relaxation rounds — exactly R synchronized Bellman-Ford iterations,
+# the Pregel-style SSSP primitive. Edge weights are association
+# distances derived from co-occurrence strength (1e6 // count, so
+# strongly-associated items are "close"), all integer. After R
+# rounds the frame holds the exact shortest distance among paths of
+# <= R edges — the bounded-round semantics the oracle unrolls.
+
+_SSSP_ROUNDS = 4
+_SSSP_SEEDS = 3
+_SSSP_SCALE = 1_000_000
+
+
+def _sssp_sql() -> str:
+    rounds = []
+    prev = "d0"
+    for r in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(
+            f"""
+    d{r} AS (
+      SELECT seed, node, MIN(dist) AS dist FROM (
+        SELECT seed, node, dist FROM {prev}
+        UNION ALL
+        SELECT d.seed, e.dst AS node, d.dist + e.w AS dist
+        FROM {prev} d JOIN wed e ON e.src = d.node
+      ) GROUP BY 1, 2
+    )"""
+        )
+        prev = f"d{r}"
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM items a JOIN items b ON b.o = a.o AND b.p > a.p
+      GROUP BY 1, 2
+    ),
+    wed AS (
+      SELECT u AS src, v AS dst, {_SSSP_SCALE} // cnt AS w FROM und
+      UNION ALL
+      SELECT v, u, {_SSSP_SCALE} // cnt FROM und
+    ),
+    seeds AS (
+      SELECT x AS seed FROM (
+        SELECT u AS x FROM und UNION SELECT v FROM und
+      ) ORDER BY x LIMIT {_SSSP_SEEDS}
+    ),
+    d0 AS (
+      SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+    ),{','.join(rounds)}
+    SELECT seed, node, dist AS dist_units
+    FROM {prev}
+    ORDER BY seed, node
+    """
+
+
+@stage(
+    "sssp_weighted_distances",
+    _sssp_sql(),
+    doc=f"Bounded weighted SSSP: {_SSSP_ROUNDS} synchronized "
+    "Bellman-Ford relaxation rounds from the "
+    f"{_SSSP_SEEDS} smallest items over the co-occurrence graph "
+    f"with integer association-distance weights ({_SSSP_SCALE} // "
+    "pair count) — exact shortest distances among paths of <= R "
+    "edges; oracle unrolls the rounds as min-merge CTEs "
+    "(extension; the weighted complement of bfs_khop_distances).",
+)
+def sssp_weighted_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(seed, node, dist_units) — shortest <= R-edge weighted
+    distance from each seed to every node reached.
+
+    Scale shape: Pregel-in-DataFrames — each round is ONE
+    distance-frame-vs-edges hash join keyed on the frontier node
+    (never all-pairs) plus one (seed, node) min-combine groupBy,
+    both partial-aggregated; the distance frame is node-sized, the
+    edge frame is built once (basket-local pair expansion, one
+    shuffle) and reused every round. localCheckpoint per round caps
+    lineage exactly like the BFS/k-core loops. The round count is a
+    compile-time constant; an unbounded SSSP runs the same loop to a
+    driver-side fixed-point check. Weights and distances are pure
+    int64 (max ~R * 1e6), bit-deterministic across engines.
+    """
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ps, a -> transform(ps, "
+                "b -> struct(a AS u, b AS v)))), x -> x.u < x.v)"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    und = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = F.expr(f"{_SSSP_SCALE} div cnt").alias("w")
+    wed = _ck(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"), w)
+        .unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"), w)
+        )
+    )
+    nodes = wed.select(F.col("src").alias("x")).distinct()
+    seeds = nodes.orderBy("x").limit(_SSSP_SEEDS)
+    dist = seeds.select(
+        F.col("x").alias("seed"),
+        F.col("x").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(wed, dist["node"] == wed["src"]).select(
+            "seed",
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = _ck(
+            dist.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        "seed", "node", F.col("dist").alias("dist_units")
+    ).orderBy("seed", "node")

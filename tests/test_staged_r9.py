@@ -345,3 +345,62 @@ def test_quality_report_all_green(spark):
         unique_checks=[("uniqueness:k", ["k"])],
     ).collect()
     assert all(r.passed and r.observed_ppm == 1000000 for r in rows)
+
+
+# --- SSSP: pure-Python Bellman-Ford replay ---------------------------
+
+
+def test_sssp_matches_python_replay(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _SSSP_ROUNDS,
+        _SSSP_SCALE,
+        _SSSP_SEEDS,
+        sssp_weighted_distances,
+    )
+
+    li = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    cnt: Counter = Counter()
+    for ps in baskets.values():
+        for a in ps:
+            for b in ps:
+                if a < b:
+                    cnt[(a, b)] += 1
+    wed = defaultdict(list)
+    for (u, v), c in cnt.items():
+        w = _SSSP_SCALE // c
+        wed[u].append((v, w))
+        wed[v].append((u, w))
+    seeds = sorted(wed)[:_SSSP_SEEDS]
+    dist = {(s, s): 0 for s in seeds}
+    for _ in range(_SSSP_ROUNDS):
+        new = dict(dist)
+        for (s, n), d in dist.items():
+            for m, w in wed[n]:
+                k = (s, m)
+                if k not in new or d + w < new[k]:
+                    new[k] = d + w
+        dist = new
+    expect = sorted((s, n, d) for (s, n), d in dist.items())
+    got = [
+        (r.seed, r.node, r.dist_units)
+        for r in sssp_weighted_distances(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # weighted ordering differs from hop ordering somewhere: some
+    # 2-edge path must beat a direct edge or the weights are inert
+    direct = {}
+    for (u, v), c in cnt.items():
+        w = _SSSP_SCALE // c
+        direct[(u, v)] = w
+        direct[(v, u)] = w
+    beat = [
+        (s, n)
+        for (s, n), d in dist.items()
+        if (s, n) in direct and d < direct[(s, n)]
+    ]
+    assert beat, "no multi-edge path ever beat a direct edge"

@@ -122,6 +122,7 @@ QUERIES = [
     "compaction_bin_packing",  # file-metadata grain; sf1 files near target
     "cusum_changepoints",  # star rollup data-bound; windows metric-grain
     "data_quality_expectations",  # one scan + distinct expansion + anti join
+    "sssp_weighted_distances",  # Bellman-Ford rounds; graph densifies
 ]
 
 
