@@ -1108,3 +1108,240 @@ def sssp_weighted_distances(
     return dist.select(
         "seed", "node", F.col("dist").alias("dist_units")
     ).orderBy("seed", "node")
+
+
+# --- incremental aggregate maintenance (IVM) -------------------------
+# Materialized-view incremental maintenance: refresh a monthly
+# revenue aggregate from a CDC delta batch (inserts + retractions)
+# WITHOUT rescanning history — the multiset-algebra form (each delta
+# row carries a +1/-1 multiplicity; counts and sums are linear, so
+# the refreshed view is base + delta-aggregate, groups dropping to
+# zero count removed). Cents are exact integers (o_totalprice has 2
+# decimals; the DECIMAL cast makes each row's cents integral), so
+# partial aggregation is exactly additive and the merged view is
+# bit-identical to a full recompute — which the test pins.
+
+_IVM_CUTOFF = "2000-01-01"
+_IVM_DELKEY = 97  # old orders with key % 97 == 0 arrive as deletes
+
+_IVM_MONTH = "printf('%04d-%02d', year(o_orderdate), month(o_orderdate))"
+
+_IVM_SQL = f"""
+    WITH base AS (
+      SELECT {_IVM_MONTH} AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                        * 100, 0) AS BIGINT) AS revenue_cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+      GROUP BY 1
+    ),
+    delta AS (
+      SELECT month,
+             CAST(SUM(mult) AS BIGINT) AS dn,
+             CAST(ROUND(SUM(mult * cents), 0) AS BIGINT) AS dcents
+      FROM (
+        SELECT {_IVM_MONTH} AS month, 1 AS mult,
+               CAST(o_totalprice AS DECIMAL(28,10)) * 100 AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'
+        UNION ALL
+        SELECT {_IVM_MONTH}, -1,
+               CAST(o_totalprice AS DECIMAL(28,10)) * 100
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+          AND o_orderkey % {_IVM_DELKEY} = 0
+      ) GROUP BY month
+    )
+    SELECT COALESCE(b.month, d.month) AS month,
+           CAST(COALESCE(b.n_orders, 0) + COALESCE(d.dn, 0) AS BIGINT)
+             AS n_orders,
+           CAST(COALESCE(b.revenue_cents, 0) + COALESCE(d.dcents, 0)
+                AS BIGINT) AS revenue_cents
+    FROM base b FULL OUTER JOIN delta d ON d.month = b.month
+    WHERE COALESCE(b.n_orders, 0) + COALESCE(d.dn, 0) > 0
+    ORDER BY month
+"""
+
+
+@stage(
+    "incremental_agg_maintenance",
+    _IVM_SQL,
+    doc="Incremental materialized-view maintenance: monthly revenue "
+    "aggregate refreshed from a CDC delta (post-cutoff inserts + "
+    f"key%{_IVM_DELKEY} retractions of history) via +1/-1 "
+    "multiplicities — counts and exact-cent sums are linear, so "
+    "refresh = base + delta-aggregate with zero-count groups "
+    "dropped, never a history rescan; bit-equality with the full "
+    "recompute is test-pinned (extension; the IVM pattern beside "
+    "snapshot_diff_cdc and sink_scd2_history).",
+)
+def incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(month, n_orders, revenue_cents) — the refreshed monthly view.
+
+    Scale shape: in production the base arm READS the materialized
+    aggregate (group-grain, tiny) instead of re-aggregating history
+    as the fixture must; refresh cost is then delta-batch scan +
+    a join at GROUP grain — independent of history size, which is
+    the entire point of IVM. Both arms partial-aggregate map-side;
+    the merge is a full-outer join keyed on the group, group-count
+    sized. All revenue arithmetic is exact integer cents, so
+    base-plus-delta is bit-identical to recompute (no float
+    re-association anywhere).
+    """
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit(_IVM_CUTOFF).cast("timestamp")
+    ym = [F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")]
+    month = F.format_string("%04d-%02d", "y", "m").alias("month")
+    cents = F.col("o_totalprice").cast("decimal(28,10)") * 100
+    base = (
+        o.where(F.col("o_orderdate") < cut)
+        .groupBy(*ym)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(cents), 0).cast("long").alias("revenue_cents"),
+        )
+        .select(month, "n_orders", "revenue_cents")
+    )
+    ins = o.where(F.col("o_orderdate") >= cut).select(
+        *ym, F.lit(1).alias("mult"), cents.alias("cents")
+    )
+    dels = o.where(
+        (F.col("o_orderdate") < cut)
+        & (F.col("o_orderkey") % _IVM_DELKEY == 0)
+    ).select(*ym, F.lit(-1).alias("mult"), cents.alias("cents"))
+    delta = (
+        ins.unionByName(dels)
+        .groupBy("y", "m")
+        .agg(
+            F.sum("mult").cast("long").alias("dn"),
+            F.round(F.sum(F.col("mult") * F.col("cents")), 0)
+            .cast("long")
+            .alias("dcents"),
+        )
+        .select(month, "dn", "dcents")
+    )
+    merged = base.join(delta, "month", "full_outer").select(
+        "month",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce("revenue_cents", F.lit(0))
+            + F.coalesce("dcents", F.lit(0))
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return merged.where(F.col("n_orders") > 0).orderBy("month")
+
+
+# --- MAD outlier flags (robust point anomalies) ----------------------
+# The robust point-anomaly companion to cusum_changepoints (drift):
+# per nation, flag months whose revenue deviates from the series
+# MEDIAN by more than 3 median-absolute-deviations — the
+# median/MAD rule that, unlike mean/stddev z-scores, does not let the
+# outliers inflate their own threshold. Medians are exact
+# interpolated percentiles (the doc_length_quantiles idiom:
+# F.percentile <-> quantile_cont); every input is integer cents far
+# below 2^52, so the midpoints (x.5) and all comparisons are exact
+# IEEE arithmetic on both engines.
+
+_MAD_K = 3
+
+_MAD_SQL = f"""
+    WITH m AS (
+      SELECT n.n_name AS n_name,
+             year(o.o_orderdate) AS y, month(o.o_orderdate) AS mo,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                        * 100, 0) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT n_name, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+      FROM m GROUP BY n_name
+    ),
+    dev AS (
+      SELECT m.n_name, m.y, m.mo, m.cents, med.med,
+             ABS(CAST(m.cents AS DOUBLE) - med.med) AS adev
+      FROM m JOIN med ON med.n_name = m.n_name
+    ),
+    mad AS (
+      SELECT n_name, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY n_name
+    )
+    SELECT d.n_name AS n_name, printf('%04d-%02d', d.y, d.mo) AS month,
+           d.cents AS revenue_cents,
+           ROUND(d.med, 6) AS median_cents,
+           ROUND(mad.mad, 6) AS mad_cents,
+           d.adev > {_MAD_K} * mad.mad AS is_outlier
+    FROM dev d JOIN mad ON mad.n_name = d.n_name
+    ORDER BY d.n_name, month
+"""
+
+
+@stage(
+    "mad_outlier_flags",
+    _MAD_SQL,
+    doc=f"Robust point-anomaly detection: per-nation monthly revenue "
+    f"flagged where |x - median| > {_MAD_K} * MAD (median absolute "
+    "deviation) — the outlier-resistant QC rule beside "
+    "cusum_changepoints' drift statistic; exact interpolated "
+    "medians over integer cents, bit-deterministic (extension).",
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, month, revenue_cents, median_cents, mad_cents,
+    is_outlier) per nation-month.
+
+    Scale shape: the star rollup is the only data-bound stage; both
+    percentile passes run at METRIC grain (one value per key-month),
+    partitioned by nation — the exact interpolated form is the
+    oracle-checkable contract, and the 100 TB swap is
+    approx_percentile over the same metric frame (still
+    metric-grain). Integer cents keep every midpoint and threshold
+    comparison exact in IEEE doubles (values << 2^52).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    med = m.groupBy("n_name").agg(
+        F.percentile(F.col("cents").cast("double"), 0.5).alias("med")
+    )
+    dev = m.join(med, "n_name").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("n_name").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, "n_name")
+        .select(
+            "n_name",
+            F.format_string("%04d-%02d", "y", "mo").alias("month"),
+            F.col("cents").alias("revenue_cents"),
+            F.round("med", 6).alias("median_cents"),
+            F.round("mad", 6).alias("mad_cents"),
+            (F.col("adev") > _MAD_K * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("n_name", "month")
+    )

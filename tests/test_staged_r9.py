@@ -404,3 +404,94 @@ def test_sssp_matches_python_replay(spark, duck):
         if (s, n) in direct and d < direct[(s, n)]
     ]
     assert beat, "no multi-edge path ever beat a direct edge"
+
+
+# --- IVM: refresh is bit-identical to a full recompute ---------------
+
+
+def test_ivm_equals_full_recompute(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _IVM_CUTOFF,
+        _IVM_DELKEY,
+        incremental_agg_maintenance,
+    )
+
+    got = [
+        (r.month, r.n_orders, r.revenue_cents)
+        for r in incremental_agg_maintenance(spark, SF_SMOKE).collect()
+    ]
+    # the final logical state: history minus retractions, plus the
+    # post-cutoff batch == everything except deleted old orders
+    expect = duck.execute(
+        f"""
+        SELECT printf('%04d-%02d', year(o_orderdate), month(o_orderdate))
+                 AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                          * 100, 0) AS BIGINT) AS revenue_cents
+        FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+                   AND o_orderkey % {_IVM_DELKEY} = 0)
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in expect]
+    # the fixture must exercise both delta kinds
+    n_del = duck.execute(
+        f"""SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+              AND o_orderkey % {_IVM_DELKEY} = 0"""
+    ).fetchone()[0]
+    n_ins = duck.execute(
+        f"""SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'"""
+    ).fetchone()[0]
+    assert n_del > 0 and n_ins > 0
+
+
+# --- MAD outliers: pure-Python median/MAD replay ---------------------
+
+
+def test_mad_matches_python_replay(spark, duck):
+    import statistics
+
+    from autosinapi_spark.plans.staged_r9 import (
+        _MAD_K,
+        mad_outlier_flags,
+    )
+
+    m = duck.execute(
+        """
+        SELECT n.n_name, year(o.o_orderdate) y, month(o.o_orderdate) mo,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                          * 100, 0) AS BIGINT) cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for name, y, mo, cents in m:
+        series[name].append((y, mo, cents))
+    expect = []
+    for name in sorted(series):
+        vals = [float(c) for _, _, c in series[name]]
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        for (y, mo, cents) in series[name]:
+            adev = abs(float(cents) - med)
+            expect.append(
+                (
+                    name,
+                    f"{y:04d}-{mo:02d}",
+                    cents,
+                    round(med, 6),
+                    round(mad, 6),
+                    adev > _MAD_K * mad,
+                )
+            )
+    got = [tuple(r) for r in mad_outlier_flags(spark, SF_SMOKE).collect()]
+    assert got == expect
+    flags = {r[5] for r in got}
+    assert flags == {True, False}  # both outcomes exercised

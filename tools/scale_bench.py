@@ -123,6 +123,8 @@ QUERIES = [
     "cusum_changepoints",  # star rollup data-bound; windows metric-grain
     "data_quality_expectations",  # one scan + distinct expansion + anti join
     "sssp_weighted_distances",  # Bellman-Ford rounds; graph densifies
+    "incremental_agg_maintenance",  # group-grain merge; arms scan-bound
+    "mad_outlier_flags",  # star rollup data-bound; percentiles metric-grain
 ]
 
 
