@@ -1345,107 +1345,3 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "month")
     )
-
-
-# --- RAG chunking with overlap ---------------------------------------
-# The retrieval-side splitter of every RAG/embedding pipeline: slice
-# each document's token stream into fixed-width chunks on a stride
-# (window 64, stride 48 -> 16-token overlap so no sentence straddles
-# a boundary unseen), emitting stable chunk ids and token offsets —
-# the table the embedding and ANN stages then key on. Entirely
-# row-local: chunk starts are a generated sequence per document and
-# the slice/join run inside codegen; no shuffle at all beyond the
-# scan.
-
-_CHUNK_W = 64
-_CHUNK_S = 48
-
-_CHUNK_SQL = f"""
-    WITH tok AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
-                          ' ') AS ts
-      FROM documents
-    ),
-    n AS (
-      SELECT doc_id, ts, len(ts) AS n,
-             1 + (GREATEST(0, len(ts) - {_CHUNK_W})
-                  + {_CHUNK_S} - 1) // {_CHUNK_S} AS nchunks
-      FROM tok
-    )
-    SELECT doc_id,
-           CAST(u AS BIGINT) AS chunk_id,
-           CAST(1 + u * {_CHUNK_S} AS BIGINT) AS start_token,
-           CAST(LEAST({_CHUNK_W}, n - u * {_CHUNK_S}) AS BIGINT)
-             AS n_tokens,
-           array_to_string(
-             ts[1 + u * {_CHUNK_S} : u * {_CHUNK_S} + {_CHUNK_W}],
-             ' ') AS chunk_text
-    FROM (
-      SELECT doc_id, ts, n,
-             unnest(generate_series(0, nchunks - 1)) AS u
-      FROM n
-    )
-    ORDER BY doc_id, chunk_id
-"""
-
-
-@stage(
-    "chunk_documents_overlap",
-    _CHUNK_SQL,
-    doc=f"RAG document chunking: {_CHUNK_W}-token windows on a "
-    f"{_CHUNK_S}-token stride ({_CHUNK_W - _CHUNK_S}-token overlap), "
-    "emitting (doc, chunk, token offsets, text) — the row-local "
-    "splitter every retrieval pipeline runs before embedding; chunk "
-    "count is ceil-div arithmetic, slices stay inside codegen, zero "
-    "shuffles (extension).",
-)
-def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, chunk_id, start_token, n_tokens, chunk_text) per
-    overlapping chunk; every token of every document is covered and
-    the final partial chunk is kept.
-
-    Scale shape: pure row-local transform — tokenize, compute the
-    chunk count with integer ceil-division, explode a generated
-    start sequence, slice; no joins, no aggregates, no exchanges
-    (plan-pinned shuffle-free). Output grows by the ~1.33 overlap
-    factor, which is the pipeline's own design choice. At 100 TB
-    this is the shape you want: chunking parallelizes per input
-    split with zero coordination, and chunk_id is derived (doc,
-    ordinal) so reruns are idempotent.
-    """
-    docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokens(F.col("text")).alias("ts")).select(
-        "doc_id",
-        "ts",
-        F.size("ts").alias("n"),
-        (
-            F.lit(1)
-            + F.expr(
-                f"(GREATEST(0, size(ts) - {_CHUNK_W}) + {_CHUNK_S} - 1) "
-                f"DIV {_CHUNK_S}"
-            )
-        ).alias("nchunks"),
-    )
-    return (
-        base.select(
-            "doc_id",
-            "ts",
-            "n",
-            F.explode(F.expr("sequence(0, nchunks - 1)")).alias("u"),
-        )
-        .select(
-            "doc_id",
-            F.col("u").cast("long").alias("chunk_id"),
-            (1 + F.col("u") * _CHUNK_S).cast("long").alias("start_token"),
-            F.least(
-                F.lit(_CHUNK_W), F.col("n") - F.col("u") * _CHUNK_S
-            )
-            .cast("long")
-            .alias("n_tokens"),
-            F.array_join(
-                F.expr(f"slice(ts, 1 + u * {_CHUNK_S}, {_CHUNK_W})"), " "
-            ).alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_id")
-    )

@@ -497,44 +497,6 @@ def test_mad_matches_python_replay(spark, duck):
     assert flags == {True, False}  # both outcomes exercised
 
 
-# --- chunking: coverage/overlap invariants ---------------------------
-
-
-def test_chunking_invariants(spark, duck):
-    from autosinapi_spark.plans.staged_r9 import (
-        _CHUNK_S,
-        _CHUNK_W,
-        chunk_documents_overlap,
-    )
-
-    rows = chunk_documents_overlap(spark, SF_SMOKE).collect()
-    assert rows
-    docs = {
-        d: (re.sub("[ \\t\\n\\r\\f\\v]+", " ", t or "").strip()).split(" ")
-        for d, t in duck.execute(
-            "SELECT doc_id, text FROM documents"
-        ).fetchall()
-    }
-    by_doc = defaultdict(list)
-    for r in rows:
-        by_doc[r.doc_id].append(r)
-    assert set(by_doc) == set(docs)
-    for d, rs in by_doc.items():
-        ts = docs[d]
-        rs.sort(key=lambda r: r.chunk_id)
-        # chunk ids are 0..k-1; strides are exact; every token covered
-        assert [r.chunk_id for r in rs] == list(range(len(rs)))
-        assert all(r.start_token == 1 + r.chunk_id * _CHUNK_S for r in rs)
-        last = rs[-1]
-        assert last.start_token + last.n_tokens - 1 == len(ts)
-        for r in rs:
-            expect = ts[r.start_token - 1 : r.start_token - 1 + _CHUNK_W]
-            assert r.chunk_text == " ".join(expect)
-            assert r.n_tokens == len(expect)
-        # every chunk except possibly the last is full width
-        assert all(r.n_tokens == _CHUNK_W for r in rs[:-1])
-
-
 # --- plan-shape pins for the staged set ------------------------------
 
 
@@ -565,12 +527,6 @@ def test_staged_plans_are_scale_safe(spark):
         "compaction_bin_packing",
         "cusum_changepoints",
         "mad_outlier_flags",
-        "chunk_documents_overlap",
     ):
         plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
         assert "SinglePartition" not in plan, name
-
-    # chunking is entirely row-local: no exchange of any kind before
-    # the final presentation sort
-    plan = _plan(s.STAGED["chunk_documents_overlap"].fn(spark, SF_SMOKE))
-    assert plan.count("Exchange") <= 1  # the orderBy rangepartitioning

@@ -125,7 +125,6 @@ QUERIES = [
     "sssp_weighted_distances",  # Bellman-Ford rounds; graph densifies
     "incremental_agg_maintenance",  # group-grain merge; arms scan-bound
     "mad_outlier_flags",  # star rollup data-bound; percentiles metric-grain
-    "chunk_documents_overlap",  # row-local slicer; output ~1.33x tokens
 ]
 
 
