@@ -1345,3 +1345,284 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "month")
     )
+
+
+# --- HyperLogLog distinct-count sketch -------------------------------
+# The register-based cardinality sketch (Flajolet et al. 2007) next to
+# the bottom-k KMV family already registered (distinct_kmv_orders,
+# kmv_set_overlap): m = 2^b registers each keep the max leading-zero
+# rank rho of the hashes routed to them, and the harmonic mean of
+# 2^-register estimates the cardinality. The reason production
+# engines (Redis PFCOUNT, BigQuery APPROX_COUNT_DISTINCT, DataSketches
+# HLL) prefer it to KMV at 100 TB: the sketch state is a FIXED m-byte
+# register array per group — no distinct pass, no bottom-k sort, just
+# a (group, bucket) MAX aggregate that combines map-side.
+#
+# Portability contract: the 60-bit md5 hash splits into bucket =
+# h % 64 and a 54-bit remainder w; rho = 55 - bitlength(w) via
+# length(bin(w)) (both engines print minimal-length binary); the
+# harmonic sum is kept EXACT as an integer, sum_j 2^(55 - r_j)
+# <= 64 * 2^55 < 2^62, so the only float op is one final division by
+# the same exact integer on both engines.
+
+_HLL_SEED = 23
+_HLL_M = 64  # registers (b = 6 bucket bits)
+_HLL_WBITS = 54  # 60-bit hash minus 6 bucket bits
+# alpha_64 from the HLL paper; the full constant alpha * m^2 * 2^55
+# is computed ONCE here and embedded verbatim in both engines.
+_HLL_ALPHA = 0.709
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
+_HLL_LC_CUT = 2.5 * _HLL_M  # small-range (linear counting) threshold
+
+# rho of the 54-bit remainder column {w}: position of the leftmost
+# 1-bit in the 54-bit budget (w = 0 -> 55, the all-zeros sentinel).
+_HLL_RHO = (
+    f"(CASE WHEN {{w}} = 0 THEN {_HLL_WBITS + 1} "
+    f"ELSE {_HLL_WBITS + 1} - length(bin({{w}})) END)"
+)
+# exact integer harmonic-sum term for a register value column {r}
+_HLL_TERM = f"(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - {{r}}))"
+# estimate from the exact scaled harmonic sum {z} and empty-register
+# count {v}: raw = C / z, with the paper's linear-counting fallback
+# m * ln(m / V) when registers are still empty and the raw estimate
+# is in the small range.
+_HLL_EST = (
+    f"(CASE WHEN {{v}} > 0 AND ({_HLL_C!r} / CAST({{z}} AS DOUBLE))"
+    f" <= {_HLL_LC_CUT!r} "
+    f"THEN {_HLL_M} * ln({_HLL_M} / CAST({{v}} AS DOUBLE)) "
+    f"ELSE {_HLL_C!r} / CAST({{z}} AS DOUBLE) END)"
+)
+
+_HLL_SQL = f"""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             l_orderkey,
+             CAST('0x' || substr(md5('{_HLL_SEED}:' ||
+                  CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    reg AS (
+      SELECT flag, hv % {_HLL_M} AS bucket,
+             MAX({_HLL_RHO.format(w=f'(hv >> 6)')}) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT flag,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM({_HLL_TERM.format(r='r')})
+               + ({_HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {_HLL_WBITS + 1}) AS BIGINT)
+               AS z_scaled
+      FROM reg GROUP BY flag
+    ),
+    ex AS (
+      SELECT flag, COUNT(DISTINCT l_orderkey) AS n_exact FROM h
+      GROUP BY flag
+    )
+    SELECT ex.flag AS l_returnflag, ex.n_exact, z.v_empty, z.z_scaled,
+           ROUND({_HLL_EST.format(v='z.v_empty', z='z.z_scaled')}, 4)
+             AS n_est,
+           ROUND(ABS(ROUND({_HLL_EST.format(v='z.v_empty',
+                                            z='z.z_scaled')}, 4)
+                     - ex.n_exact) / ex.n_exact, 6) AS rel_err
+    FROM ex JOIN z ON z.flag = ex.flag
+    ORDER BY ex.flag
+"""
+
+
+@stage(
+    "hll_distinct_flags",
+    _HLL_SQL,
+    doc=f"HyperLogLog cardinality sketch: {_HLL_M} leading-zero-rank "
+    "registers per return flag estimate the distinct order count "
+    "(exact companion + relative error) — the fixed-size register "
+    "sketch next to the KMV bottom-k family, with the harmonic sum "
+    "kept as an exact integer so both engines divide the same number "
+    "(Flajolet et al. 2007; extension).",
+)
+def hll_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, n_exact, v_empty, z_scaled, n_est, rel_err).
+
+    Scale shape: the hash, bucket split, and rho rank are row-local
+    expressions; the ONLY data-bound aggregate is the (flag, bucket)
+    MAX — map-side combinable into at most flags x 64 cells per
+    input partition, which is the whole HLL selling point at 100 TB:
+    per-executor partial register arrays merge by elementwise MAX in
+    O(m), no distinct shuffle, no bottom-k sort (contrast
+    distinct_kmv_orders, whose sketch is k sorted survivors). The
+    exact COUNT(DISTINCT) arm is the test companion only and
+    disappears in production. The harmonic sum is the exact integer
+    sum_j 2^(55 - r_j) (<= 2^62), so the estimate is one IEEE
+    division of identical integers on both engines; the
+    linear-counting fallback branch is dead at any tested SF (all 64
+    registers fill) but kept for faithfulness to the paper.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_HLL_SEED}:"),
+                    F.col("l_orderkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey"),
+        hv.alias("hv"),
+    )
+    reg = (
+        h.select(
+            "flag",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(_HLL_RHO.format(w="(hv >> 6)")).alias("rho"),
+        )
+        .groupBy("flag", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    z = reg.groupBy("flag").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_empty"),
+        (
+            F.sum(F.expr(_HLL_TERM.format(r="r")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HLL_WBITS + 1))
+        ).alias("z_scaled"),
+    )
+    ex = h.groupBy("flag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    est = F.expr(_HLL_EST.format(v="v_empty", z="z_scaled"))
+    return (
+        ex.join(z, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n_exact",
+            "v_empty",
+            "z_scaled",
+            F.round(est, 4).alias("n_est"),
+            F.round(
+                F.abs(F.round(est, 4) - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- differentially private count release ----------------------------
+# The geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009):
+# release count statistics of a corpus with two-sided geometric noise
+# Z = G1 - G2, where G1, G2 are iid Geometric(1/2) — the discrete
+# Laplace with alpha = 1/2, i.e. epsilon = ln 2 per count under
+# add/remove-one-row sensitivity 1. The sampler is EXACT and integer-
+# only: the trailing-zero count of a uniform bit string is
+# Geometric(1/2) by definition, so no float inverse-CDF crosses the
+# engines. Noise here is derived from a hash of the group key so the
+# release is test-reproducible; a production release swaps the hash
+# input for a secret per-release seed (the mechanism is unchanged —
+# determinism is a test harness property, not a mechanism property).
+
+_DP_SEED_A = 31
+_DP_SEED_B = 37
+
+# trailing-zero count of a positive 60-bit hash column {h}:
+# isolate the lowest set bit with h & -h, then its bit position is
+# bitlength - 1. h = 0 (probability 2^-60) caps at 60.
+_DP_TZ = "(CASE WHEN {h} = 0 THEN 60 ELSE length(bin({h} & (-{h}))) - 1 END)"
+
+
+def _dp_hash_duck(seed: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}:' || {key}), 1, 15) AS BIGINT)"
+    )
+
+
+_DP_KEY = "(l_returnflag || '|' || l_linestatus)"
+
+_DP_SQL = f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n_true,
+             {_DP_TZ.format(h=_dp_hash_duck(_DP_SEED_A, _DP_KEY))}
+               - {_DP_TZ.format(h=_dp_hash_duck(_DP_SEED_B, _DP_KEY))}
+               AS noise
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n_true, CAST(noise AS BIGINT) AS noise,
+           GREATEST(CAST(0 AS BIGINT), n_true + noise) AS n_released
+    FROM c
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@stage(
+    "dp_noisy_counts",
+    _DP_SQL,
+    doc="Differentially private count release via the geometric "
+    "mechanism: per (returnflag, linestatus) row counts plus "
+    "two-sided geometric noise (difference of two trailing-zero-bit "
+    "Geometric(1/2) draws — the discrete Laplace at epsilon = ln 2), "
+    "clamped at zero — integer-exact end to end, no float inverse "
+    "CDF (Ghosh et al. 2009; extension).",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, l_linestatus, n_true, noise, n_released).
+
+    Scale shape: the count is a map-side-combinable groupBy over the
+    fact table; the noise draw is a row-local expression evaluated on
+    the TINY aggregate output (one row per group), so the mechanism
+    adds zero data-bound work at 100 TB. The trailing-zero sampler is
+    exact integer bit arithmetic (h & -h isolates the lowest set
+    bit; bin() prints minimal-length binary in both engines), so the
+    released values are bit-identical across engines — no float
+    noise, no rounding boundary. Clamping at zero is standard DP
+    post-processing (does not affect the privacy guarantee).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+
+    def _h(seed: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("l_returnflag"),
+                        F.lit("|"),
+                        F.col("l_linestatus"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    noisy = grouped.withColumn("h_a", _h(_DP_SEED_A)).withColumn(
+        "h_b", _h(_DP_SEED_B)
+    )
+    noise = F.expr(_DP_TZ.format(h="h_a")) - F.expr(_DP_TZ.format(h="h_b"))
+    return (
+        noisy.withColumn("noise", noise.cast("bigint"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_true",
+            "noise",
+            F.greatest(
+                F.lit(0).cast("bigint"), F.col("n_true") + F.col("noise")
+            ).alias("n_released"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

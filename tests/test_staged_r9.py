@@ -530,3 +530,88 @@ def test_staged_plans_are_scale_safe(spark):
     ):
         plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
         assert "SinglePartition" not in plan, name
+
+
+# --- HLL: pure-Python replay of the register sketch ------------------
+
+
+def test_hll_matches_python_replay(spark, duck):
+    import hashlib
+
+    from autosinapi_spark.plans.staged_r9 import (
+        _HLL_C,
+        _HLL_M,
+        _HLL_SEED,
+        _HLL_WBITS,
+        hll_distinct_flags,
+    )
+
+    base = duck.execute(
+        "SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem"
+    ).fetchall()
+    regs: defaultdict = defaultdict(dict)
+    exact: Counter = Counter()
+    for flag, okey in base:
+        exact[flag] += 1
+        h = int(
+            hashlib.md5(f"{_HLL_SEED}:{okey}".encode()).hexdigest()[:15],
+            16,
+        )
+        b, w = h % _HLL_M, h >> 6
+        rho = (_HLL_WBITS + 1) - w.bit_length() if w else _HLL_WBITS + 1
+        regs[flag][b] = max(regs[flag].get(b, 0), rho)
+    rows = {r.l_returnflag: r for r in hll_distinct_flags(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == sorted(regs)
+    for flag, rg in regs.items():
+        z = sum(1 << (_HLL_WBITS + 1 - r) for r in rg.values())
+        z += (_HLL_M - len(rg)) * (1 << (_HLL_WBITS + 1))
+        r = rows[flag]
+        assert r.z_scaled == z, flag
+        assert r.v_empty == _HLL_M - len(rg), flag
+        assert r.n_exact == exact[flag], flag
+        assert r.n_est == round(_HLL_C / z, 4), flag
+        # the standard error of a 64-register HLL is ~1.04/8 = 13%;
+        # a 50% miss means the sketch, not sampling luck, is broken
+        assert r.rel_err < 0.5, (flag, r.rel_err)
+
+
+# --- DP geometric mechanism: exact integer replay --------------------
+
+
+def test_dp_matches_python_replay(spark, duck):
+    import hashlib
+
+    from autosinapi_spark.plans.staged_r9 import (
+        _DP_SEED_A,
+        _DP_SEED_B,
+        dp_noisy_counts,
+    )
+
+    def tz(seed: int, key: str) -> int:
+        h = int(
+            hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16
+        )
+        if h == 0:
+            return 60
+        return (h & -h).bit_length() - 1
+
+    truth = dict(
+        (tuple(k), n)
+        for *k, n in duck.execute(
+            "SELECT l_returnflag, l_linestatus, COUNT(*) FROM lineitem"
+            " GROUP BY 1, 2"
+        ).fetchall()
+    )
+    rows = dp_noisy_counts(spark, SF_SMOKE).collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in rows} == set(truth)
+    saw_nonzero = False
+    for r in rows:
+        key = f"{r.l_returnflag}|{r.l_linestatus}"
+        noise = tz(_DP_SEED_A, key) - tz(_DP_SEED_B, key)
+        assert r.n_true == truth[(r.l_returnflag, r.l_linestatus)]
+        assert r.noise == noise
+        assert r.n_released == max(0, r.n_true + noise)
+        saw_nonzero = saw_nonzero or noise != 0
+    # with 6 groups the chance every noise draw is zero is (1/3)^6;
+    # if it happens the sampler is almost surely broken
+    assert saw_nonzero

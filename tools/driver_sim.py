@@ -145,6 +145,21 @@ def main():
         assert n > 0
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Staged-for-next-round queries (plans/staged_r9.STAGED) are not
+    # in the registry yet, but MUST pass the same compare before they
+    # flip to @register: resolve them when named explicitly (or run
+    # all of them via the pseudo-name "--staged").
+    if only:
+        from autosinapi_spark.plans.staged_r9 import STAGED
+
+        if "--staged" in only:
+            only.discard("--staged")
+            only.update(STAGED)
+        for n, spec in STAGED.items():
+            if n in only and n not in qs:
+                qs[n] = spec.fn
+                if spec.oracle:
+                    oracles[n] = spec.oracle
     failed = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -125,6 +125,8 @@ QUERIES = [
     "sssp_weighted_distances",  # Bellman-Ford rounds; graph densifies
     "incremental_agg_maintenance",  # group-grain merge; arms scan-bound
     "mad_outlier_flags",  # star rollup data-bound; percentiles metric-grain
+    "hll_distinct_flags",  # fixed 64-register state; no distinct pass
+    "dp_noisy_counts",  # map-combinable count; noise on 6-row aggregate
 ]
 
 
