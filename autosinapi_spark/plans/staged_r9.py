@@ -1626,3 +1626,648 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --- association rules (market-basket, 2-itemsets) -------------------
+# The classic Apriori 2-itemset rule mining (Agrawal & Srikant 1994)
+# over order baskets: for every frequent item pair {a, b}, emit both
+# directed rules a->b and b->a with support, confidence and lift.
+# Confidence and lift are emitted as INTEGER parts-per-million
+# (truncating division) so no float ratio ever crosses the engines.
+# Pair-support floor 2 plus Apriori monotonicity (a pair can only be
+# frequent if both items are) is what bounds the quadratic stage at
+# 100 TB: items below the floor are pruned BEFORE the basket
+# self-join, and the self-join runs per-basket (baskets are small by
+# construction; a runaway basket would be capped by a basket-size
+# guard in production, the documented recall trade).
+
+_AR_MINSUP = 2  # minimum pair support (baskets containing both)
+_AR_TOP = 100  # emitted head, ordered by lift
+
+_AR_SQL = f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+    it AS (SELECT l_partkey, COUNT(*) AS supp FROM b GROUP BY 1),
+    pr AS (
+      SELECT a.l_partkey AS x, c.l_partkey AS y, COUNT(*) AS supp_pair
+      FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
+      WHERE a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AR_MINSUP}
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, supp_pair FROM pr
+      UNION ALL
+      SELECT y AS antecedent, x AS consequent, supp_pair FROM pr
+    )
+    SELECT r.antecedent, r.consequent, r.supp_pair,
+           ia.supp AS supp_ante, ic.supp AS supp_cons,
+           CAST(r.supp_pair * 1000000 // ia.supp AS BIGINT) AS conf_ppm,
+           CAST(r.supp_pair * n.n_baskets * 1000000
+                // (ia.supp * ic.supp) AS BIGINT) AS lift_ppm
+    FROM rules r
+    JOIN it ia ON ia.l_partkey = r.antecedent
+    JOIN it ic ON ic.l_partkey = r.consequent
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, r.antecedent, r.consequent
+    LIMIT {_AR_TOP}
+"""
+
+
+@stage(
+    "association_rules_2item",
+    _AR_SQL,
+    doc=f"Apriori 2-itemset association rules over order baskets: "
+    f"directed rules with support >= {_AR_MINSUP}, confidence and "
+    f"lift as integer ppm (truncating division — no float ratio "
+    f"crosses engines), top {_AR_TOP} by lift — market-basket "
+    "analysis with the item-level Apriori prune ahead of the "
+    "quadratic stage (Agrawal & Srikant 1994; extension).",
+)
+def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(antecedent, consequent, supp_pair, supp_ante, supp_cons,
+    conf_ppm, lift_ppm), top rules by lift.
+
+    Scale shape: one distinct pass collapses lineitem to basket
+    grain; item supports are a map-combinable groupBy. The Apriori
+    prune (items with supp < minsup cannot appear in a frequent
+    pair) runs as a semi-join BEFORE the basket self-join, so the
+    quadratic pair stage only sees frequent items — the result is
+    provably identical (support monotonicity) but the candidate
+    volume at 100 TB drops by the infrequent-item mass. The pair
+    join is keyed on the basket id (no cross join); supports join
+    back at item-dictionary grain (broadcastable). Confidence and
+    lift are truncating integer ppm; the only scalar (basket count)
+    rides a 1-row broadcast. lift_ppm's intermediate supp_pair *
+    n_baskets * 1e6 stays under 2^63 whenever supp_pair * n_baskets
+    < 9.2e12 — true by orders of magnitude here; an extreme-scale
+    release computes the ratio in DOUBLE from the same exact
+    integers (documented trade).
+    """
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    it = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    freq = it.where(F.col("supp") >= _AR_MINSUP).select("l_partkey")
+    bf = b.join(freq, "l_partkey", "left_semi")
+    a, c = bf.alias("a"), bf.alias("c")
+    pr = (
+        a.join(c, F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("c.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("c.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("supp_pair"))
+        .where(F.col("supp_pair") >= _AR_MINSUP)
+    )
+    rules = pr.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "supp_pair",
+    ).unionAll(
+        pr.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "supp_pair",
+        )
+    )
+    n = b.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    ia = it.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("supp").alias("supp_ante"),
+    )
+    ic = it.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("supp").alias("supp_cons"),
+    )
+    out = (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_pair",
+            "supp_ante",
+            "supp_cons",
+            F.expr("CAST(supp_pair * 1000000 DIV supp_ante AS BIGINT)")
+            .alias("conf_ppm"),
+            F.expr(
+                "CAST(supp_pair * n_baskets * 1000000"
+                " DIV (supp_ante * supp_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("lift_ppm").desc(), "antecedent", "consequent"
+        )
+        .limit(_AR_TOP)
+    )
+    return out
+
+
+# --- join-size (F2) estimation via count-min sketch ------------------
+# The optimizer statistic behind shuffle-join planning: the size of a
+# self-equijoin on a key equals the second frequency moment F2 =
+# sum_k cnt(k)^2, and a count-min sketch estimates it WITHOUT holding
+# per-key state — est_d = sum_j c_d[j]^2 per depth row d, and the
+# minimum over depths is the classic CMS inner-product upper bound
+# (Cormode & Muthukrishnan 2005, join-size queries; Alon, Matias &
+# Szegedy 1996 for F2). Everything is integer: counters, squares,
+# the min, and the error in ppm — no float crosses the engines. The
+# sketch answers "how big is this join / how skewed is this key"
+# BEFORE paying for the join, which at 100 TB is the difference
+# between planning a salted join and discovering the skew in a dead
+# executor.
+
+_F2_W = 512  # CMS width (buckets per depth row)
+_F2_SEEDS = (41, 43, 47, 53, 59)  # one md5 seed per depth row
+
+
+def _f2_sql(idiv: str) -> str:
+    per_depth = "\n      UNION ALL\n".join(
+        f"""      SELECT {s} AS seed,
+             CAST('0x' || substr(md5('{s}:' ||
+                  CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % {_F2_W} AS bucket
+      FROM lineitem"""
+        for s in _F2_SEEDS
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+             CAST(MAX(c) AS BIGINT) AS max_cnt
+      FROM keyed
+    ),
+    maxkey AS (
+      SELECT MIN(l_partkey) AS max_key FROM keyed, exact
+      WHERE c = max_cnt
+    ),
+    h AS (
+{per_depth}
+    ),
+    cells AS (
+      SELECT seed, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2
+    ),
+    depths AS (
+      SELECT seed, CAST(SUM(c * c) AS BIGINT) AS f2_est_depth
+      FROM cells GROUP BY seed
+    ),
+    best AS (
+      SELECT CAST(MIN(f2_est_depth) AS BIGINT) AS f2_est FROM depths
+    )
+    SELECT d.seed, d.f2_est_depth, b.f2_est, e.f2_exact,
+           CAST((b.f2_est - e.f2_exact) * 1000000 {idiv} e.f2_exact
+                AS BIGINT) AS err_ppm,
+           e.n_rows, e.n_keys, e.max_cnt, m.max_key
+    FROM depths d, best b, exact e, maxkey m
+    ORDER BY d.seed
+"""
+
+
+@stage(
+    "join_size_cms_estimate",
+    _f2_sql("//"),
+    doc=f"Join-size (F2) estimation: the self-equijoin size on "
+    f"l_partkey, exact (sum of squared key counts) vs a {_F2_W}-wide "
+    f"x {len(_F2_SEEDS)}-deep count-min sketch's min-over-depths "
+    "inner-product bound, plus the skew witness (heaviest key) — "
+    "the integer-exact optimizer statistic that prices a shuffle "
+    "join before running it (Alon et al. 1996; Cormode & "
+    "Muthukrishnan 2005; extension).",
+)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seed, f2_est_depth, f2_est, f2_exact, err_ppm, n_rows,
+    n_keys, max_cnt, max_key) — one row per sketch depth.
+
+    Scale shape: the sketch arm explodes each row into
+    {len(_F2_SEEDS)} (seed, bucket) cells — row-local — and
+    immediately collapses into the (seed, bucket) groupBy, whose
+    aggregation state is a FIXED {len(_F2_SEEDS)}x{_F2_W} grid per
+    input partition (map-side combine); nothing key-dictionary-sized
+    ever shuffles in that arm. The exact arm (the test companion a
+    production run drops) is one map-combinable key groupBy; the
+    heaviest-key witness re-reads that dictionary-grain frame with a
+    1-row broadcast of max_cnt, min-key tiebreak. All downstream
+    frames are <= depth-count rows joined by 1-row broadcasts. CMS
+    squares stay under 2^63 while total rows < 3e9 per group of
+    interest; beyond that, production shards the sketch per
+    partition-range and sums the per-shard estimates (mergeability),
+    which this plan's per-partition partials already are.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    exact = keyed.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+        F.max("c").cast("bigint").alias("max_cnt"),
+    )
+    maxkey = (
+        keyed.crossJoin(F.broadcast(exact.select("max_cnt")))
+        .where(F.col("c") == F.col("max_cnt"))
+        .agg(F.min("l_partkey").alias("max_key"))
+    )
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("bigint").alias("seed"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{s}:"),
+                                        F.col("l_partkey").cast("string"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % _F2_W
+                    ).alias("bucket"),
+                )
+                for s in _F2_SEEDS
+            ]
+        )
+    )
+    depths = (
+        li.select(cells.alias("cell"))
+        .select("cell.seed", "cell.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("seed")
+        .agg(
+            F.sum(F.col("c") * F.col("c"))
+            .cast("bigint")
+            .alias("f2_est_depth")
+        )
+    )
+    best = depths.agg(
+        F.min("f2_est_depth").cast("bigint").alias("f2_est")
+    )
+    return (
+        depths.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(maxkey))
+        .select(
+            "seed",
+            "f2_est_depth",
+            "f2_est",
+            "f2_exact",
+            F.expr(
+                "CAST((f2_est - f2_exact) * 1000000 DIV f2_exact"
+                " AS BIGINT)"
+            ).alias("err_ppm"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "max_key",
+        )
+        .orderBy("seed")
+    )
+
+
+# --- weighted systematic (PPS) sampling ------------------------------
+# Probability-proportional-to-size sampling without floats: lay the
+# documents' weights end to end on an integer line of total length W,
+# cut it into K equal strata, and keep every document whose weight
+# interval crosses a stratum boundary (Madow 1949's systematic
+# selection). Selection and stratum id are pure integer arithmetic —
+# (cum * K) // W — so both engines pick the identical sample, unlike
+# the u^(1/w) exponential-race samplers whose pow/log boundaries can
+# flip across libm implementations. This is the deterministic
+# counterpart to the hash-gated stratified/temperature samplers
+# already registered (stratified_sample_documents,
+# temperature_mix_sources).
+
+_SYS_K = 100  # strata (expected sample size)
+_SYS_BLOCK = 256  # doc_id block width for the hierarchical prefix sum
+
+_SYS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS weight FROM documents
+    ),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM d),
+    c AS (
+      SELECT doc_id, weight,
+             CAST(SUM(weight) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_incl
+      FROM d
+    )
+    SELECT c.doc_id, c.weight,
+           CAST(c.cum_incl - c.weight AS BIGINT) AS cum_before,
+           CAST((c.cum_incl - c.weight) * {_SYS_K} // t.w_total
+                AS BIGINT) AS stratum
+    FROM c, t
+    WHERE (c.cum_incl * {_SYS_K}) // t.w_total
+          > ((c.cum_incl - c.weight) * {_SYS_K}) // t.w_total
+    ORDER BY c.doc_id
+"""
+
+
+@stage(
+    "systematic_weighted_sample",
+    _SYS_SQL,
+    doc=f"Weighted systematic (PPS) sampling: documents whose "
+    f"char-weight interval crosses one of {_SYS_K} equal cuts of the "
+    "total-weight line are selected — probability proportional to "
+    "size in pure integer arithmetic (no pow/log sampler boundary "
+    "can diverge across engines), via a hierarchical two-level "
+    "prefix sum (Madow 1949; extension).",
+)
+def systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, weight, cum_before, stratum) for selected documents.
+
+    Scale shape: the prefix sum is HIERARCHICAL — per-block
+    (doc_id DIV {_SYS_BLOCK}) partial sums first (map-combinable,
+    block-grain frame is rows/{_SYS_BLOCK}), block offsets via an
+    exclusive window over that small frame, then a within-block
+    cumulative window whose sort partitions are bounded by the block
+    width — no unpartitioned window ever sees the full document set
+    (same pattern as skyline_pareto_parts' hierarchical prefix-min;
+    at extreme scale the block frame itself gets a second level).
+    The total weight rides a 1-row broadcast; selection is a
+    truncating-integer-division comparison, bit-identical across
+    engines. cum * K stays below 2^63 while total corpus chars <
+    9.2e16 (a ~92 PB text corpus) — beyond that, widen to per-shard
+    lines.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("weight")
+    )
+    blk = (F.col("doc_id") / _SYS_BLOCK).cast("bigint").alias("blk")
+    bs = (
+        d.select(blk, "weight")
+        .groupBy("blk")
+        .agg(F.sum("weight").alias("bw"))
+    )
+    w_off = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bs.select(
+        "blk", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        d.select("doc_id", "weight", blk)
+        .join(F.broadcast(offs), "blk")
+        .withColumn(
+            "cum_incl",
+            (F.col("off") + F.sum("weight").over(w_in)).cast("bigint"),
+        )
+    )
+    t = d.agg(F.sum("weight").cast("bigint").alias("w_total"))
+    sel = (
+        cum.crossJoin(F.broadcast(t))
+        .where(
+            F.expr(f"(cum_incl * {_SYS_K}) DIV w_total")
+            > F.expr(f"((cum_incl - weight) * {_SYS_K}) DIV w_total")
+        )
+        .select(
+            "doc_id",
+            "weight",
+            (F.col("cum_incl") - F.col("weight"))
+            .cast("bigint")
+            .alias("cum_before"),
+            F.expr(
+                f"CAST(((cum_incl - weight) * {_SYS_K}) DIV w_total"
+                " AS BIGINT)"
+            ).alias("stratum"),
+        )
+        .orderBy("doc_id")
+    )
+    return sel
+
+
+# --- equi-width histogram quantile sketch ----------------------------
+# The mergeable quantile sketch in its simplest production form: a
+# fixed-bin equi-width histogram (the same family as ANALYZE TABLE
+# column histograms) whose per-bin counts combine by addition across
+# partitions, read out as approximate percentiles (first bin whose
+# cumulative count reaches the ceil-rank target). The approximate
+# answer is the bin's integer lower edge — bit-exact across engines —
+# and the exact interpolated percentile rides alongside as the test
+# companion via the established F.percentile <-> quantile_cont idiom
+# (integer cents keep it IEEE-identical).
+
+_HQ_BINS = 64
+_HQ_PCTS = (50, 90, 99)
+_HQ_CENTS = (
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0)"
+    " AS BIGINT)"
+)
+
+
+def _hq_sql(idiv: str) -> str:
+    pcts = ", ".join(f"({p})" for p in _HQ_PCTS)
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag AS flag, {_HQ_CENTS} AS cents FROM lineitem
+    ),
+    mm AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c
+    ),
+    b AS (
+      SELECT flag,
+             (cents - lo) * {_HQ_BINS} {idiv} (hi - lo + 1) AS bin
+      FROM c, mm
+    ),
+    hist AS (
+      SELECT flag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, bin, n,
+             SUM(n) OVER (PARTITION BY flag ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumn,
+             SUM(n) OVER (PARTITION BY flag) AS tot
+      FROM hist
+    ),
+    vdict AS (
+      SELECT flag, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2
+    ),
+    cumd AS (
+      SELECT flag, cents,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY flag) AS n
+      FROM vdict
+    ),
+    p AS (SELECT * FROM (VALUES {pcts}) AS v(pct)),
+    hit AS (
+      SELECT cum.flag, p.pct, cum.tot AS n_rows,
+             MIN(cum.bin) AS qbin
+      FROM cum JOIN p
+        ON cum.cumn >= (cum.tot * p.pct + 99) {idiv} 100
+      GROUP BY 1, 2, 3
+    )
+    SELECT h.flag AS l_returnflag, CAST(h.pct AS BIGINT) AS pct,
+           CAST(h.n_rows AS BIGINT) AS n_rows,
+           CAST(mm.lo + h.qbin * (mm.hi - mm.lo + 1) {idiv} {_HQ_BINS}
+                AS BIGINT) AS approx_lo_cents,
+           ROUND(ex.exact_cents, 6) AS exact_cents
+    FROM hit h
+    CROSS JOIN mm
+    JOIN (
+      SELECT lo.flag, lo.pct,
+             lo.v_lo + (lo.frac / 100.0) * (hiv.v_hi - lo.v_lo)
+               AS exact_cents
+      FROM (
+        SELECT d.flag, p.pct, MIN(d.cents) AS v_lo,
+               ((d.n - 1) * p.pct) % 100 AS frac
+        FROM cumd d JOIN p
+          ON d.cum >= ((d.n - 1) * p.pct) {idiv} 100 + 1
+        GROUP BY 1, 2, 4
+      ) lo
+      JOIN (
+        SELECT d.flag, p.pct, MIN(d.cents) AS v_hi
+        FROM cumd d JOIN p
+          ON d.cum >= ((d.n - 1) * p.pct) {idiv} 100 + 2
+        GROUP BY 1, 2
+      ) hiv ON hiv.flag = lo.flag AND hiv.pct = lo.pct
+    ) ex ON ex.flag = h.flag AND ex.pct = h.pct
+    ORDER BY l_returnflag, pct
+"""
+
+
+@stage(
+    "histogram_quantile_cents",
+    _hq_sql("//"),
+    doc=f"Mergeable equi-width histogram quantile sketch: "
+    f"{_HQ_BINS}-bin price-cents histogram per return flag, read out "
+    f"at p{'/p'.join(str(p) for p in _HQ_PCTS)} as the first bin "
+    "reaching the ceil-rank target (integer bin edges — bit-exact), "
+    "with the exact interpolated percentile as companion — the "
+    "ANALYZE-style column-stats histogram as a query (extension).",
+)
+def histogram_quantile_cents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(l_returnflag, pct, n_rows, approx_lo_cents, exact_cents).
+
+    Scale shape: the histogram is the whole point — per-partition
+    bin counts are a FIXED flags x {_HQ_BINS} grid that combines by
+    addition (map-side combine), so the data-bound work is one scan
+    plus one tiny shuffle; every window below runs on the
+    {_HQ_BINS}-rows-per-flag histogram frame. The global min/max is
+    a 1-row broadcast (production reads it from table stats). The
+    exact interpolated arm is the test companion a production run
+    drops; integer cents keep its doubles engine-identical. Readout
+    uses ceil-rank (tot * p + 99) DIV 100, all truncating integer
+    division.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(_HQ_CENTS).alias("cents"),
+    )
+    mm = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = c.crossJoin(F.broadcast(mm)).select(
+        "flag",
+        F.expr(f"(cents - lo) * {_HQ_BINS} DIV (hi - lo + 1)").alias(
+            "bin"
+        ),
+    )
+    hist = b.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = hist.withColumn("cumn", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    p = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in _HQ_PCTS])
+        ).alias("pct")
+    )
+    hit = (
+        cum.join(
+            F.broadcast(p),
+            F.col("cumn") >= F.expr("(tot * pct + 99) DIV 100"),
+        )
+        .groupBy("flag", "pct", F.col("tot").alias("n_rows"))
+        .agg(F.min("bin").alias("qbin"))
+    )
+    # Exact interpolated percentile WITHOUT buffering values: group
+    # to the (flag, cents) VALUE DICTIONARY (map-combinable; bounded
+    # by the price domain, not the row count), cumulative counts over
+    # that dictionary, then linear interpolation from pure-integer
+    # rank components — v_lo/v_hi are the values at ranks
+    # (n-1)*pct DIV 100 + 1 and + 2, frac = (n-1)*pct MOD 100.
+    w_d = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumd = (
+        c.groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_d))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("flag")))
+    )
+    lo_arm = (
+        cumd.join(
+            F.broadcast(p),
+            F.col("cum") >= F.expr("((n - 1) * pct) DIV 100 + 1"),
+        )
+        .groupBy("flag", "pct", F.expr("((n - 1) * pct) % 100").alias("frac"))
+        .agg(F.min("cents").alias("v_lo"))
+    )
+    hi_arm = (
+        cumd.join(
+            F.broadcast(p),
+            F.col("cum") >= F.expr("((n - 1) * pct) DIV 100 + 2"),
+        )
+        .groupBy("flag", "pct")
+        .agg(F.min("cents").alias("v_hi"))
+    )
+    ex = lo_arm.join(hi_arm, ["flag", "pct"]).select(
+        "flag",
+        "pct",
+        (
+            F.col("v_lo")
+            + (F.col("frac") / 100.0) * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("exact_cents"),
+    )
+    return (
+        hit.crossJoin(F.broadcast(mm))
+        .join(ex, ["flag", "pct"])
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"CAST(lo + qbin * (hi - lo + 1) DIV {_HQ_BINS}"
+                " AS BIGINT)"
+            ).alias("approx_lo_cents"),
+            F.round("exact_cents", 6).alias("exact_cents"),
+        )
+        .orderBy("l_returnflag", "pct")
+    )

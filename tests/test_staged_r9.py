@@ -615,3 +615,183 @@ def test_dp_matches_python_replay(spark, duck):
     # with 6 groups the chance every noise draw is zero is (1/3)^6;
     # if it happens the sampler is almost surely broken
     assert saw_nonzero
+
+
+# --- association rules: pure-Python Apriori replay --------------------
+
+
+def test_association_rules_matches_python_replay(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _AR_MINSUP,
+        _AR_TOP,
+        association_rules_2item,
+    )
+
+    baskets = defaultdict(set)
+    for okey, pkey in duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        baskets[okey].add(pkey)
+    supp: Counter = Counter()
+    pair: Counter = Counter()
+    for items in baskets.values():
+        for x in items:
+            supp[x] += 1
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                pair[(x, y)] += 1
+    n = len(baskets)
+    expected = []
+    for (x, y), sp in pair.items():
+        if sp < _AR_MINSUP:
+            continue
+        for a, c in ((x, y), (y, x)):
+            expected.append(
+                (
+                    a,
+                    c,
+                    sp,
+                    supp[a],
+                    supp[c],
+                    sp * 1_000_000 // supp[a],
+                    sp * n * 1_000_000 // (supp[a] * supp[c]),
+                )
+            )
+    expected.sort(key=lambda r: (-r[6], r[0], r[1]))
+    got = [
+        tuple(r) for r in association_rules_2item(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected[:_AR_TOP]
+    # confidence is a probability: never above 1e6 ppm
+    assert all(r[5] <= 1_000_000 for r in got)
+
+
+# --- CMS F2 estimate: replay + the overestimate invariant ------------
+
+
+def test_join_size_cms_matches_python_replay(spark, duck):
+    import hashlib
+
+    from autosinapi_spark.plans.staged_r9 import (
+        _F2_SEEDS,
+        _F2_W,
+        join_size_cms_estimate,
+    )
+
+    counts = dict(
+        duck.execute(
+            "SELECT l_partkey, COUNT(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    f2_exact = sum(c * c for c in counts.values())
+    ests = {}
+    for s in _F2_SEEDS:
+        buckets: Counter = Counter()
+        for k, c in counts.items():
+            h = int(
+                hashlib.md5(f"{s}:{k}".encode()).hexdigest()[:15], 16
+            )
+            buckets[h % _F2_W] += c
+        ests[s] = sum(c * c for c in buckets.values())
+    rows = join_size_cms_estimate(spark, SF_SMOKE).collect()
+    assert [r.seed for r in rows] == sorted(_F2_SEEDS)
+    best = min(ests.values())
+    for r in rows:
+        assert r.f2_exact == f2_exact
+        assert r.f2_est_depth == ests[r.seed], r.seed
+        # CMS inner-product estimates only ever overestimate
+        assert r.f2_est_depth >= f2_exact
+        assert r.f2_est == best
+        assert r.err_ppm == (best - f2_exact) * 1_000_000 // f2_exact
+        assert r.max_cnt == max(counts.values())
+        assert r.max_key == min(
+            k for k, c in counts.items() if c == r.max_cnt
+        )
+
+
+# --- systematic PPS sample: integer replay + PPS invariants ----------
+
+
+def test_systematic_sample_matches_python_replay(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _SYS_K,
+        systematic_weighted_sample,
+    )
+
+    docs = duck.execute(
+        "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
+    ).fetchall()
+    w_total = sum(w for _, w in docs)
+    expected = []
+    cum = 0
+    for did, w in docs:
+        before, cum = cum, cum + w
+        if (cum * _SYS_K) // w_total > (before * _SYS_K) // w_total:
+            expected.append(
+                (did, w, before, (before * _SYS_K) // w_total)
+            )
+    got = [
+        tuple(r)
+        for r in systematic_weighted_sample(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    # systematic PPS: at most K selections, strata strictly increase,
+    # and any document heavier than one stratum MUST be selected
+    assert len(got) <= _SYS_K
+    strata = [r[3] for r in got]
+    assert strata == sorted(strata) and len(set(strata)) == len(strata)
+    heavy = {d for d, w in docs if w * _SYS_K >= w_total}
+    assert heavy <= {r[0] for r in got}
+
+
+# --- histogram quantile sketch: replay + bracketing ------------------
+
+
+def test_histogram_quantile_matches_python_replay(spark, duck):
+    from autosinapi_spark.plans.staged_r9 import (
+        _HQ_BINS,
+        _HQ_PCTS,
+        histogram_quantile_cents,
+    )
+
+    rows = duck.execute(
+        "SELECT l_returnflag,"
+        " CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0)"
+        " AS BIGINT) FROM lineitem"
+    ).fetchall()
+    lo = min(c for _, c in rows)
+    hi = max(c for _, c in rows)
+    span = hi - lo + 1
+    by_flag = defaultdict(list)
+    for f, c in rows:
+        by_flag[f].append(c)
+    got = histogram_quantile_cents(spark, SF_SMOKE).collect()
+    assert len(got) == len(by_flag) * len(_HQ_PCTS)
+    for r in got:
+        cs = by_flag[r.l_returnflag]
+        bins = Counter((c - lo) * _HQ_BINS // span for c in cs)
+        target = (len(cs) * r.pct + 99) // 100
+        cum = 0
+        qbin = None
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= target:
+                qbin = b
+                break
+        assert r.n_rows == len(cs)
+        assert r.approx_lo_cents == lo + qbin * span // _HQ_BINS
+        # the sketch bin must BRACKET the exact ceil-rank value
+        exact_rank_val = sorted(cs)[target - 1]
+        assert (
+            r.approx_lo_cents
+            <= exact_rank_val
+            <= lo + (qbin + 1) * span // _HQ_BINS
+        )
+        # the dictionary-grain exact arm must reproduce the standard
+        # linear-interpolation quantile (numpy's default)
+        import numpy as np
+
+        assert r.exact_cents == round(
+            float(np.percentile(np.array(cs, dtype=np.int64), r.pct)), 6
+        )

@@ -127,6 +127,10 @@ QUERIES = [
     "mad_outlier_flags",  # star rollup data-bound; percentiles metric-grain
     "hll_distinct_flags",  # fixed 64-register state; no distinct pass
     "dp_noisy_counts",  # map-combinable count; noise on 6-row aggregate
+    "association_rules_2item",  # Apriori prune ahead of basket self-join
+    "join_size_cms_estimate",  # fixed 5x512 sketch grid; exact arm keyed
+    "systematic_weighted_sample",  # hierarchical prefix sum, block windows
+    "histogram_quantile_cents",  # fixed 64-bin grid; windows on histogram
 ]
 
 
