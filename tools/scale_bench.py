@@ -131,6 +131,7 @@ QUERIES = [
     "join_size_cms_estimate",  # fixed 5x512 sketch grid; exact arm keyed
     "systematic_weighted_sample",  # hierarchical prefix sum, block windows
     "histogram_quantile_cents",  # fixed 64-bin grid; windows on histogram
+    "holt_trend_forecast",  # series-grain fold; monthly agg data-bound
 ]
 
 
