@@ -1,8 +1,16 @@
 """Round-9 staged queries (extensions; built and tested in round 8).
 
-Operators finished ahead of their registration round (see also
-``cusum_changepoints``, ``data_quality_expectations`` and
-``sssp_weighted_distances`` further down):
+Operators finished ahead of their registration round. Sixteen total:
+the four below, plus (further down) ``cusum_changepoints``,
+``data_quality_expectations``, ``sssp_weighted_distances``,
+``incremental_agg_maintenance``, ``mad_outlier_flags``,
+``hll_distinct_flags`` (HyperLogLog registers),
+``dp_noisy_counts`` (DP geometric mechanism),
+``association_rules_2item`` (Apriori rules, ppm metrics),
+``join_size_cms_estimate`` (F2 via count-min, skew witness),
+``systematic_weighted_sample`` (integer PPS),
+``histogram_quantile_cents`` (mergeable histogram quantiles) and
+``holt_trend_forecast`` (level+trend smoothing, integer fold):
 
 - ``bpe_train_merges`` — full iterative BPE tokenizer training (the
   multi-round loop ``bpe_pair_merge_counts`` documents): count pairs
