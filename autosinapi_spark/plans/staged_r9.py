@@ -1,6 +1,7 @@
 """Round-9 staged queries (extensions; built and tested in round 8).
 
-Operators finished ahead of their registration round. Sixteen total:
+Operators finished ahead of their registration round. Seventeen
+total:
 the four below, plus (further down) ``cusum_changepoints``,
 ``data_quality_expectations``, ``sssp_weighted_distances``,
 ``incremental_agg_maintenance``, ``mad_outlier_flags``,
@@ -10,7 +11,8 @@ the four below, plus (further down) ``cusum_changepoints``,
 ``join_size_cms_estimate`` (F2 via count-min, skew witness),
 ``systematic_weighted_sample`` (integer PPS),
 ``histogram_quantile_cents`` (mergeable histogram quantiles) and
-``holt_trend_forecast`` (level+trend smoothing, integer fold):
+``holt_trend_forecast`` (level+trend smoothing, integer fold) and
+``ann_recall_eval`` (recall@k index evaluation in ppm):
 
 - ``bpe_train_merges`` — full iterative BPE tokenizer training (the
   multi-round loop ``bpe_pair_merge_counts`` documents): count pairs
@@ -2430,3 +2432,103 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         trd.alias("trend_cents"),
         (lvl + trd).alias("forecast_cents"),
     ).orderBy("item_codigo")
+
+
+# --- ANN index quality evaluation (recall@k as a query) --------------
+# The operator production vector stores run on a schedule: measure the
+# approximate index's recall against exact brute force on a probe set,
+# entirely in-engine. Both arms already exist as registered queries
+# (ann_lsh_topk, ann_bruteforce_topk); this composes them — the
+# ground-truth arm joins the approximate arm on (query, candidate)
+# and recall is an integer ppm ratio, so the whole evaluation is
+# engine-exact. Rank-K ties are broken by candidate id in BOTH arms,
+# so the two top-k sets are deterministic and the metric is stable.
+
+
+def _recall_sql() -> str:
+    from .similarity_queries import _BRUTE_ORACLE, _lsh_oracle
+
+    return f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_lsh_oracle()}),
+    hits AS (
+      SELECT b.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_brute,
+             CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits
+      FROM brute b
+      LEFT JOIN approx a
+        ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+      GROUP BY b.query_id
+    ),
+    macro AS (
+      SELECT CAST(SUM(n_hits * 1000000 // n_brute) // COUNT(*)
+                  AS BIGINT) AS macro_recall_ppm
+      FROM hits
+    )
+    SELECT h.query_id, h.n_brute, h.n_hits,
+           CAST(h.n_hits * 1000000 // h.n_brute AS BIGINT)
+             AS recall_ppm,
+           m.macro_recall_ppm
+    FROM hits h, macro m
+    ORDER BY h.query_id
+"""
+
+
+@stage(
+    "ann_recall_eval",
+    _recall_sql(),
+    doc="ANN index quality evaluation in-engine: the LSH arm's top-k "
+    "joined against the brute-force ground-truth top-k per probe "
+    "query, recall@k emitted as integer ppm per query plus the "
+    "macro average — the scheduled index-health measurement a "
+    "production vector store runs, composed from the two registered "
+    "ANN arms (extension).",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_brute, n_hits, recall_ppm, macro_recall_ppm).
+
+    Scale shape: inherits both arms' — the brute arm is the
+    probe-set-bounded broadcast scan (ground truth over N_QUERIES
+    probes, not all pairs), the LSH arm is the bucket-keyed
+    candidate join; the evaluation itself joins two K x N_QUERIES
+    frames (metadata scale) and aggregates to one row per probe.
+    At 100 TB the probe set stays fixed, so evaluation cost tracks
+    the index arms, not the corpus — and the brute arm is the knob
+    a production run subsamples. Integer ppm keeps the metric
+    bit-identical across engines.
+    """
+    from .similarity_queries import ann_bruteforce_topk, ann_lsh_topk
+
+    b = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    a = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("m", F.lit(1))
+    )
+    hits = (
+        b.join(a, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.count("m").cast("bigint").alias("n_hits"),
+        )
+    )
+    macro = hits.agg(
+        F.expr(
+            "CAST(SUM(n_hits * 1000000 DIV n_brute) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("macro_recall_ppm")
+    )
+    return (
+        hits.crossJoin(F.broadcast(macro))
+        .select(
+            "query_id",
+            "n_brute",
+            "n_hits",
+            F.expr(
+                "CAST(n_hits * 1000000 DIV n_brute AS BIGINT)"
+            ).alias("recall_ppm"),
+            "macro_recall_ppm",
+        )
+        .orderBy("query_id")
+    )

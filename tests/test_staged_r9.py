@@ -841,3 +841,25 @@ def test_holt_matches_python_recursion(spark, duck):
     # the trend term must actually exercise negative values somewhere,
     # or the truncating-division parity claim goes untested
     assert any(r[4] < 0 for r in got)
+
+
+# --- ANN recall eval: metric consistency invariants ------------------
+
+
+def test_ann_recall_eval_invariants(spark):
+    from autosinapi_spark.plans.similarity_queries import _TOP_K
+    from autosinapi_spark.plans.staged_r9 import ann_recall_eval
+
+    rows = ann_recall_eval(spark, SF_SMOKE).collect()
+    assert rows
+    macro = rows[0].macro_recall_ppm
+    assert all(r.macro_recall_ppm == macro for r in rows)
+    assert (
+        sum(r.recall_ppm for r in rows) // len(rows) == macro
+    )
+    for r in rows:
+        assert r.n_brute == _TOP_K
+        assert 0 <= r.n_hits <= r.n_brute
+        assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_brute
+    # a working LSH index must find SOMETHING on the probe set
+    assert any(r.n_hits > 0 for r in rows)

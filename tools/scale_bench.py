@@ -132,6 +132,7 @@ QUERIES = [
     "systematic_weighted_sample",  # hierarchical prefix sum, block windows
     "histogram_quantile_cents",  # fixed 64-bin grid; windows on histogram
     "holt_trend_forecast",  # series-grain fold; monthly agg data-bound
+    "ann_recall_eval",  # probe-set bounded; inherits the two ANN arms
 ]
 
 
