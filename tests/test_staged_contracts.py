@@ -1,0 +1,90 @@
+"""Pure-Python property tests for the staged queries' portable
+integer contracts (no Spark session): the HLL rho rank, the
+trailing-zero geometric sampler, truncating division parity, and the
+systematic-sampling boundary arithmetic. These pin the MATH the SQL
+on both engines spells out, independently of either engine."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from math import trunc
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from autosinapi_spark.plans.staged_r9 import _HLL_WBITS, _SYS_K
+
+
+def _rho_reference(w: int, bits: int) -> int:
+    """Position of the leftmost 1-bit scanning from the budget MSB."""
+    for i in range(bits - 1, -1, -1):
+        if w & (1 << i):
+            return bits - i
+    return bits + 1
+
+
+@given(st.integers(min_value=0, max_value=(1 << 54) - 1))
+def test_hll_rho_formula(w):
+    # the SQL spells rho as 55 - length(bin(w)) with a w = 0 sentinel;
+    # Python's bit_length is the same minimal-binary length
+    rho = (_HLL_WBITS + 1) - w.bit_length() if w else _HLL_WBITS + 1
+    assert rho == _rho_reference(w, _HLL_WBITS)
+
+
+def _tz_reference(h: int, cap: int) -> int:
+    if h == 0:
+        return cap
+    n = 0
+    while not (h >> n) & 1:
+        n += 1
+    return n
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+def test_dp_trailing_zero_formula(h):
+    # the SQL spells tz as length(bin(h & -h)) - 1 with an h = 0 cap
+    tz = 60 if h == 0 else (h & -h).bit_length() - 1
+    assert tz == _tz_reference(h, 60)
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_truncating_division_parity(a, b):
+    # DuckDB // and Spark DIV both truncate toward zero (verified on
+    # the engines); the Holt replay's tdiv must match that exactly
+    q = abs(a) // b
+    tdiv = -q if a < 0 else q
+    assert tdiv == trunc(Fraction(a, b))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=1, max_size=400
+    )
+)
+def test_systematic_sampling_boundary_conservation(weights):
+    # every one of the K stratum boundaries is crossed by exactly one
+    # item, so the crossing counts sum to K and any item heavier than
+    # one stratum is always selected
+    w_total = sum(weights)
+    cum = 0
+    selected = []
+    crossings = 0
+    for i, w in enumerate(weights):
+        before, cum = cum, cum + w
+        k0 = (before * _SYS_K) // w_total
+        k1 = (cum * _SYS_K) // w_total
+        if k1 > k0:
+            selected.append(i)
+            crossings += k1 - k0
+    assert crossings == _SYS_K
+    assert len(selected) <= _SYS_K
+    heavy = {
+        i for i, w in enumerate(weights) if w * _SYS_K >= w_total
+    }
+    assert heavy <= set(selected)
+    # strata ids are strictly increasing across selections
+    strata = [(sum(weights[:i]) * _SYS_K) // w_total for i in selected]
+    assert strata == sorted(strata) and len(set(strata)) == len(strata)

@@ -527,6 +527,16 @@ def test_staged_plans_are_scale_safe(spark):
         "compaction_bin_packing",
         "cusum_changepoints",
         "mad_outlier_flags",
+        # the sketch/DP/rules/fold queries must never collapse to an
+        # unpartitioned exchange either (systematic_weighted_sample's
+        # block-offset window and histogram_quantile_cents' tiny
+        # percentile frames are the sanctioned exceptions: the frames
+        # under those windows are metadata-scale by construction)
+        # (association_rules_2item keeps its sanctioned 1-row
+        # SinglePartition: the global n_baskets scalar broadcast)
+        "hll_distinct_flags",
+        "dp_noisy_counts",
+        "holt_trend_forecast",
     ):
         plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
         assert "SinglePartition" not in plan, name
