@@ -129,6 +129,11 @@ def test_no_new_unpartitioned_windows():
         # skyline bucket-boundary cumulative min over the
         # <= _SKY_BUCKETS (64) range-bucket partial mins
         "plans/olap_queries.py": 1,
+        # staged r9: PPR rank over the 100-row TakeOrdered head, and
+        # the systematic-sampling exclusive block-offset prefix sum
+        # over the rows/256 block-grain frame (the hierarchical
+        # prefix-sum pattern; a second level absorbs extreme scale)
+        "plans/staged_r9.py": 2,
     }
     pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
     found: dict[str, int] = {}
