@@ -12,6 +12,7 @@ deployment of the extended engine needs.
 from .incremental import (
     dedup_events_stream,
     incremental_append_available_now,
+    burst_close_alerts,
     running_user_totals,
     sessionized_event_stats,
     windowed_event_stats,
@@ -22,6 +23,7 @@ __all__ = [
     "incremental_append_available_now",
     "windowed_event_stats",
     "sessionized_event_stats",
+    "burst_close_alerts",
     "running_user_totals",
     "dedup_events_stream",
     "accept_batch",

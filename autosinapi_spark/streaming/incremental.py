@@ -263,3 +263,105 @@ def attributed_click_pairs(
             "lag_sec"
         ),
     )
+
+
+# --- inactivity-timeout burst close (EventTimeTimeout state) ---------
+# The stateful shape session_window CANNOT express: do something
+# CUSTOM when a key goes silent — here, emit one "burst closed by
+# inactivity" alert row per (user, burst) only once the event-time
+# watermark passes last_seen + gap. The state machine is explicit:
+# data updates the open burst and re-arms the timeout; the timeout
+# callback (state.hasTimedOut, empty input iterator) emits the close
+# record and clears state. This is the abandoned-cart / crawler-went-
+# quiet / device-offline alerting primitive.
+
+_BURST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("burst_start", T.TimestampType()),
+        T.StructField("burst_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# (burst_start_us, last_ts_us, n_events, sum_value)
+_BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_BURST_GAP_MS = 30 * 60 * 1000  # close a burst after 30 min silence
+
+
+def _burst_close_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # silence exceeded the gap: emit the close record, drop state
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "burst_start": [pd.Timestamp(start_us, unit="us")],
+                "burst_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [float(total)],
+            }
+        )
+        return
+    start_us, last_us, n, total = (
+        state.get if state.exists else (None, None, 0, 0.0)
+    )
+    for pdf in pdfs:
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        lo, hi = int(us.min()), int(us.max())
+        start_us = lo if start_us is None else min(start_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((int(start_us), int(last_us), int(n), float(total)))
+    # re-arm: fire once the WATERMARK passes last event + gap. The
+    # timestamp must sit strictly beyond the current watermark, which
+    # holds by construction (watermark <= max event time already seen).
+    state.setTimeoutTimestamp(last_us // 1000 + _BURST_GAP_MS)
+    return
+    yield  # pragma: no cover — generator marker
+
+
+def burst_close_alerts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Bursts closed by inactivity: one row per (user, burst) emitted
+    ONLY when event time moves {gap} past the user's last event.
+
+    Scale shape: state is one fixed-width tuple per ACTIVE user —
+    closed bursts leave state immediately via ``state.remove()`` and
+    the event-time timeout guarantees every silent key eventually
+    drains, so state size tracks concurrently-active users, not
+    history. The per-batch work is one hash exchange on user_id plus
+    an Arrow-batched pass per group; output mode is append (each
+    burst emitted exactly once), which downstream sinks can treat as
+    an immutable fact stream.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .select("user_id", F.col(ts_col).alias("ts"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _burst_close_fn,
+            outputStructType=_BURST_OUT_SCHEMA,
+            stateStructType=_BURST_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

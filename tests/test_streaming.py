@@ -269,3 +269,68 @@ def test_stream_stream_join_matches_batch_interval_join(
         for r in attributed_click_pairs(views, clicks).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_burst_close_fires_on_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout state machine: a burst closes ONLY once the
+    watermark (advanced by later batches) passes last_event + gap, and
+    a key with fresh data re-arms instead of closing. Three
+    AvailableNow runs over one checkpoint replay the batch sequence;
+    Spark evaluates batch N's timeouts against the watermark as of
+    the END of batch N-1, which the run boundaries make explicit."""
+    from datetime import datetime
+
+    from autosinapi_spark.streaming import burst_close_alerts
+
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def deliver(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(
+            str(landing / "*")
+        )
+        q = (
+            burst_close_alerts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # batch 1: user 1 bursts (10:00, 10:05); user 2 one event (10:00)
+    deliver(
+        [(1, t(10, 0), 1.5), (1, t(10, 5), 2.5), (2, t(10, 0), 4.0)],
+        "b1",
+    )
+    run()
+    # the parquet sink writes (empty) part files per batch; the
+    # contract is zero ROWS while the watermark is behind
+    assert spark.read.parquet(out).count() == 0
+
+    # batch 2: user 2 speaks again at 12:00 — re-arms its timeout and
+    # drags the watermark to 11:50 (10 min delay), past user 1's
+    # 10:35 deadline; the timeout itself fires NEXT batch
+    deliver([(2, t(12, 0), 8.0)], "b2")
+    run()
+
+    # batch 3: any later event forces a batch evaluated against the
+    # 11:50 watermark -> user 1's burst closes; user 2 re-armed 12:30
+    deliver([(3, t(12, 30), 0.0)], "b3")
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    assert [
+        (r.user_id, r.burst_start, r.burst_end, r.n_events, r.sum_value)
+        for r in rows
+    ] == [(1, t(10, 0), t(10, 5), 2, 4.0)]

@@ -11,6 +11,7 @@ Usage: python tools/driver_sim.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import struct
 import sys
 import time
@@ -103,12 +104,18 @@ def main():
 
     import __spark_entry__ as e
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Sweep-only escape hatch: the faithful gate stays the vanilla
+    # session (env unset), but exploratory sweeps at sf0.1 need more
+    # than the default 1g driver heap for broadcast builds.
+    mem = os.environ.get("DRIVER_SIM_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def fresh_duck():
