@@ -1,6 +1,6 @@
 """Round-9 staged queries (extensions; built and tested in round 8).
 
-Operators finished ahead of their registration round. Seventeen
+Operators finished ahead of their registration round. Twenty
 total:
 the four below, plus (further down) ``cusum_changepoints``,
 ``data_quality_expectations``, ``sssp_weighted_distances``,
@@ -11,8 +11,12 @@ the four below, plus (further down) ``cusum_changepoints``,
 ``join_size_cms_estimate`` (F2 via count-min, skew witness),
 ``systematic_weighted_sample`` (integer PPS),
 ``histogram_quantile_cents`` (mergeable histogram quantiles) and
-``holt_trend_forecast`` (level+trend smoothing, integer fold) and
-``ann_recall_eval`` (recall@k index evaluation in ppm):
+``holt_trend_forecast`` (level+trend smoothing, integer fold),
+``ann_recall_eval`` (recall@k index evaluation in ppm),
+``ols_trend_fit`` (closed-form grouped least squares, power sums),
+``chi2_independence_ppm`` (Pearson contingency test, exact integer
+terms) and ``collocation_pmi_bigrams`` (Church & Hanks PMI phrase
+mining, quantized ln over exact-integer ratios):
 
 - ``bpe_train_merges`` — full iterative BPE tokenizer training (the
   multi-round loop ``bpe_pair_merge_counts`` documents): count pairs
@@ -2538,4 +2542,397 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "macro_recall_ppm",
         )
         .orderBy("query_id")
+    )
+
+
+# --- grouped OLS trend fit (closed-form regression) ------------------
+# Per-nation linear trend of monthly revenue: the closed-form least
+# squares fit from the five power sums (n, Sx, Sy, Sxx, Sxy, Syy) —
+# the way a distributed engine fits millions of per-group regressions
+# in ONE aggregation pass (no iterative solver, no driver loop).
+# Everything stays exact integer arithmetic: x is the month index
+# since 1990-01, y is revenue in cents, the sums are DECIMAL(38,0) /
+# HUGEINT, and slope / r^2 are emitted as integer-division ppm
+# (truncation toward zero is identical in Spark DIV and DuckDB //,
+# verified including negatives and >64-bit operands; the QUOTIENT
+# must fit BIGINT — ppm values do by construction).
+
+_OLS_SQL = """
+    WITH m AS (
+      SELECT n.n_name,
+             (CAST(year(o.o_orderdate) AS BIGINT) - 1990) * 12
+               + CAST(month(o.o_orderdate) AS BIGINT) - 1 AS x,
+             CAST(SUM(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                 * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+               AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+               AS HUGEINT) AS syy
+      FROM m GROUP BY n_name
+    ),
+    f AS (
+      SELECT n_name, n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS syc
+      FROM s WHERE n * sxx - sx * sx > 0
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(sy AS BIGINT) AS sum_revenue_cents,
+           CAST((num * 1000000) // den AS BIGINT) AS slope_ppm,
+           CAST((sy * den - num * sx) // (n * den) AS BIGINT)
+             AS intercept_cents,
+           CASE WHEN syc > 0
+                THEN CAST((num * num * 1000000) // (den * syc) AS BIGINT)
+                ELSE NULL END AS r2_ppm
+    FROM f
+    ORDER BY n_name
+"""
+
+
+@stage(
+    "ols_trend_fit",
+    _OLS_SQL,
+    doc="Grouped closed-form OLS: per-nation linear trend of monthly "
+    "revenue fitted from one pass of exact integer power sums "
+    "(n, Sx, Sy, Sxx, Sxy, Syy); slope and r-squared emitted as "
+    "truncating-division ppm, bit-deterministic (extension).",
+)
+def ols_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_months, sum_revenue_cents, slope_ppm,
+    intercept_cents, r2_ppm) per nation; slope in revenue-cents ppm
+    per month against a fixed 1990-01 epoch.
+
+    Scale shape: the star rollup to nation-month grain is the only
+    data-bound stage (map-side partial sums); the regression itself
+    is a second grain-level aggregate producing five sums per group
+    — this is how an engine fits millions of per-group trends with
+    zero iteration and zero extra shuffles (the power sums combine
+    associatively). Exactness budget: every product fits
+    DECIMAL(38,0) through sf>=100 (y ~ 1e10 cents, num^2*1e6 ~
+    1e35); at extreme corpus scale the same plan runs with y demeaned
+    or in whole dollars — the sums' grain (one row per group) never
+    grows. Quotients are ppm-sized so Spark's DECIMAL DIV (BIGINT
+    result) cannot overflow.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1990)) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("o_totalprice").cast("decimal(18,2)") * 100, 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("x") * d38("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("y") * d38("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    f = s.select(
+        "n_name",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syc"),
+    ).where(F.col("den") > 0)
+    return (
+        f.select(
+            "n_name",
+            F.col("n").cast("bigint").alias("n_months"),
+            F.col("sy").cast("bigint").alias("sum_revenue_cents"),
+            F.expr("CAST((num * 1000000) DIV den AS BIGINT)").alias(
+                "slope_ppm"
+            ),
+            F.expr(
+                "CAST((sy * den - num * sx) DIV (n * den) AS BIGINT)"
+            ).alias("intercept_cents"),
+            F.expr(
+                "CASE WHEN syc > 0 THEN "
+                "CAST((num * num * 1000000) DIV (den * syc) AS BIGINT) "
+                "ELSE NULL END"
+            ).alias("r2_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- chi-square independence test (contingency table) ----------------
+# Pearson's chi-square over the order-priority x order-status
+# contingency table — the categorical drift / association test a data
+# QC layer runs beside data_quality_expectations' row-level checks.
+# Identity used: expected = r*c/N, so per-cell
+#   (obs - exp)^2 / exp  ==  (obs*N - r*c)^2 / (r*c*N)
+# which keeps EVERYTHING integer until the final truncating division
+# (ppm). The margins and N come from the 15-row cell frame itself —
+# the raw table is touched exactly once.
+
+_CHI2_SQL = """
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rp AS (SELECT priority, CAST(SUM(obs) AS HUGEINT) AS r
+           FROM cells GROUP BY priority),
+    cs AS (SELECT status, CAST(SUM(obs) AS HUGEINT) AS c
+           FROM cells GROUP BY status),
+    tot AS (SELECT CAST(SUM(obs) AS HUGEINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.priority, cells.status, cells.obs,
+             CAST((rp.r * cs.c * 1000) // tot.n AS BIGINT)
+               AS expected_milli,
+             CAST(((cells.obs * tot.n - rp.r * cs.c)
+                   * (cells.obs * tot.n - rp.r * cs.c)
+                   * 1000000) // (rp.r * cs.c * tot.n) AS BIGINT)
+               AS term_ppm
+      FROM cells
+      JOIN rp ON rp.priority = cells.priority
+      JOIN cs ON cs.status = cells.status
+      CROSS JOIN tot
+    ),
+    stat AS (SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+                    CAST(COUNT(*) AS BIGINT) AS n_cells
+             FROM terms)
+    SELECT t.priority, t.status, t.obs, t.expected_milli, t.term_ppm,
+           s.chi2_ppm, s.n_cells
+    FROM terms t CROSS JOIN stat s
+    ORDER BY t.priority, t.status
+"""
+
+
+@stage(
+    "chi2_independence_ppm",
+    _CHI2_SQL,
+    doc="Pearson chi-square independence test over the order "
+    "priority x status contingency table: per-cell exact-integer "
+    "(obs*N - r*c)^2 // (r*c*N) terms in ppm plus the summed "
+    "statistic — categorical drift detection beside "
+    "data_quality_expectations (extension).",
+)
+def chi2_independence_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, status, obs, expected_milli, term_ppm, chi2_ppm,
+    n_cells) — one row per contingency cell, the test statistic
+    repeated as a column.
+
+    Scale shape: ONE map-side-combining groupBy over the raw table
+    produces the cell frame (|priorities| x |statuses| rows =
+    cardinality-bounded, ~15); margins, N, the per-cell terms and
+    the summed statistic are all derived from that tiny frame via
+    broadcast joins — data volume enters exactly once no matter the
+    corpus size. Integer budget: obs*N fits DECIMAL(38,0) through
+    sf~100 (2e31 after squaring, x1e6 = 2e37); beyond that the same
+    plan emits the term in DOUBLE (the statistic is a float test
+    quantity anyway) — cardinality-bounded state either way.
+    Truncating division is engine-identical (see ols_trend_fit).
+    """
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rp = cells.groupBy("priority").agg(
+        F.sum("obs").cast("decimal(38,0)").alias("r")
+    )
+    cs = cells.groupBy("status").agg(
+        F.sum("obs").cast("decimal(38,0)").alias("c")
+    )
+    tot = cells.agg(F.sum("obs").cast("decimal(38,0)").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rp), "priority")
+        .join(F.broadcast(cs), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            "obs",
+            F.expr("CAST((r * c * 1000) DIV n AS BIGINT)").alias(
+                "expected_milli"
+            ),
+            F.expr(
+                "CAST(((obs * n - r * c) * (obs * n - r * c) * 1000000)"
+                " DIV (r * c * n) AS BIGINT)"
+            ).alias("term_ppm"),
+        )
+    )
+    stat = terms.agg(
+        F.sum("term_ppm").cast("bigint").alias("chi2_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(stat))
+        .orderBy("priority", "status")
+    )
+
+
+# --- PMI collocation extraction --------------------------------------
+# Pointwise mutual information over adjacent token bigrams — THE
+# classic collocation / phrase-mining statistic (Church & Hanks 1990;
+# the word2phrase step of word2vec pipelines): pmi(x,y) =
+# ln( p(x,y) / (p(x) p(y)) ) = ln( c_xy * N1^2 / (N2 * c_x * c_y) ).
+# The ratio's numerator and denominator are EXACT integers
+# (HUGEINT / DECIMAL(38,0)); one double division + ln + ROUND(6)
+# quantizes away ulp drift exactly as doc_bigram_logprob does.
+# Complements doc_bigram_logprob (conditional LM probability, per
+# doc) with the symmetric association strength (per bigram type).
+
+_PMI_MIN = 5  # minimum bigram count (Church & Hanks' sparse-count guard)
+_PMI_TOPK = 20
+
+_PMI_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.term, CAST(COUNT(*) AS HUGEINT) AS c1
+      FROM (SELECT unnest(ts) AS term FROM tok) u GROUP BY u.term
+    ),
+    n1 AS (SELECT CAST(SUM(c1) AS HUGEINT) AS n FROM uni),
+    inst AS (
+      SELECT u.bgr.w1 AS w1, u.bgr.w2 AS w2
+      FROM (SELECT list_transform(generate_series(1, len(ts) - 1),
+                                  i -> {{'w1': ts[i], 'w2': ts[i+1]}})
+                     AS bgs
+            FROM tok WHERE len(ts) >= 2) b,
+           LATERAL (SELECT unnest(bgs) AS bgr) u
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c2
+      FROM inst GROUP BY w1, w2
+    ),
+    n2 AS (SELECT CAST(SUM(c2) AS HUGEINT) AS n FROM big),
+    scored AS (
+      SELECT big.w1, big.w2,
+             CAST(big.c2 AS BIGINT) AS pair_count,
+             CAST(ca.c1 AS BIGINT) AS w1_count,
+             CAST(cb.c1 AS BIGINT) AS w2_count,
+             ROUND(ln(CAST(big.c2 * n1.n * n1.n AS DOUBLE)
+                      / CAST(n2.n * ca.c1 * cb.c1 AS DOUBLE)), 6)
+               AS pmi
+      FROM big
+      JOIN uni ca ON ca.term = big.w1
+      JOIN uni cb ON cb.term = big.w2
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE big.c2 >= {_PMI_MIN}
+    )
+    SELECT * FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+
+@stage(
+    "collocation_pmi_bigrams",
+    _PMI_SQL,
+    doc=f"PMI collocation mining (Church & Hanks 1990): top-"
+    f"{_PMI_TOPK} adjacent-token bigrams by pointwise mutual "
+    f"information with count >= {_PMI_MIN}; exact-integer ratio, "
+    "one quantized ln — the word2phrase statistic (extension).",
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, pair_count, w1_count, w2_count, pmi) — top bigrams
+    by PMI, count-filtered, tie-broken lexicographically.
+
+    Scale shape: bigram instances build ROW-LOCALLY via the
+    shifted-slice zip (no positional self-join); the unigram model
+    is vocabulary-sized and broadcast into the bigram frame; the two
+    scalar totals are broadcast 1-row aggregates. The only data-
+    bound shuffles are the two token/bigram count groupBys (map-side
+    combining, key space = vocabulary); the count>=5 filter prunes
+    the long tail BEFORE the joins, and the final top-k is a
+    TakeOrdered over the surviving types, never a global sort of the
+    corpus. Integer budget: c2*N1^2 needs >64 bits from ~sf1 —
+    hence HUGEINT / DECIMAL(38,0) on both sides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    base = docs.select("doc_id", ts.alias("ts"))
+    uni = (
+        base.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").cast("decimal(38,0)").alias("n1"))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    inst = (
+        docs.where(n >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    big = (
+        inst.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c2"))
+        .where(F.col("c2") >= _PMI_MIN)
+    )
+    n2 = inst.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n2"))
+    ca = uni.select(F.col("term").alias("w1"), F.col("c1").alias("c1a"))
+    cb = uni.select(F.col("term").alias("w2"), F.col("c1").alias("c1b"))
+    return (
+        big.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.col("c1a").cast("bigint").alias("w1_count"),
+            F.col("c1b").cast("bigint").alias("w2_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("n1") * F.col("n1")).cast("double")
+                    / (F.col("n2") * F.col("c1a") * F.col("c1b")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
     )

@@ -88,3 +88,91 @@ def test_systematic_sampling_boundary_conservation(weights):
     # strata ids are strictly increasing across selections
     strata = [(sum(weights[:i]) * _SYS_K) // w_total for i in selected]
     assert strata == sorted(strata) and len(set(strata)) == len(strata)
+
+
+# --- OLS closed form: power sums ARE the least-squares minimizer -----
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=-(10**9), max_value=10**9),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ols_power_sum_closed_form(pts):
+    # month grain => one y per x within a group
+    dedup = {}
+    for x, y in pts:
+        dedup[x] = y
+    pts = sorted(dedup.items())
+    if len(pts) < 2:
+        return  # den = 0 rows are filtered by the query
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    assert den > 0  # distinct x values guarantee positive variance
+    slope = Fraction(num, den)
+    # ppm via truncation toward zero == the engines' // and DIV
+    q = abs(num) * 10**6 // den
+    assert (-q if num < 0 else q) == trunc(slope * 10**6)
+    # the closed form is the true LS minimizer: residual orthogonality
+    b = (Fraction(sy) - slope * sx) / n
+    resid = [Fraction(y) - slope * x - b for x, y in pts]
+    assert sum(resid) == 0
+    assert sum(r * x for r, (x, _) in zip(resid, pts)) == 0
+
+
+# --- chi-square: the integer identity the SQL relies on --------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1000), min_size=2,
+                 max_size=4),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_chi2_integer_identity(table):
+    w = min(len(r) for r in table)
+    table = [r[:w] for r in table]
+    total = sum(sum(r) for r in table)
+    rows = [sum(r) for r in table]
+    cols = [sum(r[j] for r in table) for j in range(w)]
+    if total == 0 or 0 in rows or 0 in cols:
+        return  # empty margins never reach the division in-engine
+    for i, r in enumerate(table):
+        for j, obs in enumerate(r):
+            exp = Fraction(rows[i] * cols[j], total)
+            # (obs*N - r*c)^2 / (r*c*N)  ==  (obs - exp)^2 / exp
+            lhs = Fraction(
+                (obs * total - rows[i] * cols[j]) ** 2,
+                rows[i] * cols[j] * total,
+            )
+            assert lhs == (obs - exp) ** 2 / exp
+            # the emitted term is nonnegative, so floor == trunc
+            assert trunc(lhs * 10**6) == (lhs * 10**6).__floor__()
+
+
+# --- PMI: exact-integer ratio == probability form --------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1, max_value=10**9),
+)
+def test_pmi_ratio_identity(c2, cx, cy, n1, n2):
+    lhs = Fraction(c2 * n1 * n1, n2 * cx * cy)
+    rhs = Fraction(c2, n2) / (Fraction(cx, n1) * Fraction(cy, n1))
+    assert lhs == rhs

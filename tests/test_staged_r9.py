@@ -537,6 +537,10 @@ def test_staged_plans_are_scale_safe(spark):
         "hll_distinct_flags",
         "dp_noisy_counts",
         "holt_trend_forecast",
+        # every OLS aggregate is keyed by nation; the 25-row final
+        # sort is a range exchange, never a single partition
+        # (chi2/PMI keep their sanctioned 1-row scalar broadcasts)
+        "ols_trend_fit",
     ):
         plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
         assert "SinglePartition" not in plan, name
@@ -873,3 +877,140 @@ def test_ann_recall_eval_invariants(spark):
         assert r.recall_ppm == r.n_hits * 1_000_000 // r.n_brute
     # a working LSH index must find SOMETHING on the probe set
     assert any(r.n_hits > 0 for r in rows)
+
+
+# --- OLS: independent numpy least-squares replay ---------------------
+
+
+def test_ols_matches_numpy_replay(spark, duck):
+    import numpy as np
+
+    from autosinapi_spark.plans.staged_r9 import ols_trend_fit
+
+    got = {r.n_name: r for r in ols_trend_fit(spark, SF_SMOKE).collect()}
+    assert got
+    pts = duck.execute(
+        """
+        SELECT n.n_name,
+               (year(o.o_orderdate) - 1990) * 12
+                 + month(o.o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                   * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for name, x, y in pts:
+        series[name].append((x, y))
+    for name, xy in series.items():
+        if len(xy) < 2:
+            assert name not in got  # den = 0 rows are filtered
+            continue
+        xs = np.array([x for x, _ in xy], dtype=float)
+        ys = np.array([y for _, y in xy], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = got[name]
+        assert r.n_months == len(xy)
+        assert r.sum_revenue_cents == int(ys.sum())
+        # ppm truncation + float fit noise: generous absolute floor
+        assert abs(r.slope_ppm / 1e6 - slope) <= max(
+            1e-5 * abs(slope), 1e-2
+        ), name
+        assert abs(r.intercept_cents - intercept) <= max(
+            1e-5 * abs(intercept), 2.0
+        ), name
+        r2 = float(np.corrcoef(xs, ys)[0, 1] ** 2)
+        assert r.r2_ppm is not None
+        assert abs(r.r2_ppm / 1e6 - r2) <= 1e-4, name
+        assert 0 <= r.r2_ppm <= 1_000_000, name
+
+
+# --- chi-square: exact Fraction replay of every term -----------------
+
+
+def test_chi2_matches_fraction_replay(spark, duck):
+    from fractions import Fraction
+    from math import trunc
+
+    from autosinapi_spark.plans.staged_r9 import chi2_independence_ppm
+
+    rows = chi2_independence_ppm(spark, SF_SMOKE).collect()
+    assert rows
+    obs = {(r.priority, r.status): r.obs for r in rows}
+    total = sum(obs.values())
+    rp = defaultdict(int)
+    cs = defaultdict(int)
+    for (p, s), o in obs.items():
+        rp[p] += o
+        cs[s] += o
+    chi2_sum = 0
+    for r in rows:
+        rc = rp[r.priority] * cs[r.status]
+        exact = Fraction((r.obs * total - rc) ** 2, rc * total)
+        assert r.term_ppm == trunc(exact * 10**6), (r.priority, r.status)
+        exp_exact = Fraction(rc, total)
+        assert r.expected_milli == trunc(exp_exact * 1000)
+        chi2_sum += r.term_ppm
+    assert all(r.chi2_ppm == chi2_sum for r in rows)
+    assert all(r.n_cells == len(rows) for r in rows)
+    # float cross-check of the statistic itself
+    f = sum(
+        (o - rp[p] * cs[s] / total) ** 2 / (rp[p] * cs[s] / total)
+        for (p, s), o in obs.items()
+    )
+    assert abs(chi2_sum / 1e6 - f) <= len(rows) * 1e-6 + 1e-9 * abs(f)
+
+
+# --- PMI: pure-Python Counter replay ---------------------------------
+
+
+def test_pmi_matches_python_replay(spark, duck):
+    import math
+    import re as _re
+
+    from autosinapi_spark.plans.staged_r9 import (
+        _PMI_MIN,
+        _PMI_TOPK,
+        collocation_pmi_bigrams,
+    )
+
+    rows = collocation_pmi_bigrams(spark, SF_SMOKE).collect()
+    assert rows
+    texts = [
+        t for (t,) in duck.execute("SELECT text FROM documents").fetchall()
+    ]
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        ws = _re.sub(r"\s+", " ", t or "").strip().split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n1 = sum(uni.values())
+    n2 = sum(big.values())
+
+    def pmi(w1, w2):
+        c2 = big[(w1, w2)]
+        return math.log(
+            float(c2 * n1 * n1) / float(n2 * uni[w1] * uni[w2])
+        )
+
+    assert len(rows) == min(
+        _PMI_TOPK, sum(1 for c in big.values() if c >= _PMI_MIN)
+    )
+    floor_pmi = min(r.pmi for r in rows)
+    for r in rows:
+        assert big[(r.w1, r.w2)] == r.pair_count
+        assert uni[r.w1] == r.w1_count
+        assert uni[r.w2] == r.w2_count
+        assert r.pair_count >= _PMI_MIN
+        assert abs(r.pmi - pmi(r.w1, r.w2)) <= 1.5e-6
+    # top-k correctness up to the rounding quantum: nothing excluded
+    # may beat the returned floor by more than the quantum
+    returned = {(r.w1, r.w2) for r in rows}
+    if len(rows) == _PMI_TOPK:
+        for (w1, w2), c in big.items():
+            if c >= _PMI_MIN and (w1, w2) not in returned:
+                assert pmi(w1, w2) <= floor_pmi + 1.5e-6, (w1, w2)

@@ -133,6 +133,9 @@ QUERIES = [
     "histogram_quantile_cents",  # fixed 64-bin grid; windows on histogram
     "holt_trend_forecast",  # series-grain fold; monthly agg data-bound
     "ann_recall_eval",  # probe-set bounded; inherits the two ANN arms
+    "ols_trend_fit",  # star rollup data-bound; sums at group grain
+    "chi2_independence_ppm",  # one scan; cells/margins cardinality-bounded
+    "collocation_pmi_bigrams",  # vocab-keyed counts; top-k never global
 ]
 
 
