@@ -29,8 +29,21 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 WINDOW = 50
-STALE_MAX = 3  # a green older than this many rounds must re-enter
 SNAP = Path(__file__).resolve().parent / "registry_fingerprint.json"
+
+
+def stale_bound(n_queries: int) -> int:
+    """Max allowed rounds since a query's last green.
+
+    Capacity-derived, not aspirational: the driver refreshes at most
+    WINDOW queries per round, so N registered queries can only all be
+    revisited every ceil(N / WINDOW) rounds — demanding better makes
+    the check fail by arithmetic once N > 3 * WINDOW (at 189 queries
+    a fixed bound of 3 would require ~63 refresh slots per round from
+    r10 on, regardless of ordering). The floor of 3 preserves the
+    original rigor while the registry is small.
+    """
+    return max(3, -(-n_queries // WINDOW))  # ceil division
 
 
 def last_greens() -> tuple[dict[str, int], int]:
@@ -106,20 +119,21 @@ def main() -> int:
         )
         return 1
     # staleness bound: any query whose most recent green would be more
-    # than STALE_MAX rounds old at the NEXT driver check (next round =
-    # latest+1, so last_green <= latest - STALE_MAX) must be in the
-    # window now; so must any registered query with no green row ever.
+    # than stale_bound() rounds old at the NEXT driver check (next
+    # round = latest+1, so last_green <= latest - bound) must be in
+    # the window now; so must any registered query with no green ever.
     last, latest = last_greens()
+    bound = stale_bound(len(cur))
     overdue = sorted(
         n
         for n in cur
-        if last.get(n, -(10**9)) <= latest - STALE_MAX and n not in window
+        if last.get(n, -(10**9)) <= latest - bound and n not in window
     )
     if overdue:
         print(
             f"rotation: FAIL — {len(overdue)} quer"
             f"{'y' if len(overdue) == 1 else 'ies'} with last green <= "
-            f"r{latest - STALE_MAX} (or never green) outside the "
+            f"r{latest - bound} (or never green) outside the "
             f"first-{WINDOW} window: {', '.join(overdue)}"
         )
         return 1
@@ -127,12 +141,12 @@ def main() -> int:
     n_stale_in = sum(
         1
         for n in set(list(cur)) & window
-        if last.get(n, -(10**9)) <= latest - STALE_MAX
+        if last.get(n, -(10**9)) <= latest - bound
     )
     print(
         f"rotation: ok — {n_changed} changed/new queries, all inside "
         f"the first-{WINDOW} window; {n_stale_in} overdue-stale "
-        f"(<= r{latest - STALE_MAX}) refreshed in-window"
+        f"(<= r{latest - bound}, bound = {bound}) refreshed in-window"
     )
     return 0
 
