@@ -176,3 +176,20 @@ def test_pmi_ratio_identity(c2, cx, cy, n1, n2):
     lhs = Fraction(c2 * n1 * n1, n2 * cx * cy)
     rhs = Fraction(c2, n2) / (Fraction(cx, n1) * Fraction(cy, n1))
     assert lhs == rhs
+
+
+# --- rotation staleness bound: capacity arithmetic -------------------
+
+
+@given(st.integers(min_value=1, max_value=2000))
+def test_rotation_stale_bound_is_feasible(n):
+    # the bound must be large enough that refreshing every query
+    # within it never demands more than WINDOW slots per round on
+    # average, and must keep the floor-3 rigor for small registries
+    from tools.rotation_check import WINDOW, stale_bound
+
+    b = stale_bound(n)
+    assert b >= 3
+    assert b * WINDOW >= n  # avg refresh demand n/b fits the window
+    if n > 3 * WINDOW:
+        assert b == -(-n // WINDOW)  # exactly the capacity bound
