@@ -183,3 +183,28 @@ def test_bin_shift_lowbit_parity(spark, duck):
     # bin() is minimal-length in both: lb == bit_length (0 -> '0')
     for i, h, _ in rows:
         assert s[i][0] == (h.bit_length() if h else 1)
+
+
+def test_double_round_and_ln_quantization_parity(spark, duck):
+    # the davg / ratio / logprob emission pattern: a double quotient
+    # (or ln of an exact-integer ratio) quantized with ROUND(x, 6).
+    # Engines must agree bit-exactly WHEN the unrounded values agree
+    # bit-exactly — i.e. ROUND(double, n) and ln(double) are the same
+    # functions in both. Values stay inside the magnitude rule
+    # (|x| * 1e6 < 2^53).
+    rng = random.Random(55117)
+    rows = [
+        (i, rng.randint(1, 10**9), rng.randint(1, 10**9))
+        for i in range(4000)
+    ]
+    _register(spark, duck, rows, "id long, a long, b long", "id, a, b", "lv")
+    q = (
+        "SELECT id, "
+        "ROUND(CAST(a AS DOUBLE) / CAST(b AS DOUBLE), 6) AS r, "
+        "ROUND(ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 6) AS l "
+        "FROM lv"
+    )
+    s = {r["id"]: (_bits(r["r"]), _bits(r["l"]))
+         for r in spark.sql(q).collect()}
+    d = {i: (_bits(r), _bits(l)) for i, r, l in duck.execute(q).fetchall()}
+    assert s == d
