@@ -1069,7 +1069,10 @@ def sssp_weighted_distances(
     (never all-pairs) plus one (seed, node) min-combine groupBy,
     both partial-aggregated; the distance frame is node-sized, the
     edge frame is built once (basket-local pair expansion, one
-    shuffle) and reused every round. localCheckpoint per round caps
+    shuffle), checkpoint-pinned pre-partitioned on the join key
+    ``src`` (the pagerank ``edges_deg`` pattern — each round's
+    relaxation join moves only the node-sized distance frame) and
+    reused every round. localCheckpoint per round caps
     lineage exactly like the BFS/k-core loops. The round count is a
     compile-time constant; an unbounded SSSP runs the same loop to a
     driver-side fixed-point check. Weights and distances are pure
@@ -1099,7 +1102,7 @@ def sssp_weighted_distances(
         und.select(F.col("u").alias("src"), F.col("v").alias("dst"), w)
         .unionByName(
             und.select(F.col("v").alias("src"), F.col("u").alias("dst"), w)
-        )
+        ).repartition("src")
     )
     nodes = wed.select(F.col("src").alias("x")).distinct()
     seeds = nodes.orderBy("x").limit(_SSSP_SEEDS)

@@ -26,6 +26,7 @@ Prints one line per (query, sf) plus the sf1/sf0.1 ratio.
 
 from __future__ import annotations
 
+import gc
 import sys
 import time
 from pathlib import Path
@@ -255,7 +256,15 @@ def main() -> int:
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        # drop lingering frame refs so the ContextCleaner can release
+        # localCheckpoint blocks before the next measurement (the
+        # bench.py lesson): at sf1 the graph queries each pin
+        # edge-sized block sets against the 16g local-mode heap, and
+        # without the release later rows in one session inflate 3-5x
+        # from eviction/spill pressure, not from their own plans.
+        gc.collect()
+        return wall
 
     # warm-up pass at sf0.1 so neither scale pays JVM/codegen cold start
     for name in queries:
