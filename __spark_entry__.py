@@ -97,8 +97,12 @@ _PRIORITY: tuple[str, ...] = (
     # hypothesis-pinned against pandas merge_asof in all three
     # directions, unpivot + keep-first are both exercised by other
     # in-window queries, and latest_per_group's rewrite is covered
-    # in-window by its canonical consumer latest_event_per_user.)
-    "sink_upsert_catalog",
+    # in-window by its canonical consumer latest_event_per_user.
+    # Late r8: pagerank took sink_upsert_catalog's slot — its AQE
+    # partitioning-claim correction made it changed-code, while the
+    # upsert sink sits in the tail pool with an r7 green and full
+    # test_sinks coverage.)
+    "item_cooccurrence_pagerank",
     "latest_event_per_user",
     # (c) stale-green refresh, oldest cohort first: the full r4 set —
     # rotation_check now enforces a max-3-round staleness bound
@@ -234,7 +238,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_gap_fill",
     "hard_negative_mining",
     "inverted_index_postings",
-    "item_cooccurrence_pagerank",
+    "sink_upsert_catalog",
     "item_price_history",
     "kcore_item_graph",
     "min_cost_supplier_per_part",

@@ -151,9 +151,15 @@ def item_cooccurrence_pagerank(
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Attach outdeg ONCE and pin the edge partitioning to src: every
-    # iteration's join then reuses the static big side in place and
-    # only the (id, pr) frame — node-sized, not edge-sized — moves.
+    # Attach outdeg ONCE and materialize the checkpoint pre-balanced
+    # on src at the canonical partition width. NOTE (r8 correction,
+    # pinned in tests/test_plan_shapes.py): under AQE localCheckpoint
+    # does NOT retain outputPartitioning (the captured adaptive plan
+    # reports unknown partitioning), so this is NOT a per-iteration
+    # shuffle elision on this engine — the iteration joins still
+    # exchange both sides (or AQE broadcasts the node-sized ranks
+    # frame at runtime); on an AQE-off session the pin removes the
+    # edge-side exchange outright.
     edges_deg = (
         edges.join(deg, "src")
         .repartition("src")
@@ -751,11 +757,14 @@ def label_propagation_communities(
     pinning) every earlier round's lineage would re-derive per round
     (the 2^rounds recompute trap). The symmetrized edge list reuses
     the checkpointed undirected edges, so the reversal does not run
-    the basket expansion twice, and is checkpoint-pinned
-    pre-partitioned on the join key ``v`` (the pagerank ``edges_deg``
-    pattern): every round's neighbor join then shuffles only the
-    node-sized label frame — the edge-sized side moves once for the
-    whole query, not once per round.
+    the basket expansion twice, and is materialized pre-balanced on
+    the join key ``v`` at the canonical partition width (the
+    symmetrizing union otherwise doubles the partition count).
+    NOTE (r8, pinned in tests/test_plan_shapes.py): under AQE,
+    localCheckpoint does NOT retain outputPartitioning, so this is a
+    layout/balance win (measured ~5-25% across scales, lower
+    variance), not a per-round shuffle elision; AQE-off sessions do
+    keep the partitioning and skip the per-round edge exchange.
     """
 
     def _ck(df: DataFrame) -> DataFrame:
@@ -865,11 +874,15 @@ def bfs_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     compile-time constant, so the whole plan is _BFS_HOPS joins —
     no driver-side convergence loop at bench scale; an unbounded
     BFS would check frontier emptiness per round instead. The
-    symmetric edge list is checkpoint-pinned pre-partitioned on the
-    join key ``src`` (the pagerank ``edges_deg`` pattern): each
-    hop's expansion join then shuffles only the frontier — the
-    edge-sized side moves once for the whole query, not once per hop
-    (13.5s -> 7.9s warm min-of-2 at sf0.1).
+    symmetric edge list is materialized pre-balanced on the join key
+    ``src`` at the canonical partition width (the symmetrizing union
+    otherwise doubles the partition count). NOTE (r8, pinned in
+    tests/test_plan_shapes.py): under AQE, localCheckpoint does NOT
+    retain outputPartitioning, so this is a layout/balance win
+    (interleaved min-of-4 at sf0.1: 7.3s unpinned vs 6.5s pinned,
+    much lower variance), not a per-hop shuffle elision; AQE-off
+    sessions do keep the partitioning and skip the per-hop edge
+    exchange.
     """
 
     def _ck(df: DataFrame) -> DataFrame:

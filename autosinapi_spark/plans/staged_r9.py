@@ -1069,10 +1069,12 @@ def sssp_weighted_distances(
     (never all-pairs) plus one (seed, node) min-combine groupBy,
     both partial-aggregated; the distance frame is node-sized, the
     edge frame is built once (basket-local pair expansion, one
-    shuffle), checkpoint-pinned pre-partitioned on the join key
-    ``src`` (the pagerank ``edges_deg`` pattern — each round's
-    relaxation join moves only the node-sized distance frame) and
-    reused every round. localCheckpoint per round caps
+    shuffle), materialized pre-balanced on the join key ``src`` at
+    the canonical partition width, and reused every round — under
+    AQE this is a layout/balance win, not a per-round shuffle
+    elision, because localCheckpoint does not retain
+    outputPartitioning (r8 engine boundary, pinned in
+    tests/test_plan_shapes.py). localCheckpoint per round caps
     lineage exactly like the BFS/k-core loops. The round count is a
     compile-time constant; an unbounded SSSP runs the same loop to a
     driver-side fixed-point check. Weights and distances are pure

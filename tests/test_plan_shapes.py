@@ -234,3 +234,58 @@ def test_kcore_rounds_are_keyed_joins(spark):
     plan = _plan(kcore_item_graph(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_localcheckpoint_partitioning_survives_only_without_aqe(spark):
+    """Engine boundary (found r8, the test_engine_parity spirit):
+    ``Dataset.localCheckpoint`` captures the executed plan's
+    outputPartitioning into LogicalRDD — but under AQE the captured
+    plan is AdaptiveSparkPlanExec, whose partitioning is UNKNOWN at
+    capture time, so the pinned layout is lost and a downstream join
+    re-exchanges the checkpointed side (2 exchanges). With AQE off
+    the partitioning survives and the join exchanges only the probe
+    side (1 exchange). Consequence for the iterative graph queries
+    (pagerank, BFS, LPA, SSSP): their
+    ``.repartition(join_key).localCheckpoint()`` edge frames are NOT
+    a per-round shuffle elision on this AQE-on engine — the measured
+    benefit (interleaved min-of-4 at sf0.1: BFS 7.3s unpinned vs
+    6.5s pinned, and much lower variance) comes from materializing
+    the checkpoint pre-balanced at the canonical partition width
+    (the symmetrizing union otherwise doubles the partition count);
+    on an AQE-off session the pin additionally removes the per-round
+    edge-side exchange outright, which this test pins."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        counts = {}
+        for aqe_on in (True, False):
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", str(aqe_on).lower()
+            )
+            edges = (
+                spark.range(0, 1000)
+                .select(
+                    (F.col("id") % 97).alias("src"),
+                    (F.col("id") % 89).alias("dst"),
+                )
+                .repartition("src")
+                .localCheckpoint(eager=False)
+            )
+            frontier = spark.range(0, 10).select(
+                F.col("id").alias("node")
+            )
+            plan = _plan(
+                frontier.join(edges, frontier["node"] == edges["src"])
+            )
+            counts[aqe_on] = plan.count("Exchange hashpartitioning")
+        assert counts[True] == 2, counts  # AQE drops the partitioning
+        assert counts[False] == 1, counts  # non-AQE preserves it
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
