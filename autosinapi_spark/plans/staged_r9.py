@@ -334,8 +334,10 @@ def personalized_pagerank_nation(
 
     Scale shape: identical to ``item_cooccurrence_pagerank`` — basket-
     local k^2 pair expansion (one shuffle), edges+outdeg materialized
-    once and pinned to src partitioning, each iteration one keyed
-    join + one partial-aggregated groupBy moving only (id, long)
+    once, pre-balanced on src (under AQE a layout win, not a shuffle
+    elision — localCheckpoint drops outputPartitioning, the r8
+    boundary pinned in tests/test_plan_shapes.py), each iteration one
+    keyed join + one partial-aggregated groupBy moving only (id, long)
     frames — plus one broadcast-sized seed semi-structure: the seed
     flag is attached to the node frame ONCE (node-sized left join,
     reused every round via localCheckpoint), never recomputed. The
