@@ -749,9 +749,15 @@ def label_propagation_communities(
     integer PageRank.
 
     Scale shape: per round, one vertex-keyed equi-join (neighbor
-    labels) + one (vertex, label)-keyed count + one vertex-partitioned
-    window — all hash-partitionable, no vertex ever holds more state
-    than one label. Rounds are BOUNDED (fixed iterations, like the
+    labels) + ONE explicit exchange on the vertex that serves both
+    the (vertex, label) count and the per-vertex argmax
+    (HashPartitioning(u) satisfies ClusteredDistribution(u, lab), so
+    both aggregates run partition-local; initial labels are unique
+    per vertex, so the (u, lab) partial aggregate has nothing to
+    combine and the explicit single shuffle strictly beats the
+    planner's two) — no vertex ever holds more state than one label,
+    and per-vertex row volume is degree-bounded, so the u-hash
+    layout cannot hot-spot worse than the count itself. Rounds are BOUNDED (fixed iterations, like the
     PageRank and k-core operators) and each round's labels are
     localCheckpoint-pinned: labels feed both the join and (without
     pinning) every earlier round's lineage would re-derive per round
@@ -780,10 +786,21 @@ def label_propagation_communities(
         "v", F.col("v").alias("lab")
     )
     for _ in range(_LPA_ROUNDS):
-        nl = sym.join(
-            labels.select(F.col("v").alias("nbr"), "lab"),
-            sym["v"] == F.col("nbr"),
-        ).select(F.col("u"), F.col("lab"))
+        # One explicit exchange on u serves BOTH aggregates below:
+        # HashPartitioning(u) satisfies ClusteredDistribution(u, lab)
+        # (partitioning exprs ⊆ clustering exprs), so the (u, lab)
+        # count and the per-u argmax both run partition-local — one
+        # edge-sized shuffle per round instead of two (plan-checked:
+        # the round is 2 exchanges total incl. the label-join side;
+        # measured 10.1s -> 5.7s interleaved min-of-3 at sf0.1).
+        nl = (
+            sym.join(
+                labels.select(F.col("v").alias("nbr"), "lab"),
+                sym["v"] == F.col("nbr"),
+            )
+            .select(F.col("u"), F.col("lab"))
+            .repartition("u")
+        )
         cnt = nl.groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c"))
         # argmax as max_by over an orderable struct instead of a
         # row_number window: same (count DESC, label ASC) winner —

@@ -2400,7 +2400,9 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ordered array per part, built by array_sort(collect_list)
     inside a part-keyed aggregate whose input is already month-grain
     (the second exchange moves part-month rows, ~1/30th of the fact
-    table — measured 3.4x at 10x data, the monthly-rollup arm).
+    table — measured 1.4x at 10x data on the block-release min-of-2
+    harness, the monthly-rollup arm; the earlier 3.4x carried the
+    scale_bench block-pressure artifact fixed in r8).
     Series length is bounded by the calendar (84 months in
     the fixture; any real deployment is a few hundred), so per-row
     fold state is O(1) strings. The recursion is exact integer
