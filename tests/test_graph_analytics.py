@@ -229,3 +229,37 @@ def test_bfs_khop_python_replay(spark):
         for n, d in dist.items():
             want[(s, n)] = d
     assert got == want
+
+
+def test_label_propagation_python_replay(spark):
+    """Synchronous LPA replayed in plain Python over the same
+    undirected basket edges: init label = vertex id; each round every
+    vertex adopts its neighbors' most frequent label with the
+    (count DESC, label ASC) tiebreak, all updates simultaneous. This
+    is the engine-free double-entry for the unrolled-CTE oracle, and
+    it pins the r8 single-exchange rewrite (repartition(u) serving
+    both round aggregates) to the textbook recursion."""
+    from collections import Counter
+
+    from autosinapi_spark.plans.graph_analytics_queries import (
+        _LPA_ROUNDS,
+        label_propagation_communities,
+    )
+
+    got = {
+        r.part_key: r.community
+        for r in label_propagation_communities(spark, SF_SMOKE).collect()
+    }
+    _, edges = _lineitem_pairs(spark)  # symmetric (a, b) pairs, a != b
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    lab = {v: v for v in adj}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            c = Counter(lab[n] for n in nbrs)
+            # max count first, then smallest label
+            nxt[v] = min(c, key=lambda L: (-c[L], L))
+        lab = nxt
+    assert got == lab
