@@ -45,6 +45,7 @@ def _registry():
     import autosinapi_spark.plans.tpch_gap_queries  # noqa: F401
     import autosinapi_spark.plans.streaming_queries  # noqa: F401
     import autosinapi_spark.plans.behavior_queries  # noqa: F401
+    import autosinapi_spark.plans.staged_r9  # noqa: F401
 
     return _prioritized(registry.REGISTRY)
 
@@ -56,82 +57,48 @@ def _registry():
 # (b) queries whose code changed this round, then (c) long-green rows
 # as filler. Anything not listed keeps registration order at the end.
 _PRIORITY: tuple[str, ...] = (
-    # ---- r8 front window (first 50 = the driver's correctness window;
-    # composition enforced by tools/rotation_check.py) ----
-    # (a) new this round — never driver-checked
-    "skyline_pareto_parts",
-    "item_price_ewma",
-    "distinct_kmv_orders",
-    "kmv_set_overlap",
-    "zorder_skipping_stats",
-    "bfs_khop_distances",
-    "ann_sq8_topk",
-    "hybrid_search_rrf",
-    "ann_imi_pq_topk",
-    "inverted_index_postings_full",
-    "item_cooccurrence_triangles_oriented",
-    "decontaminate_bloom_prefilter",
-    "label_propagation_communities",
-    "asof_nearest_quote",
-    "mmr_diverse_sample",
-    "inverted_index_positional",
-    "phrase_match_positional",
+    # ---- r9 front window (first 50 = the driver's correctness window;
+    # composition enforced by tools/rotation_check.py; docs/R9_PLAN.md) ----
+    # (a) the 20 queries flipped from plans/staged_r9 — never
+    # driver-checked (built + oracle-tested + scale-measured in r8)
+    "ann_recall_eval",
+    "association_rules_2item",
+    "bpe_train_merges",
+    "chi2_independence_ppm",
+    "collocation_pmi_bigrams",
+    "compaction_bin_packing",
+    "cusum_changepoints",
+    "data_quality_expectations",
+    "dp_noisy_counts",
+    "histogram_quantile_cents",
+    "hll_distinct_flags",
+    "holt_trend_forecast",
+    "incremental_agg_maintenance",
+    "join_size_cms_estimate",
+    "mad_outlier_flags",
+    "ols_trend_fit",
+    "personalized_pagerank_nation",
+    "sssp_weighted_distances",
+    "streaming_kmv_distinct",
+    "systematic_weighted_sample",
+    # (b) the 6 manual promotions demoted in late r8 (shared-helper
+    # rule carry-over; 3 are r5-green, 3 r7-green)
+    "sinapi_cost_lookup_q1",
+    "item_cooccurrence_triangles",
+    "snapshot_diff_cdc",
+    "asof_next_quote",
+    "sinapi_unpivot_precos",
+    "user_status_sync",
+    # (b2) r9 changed-code manual promotions: derive_lsh_params now
+    # mirrors the oracle's FLOOR(log2+0.5) literally (helper-level
+    # edit — the fingerprint can't see it, so its two consumers are
+    # promoted by hand per the rotation rule)
     "ann_lsh_topk_auto",
-    "ann_lsh_topk",
-    # (b) code/oracle changed this round (incl. manual promotions for
-    # shared-helper refactors the fingerprint can't see: the triangles
-    # edge-build/intersect factor-out, the snapshot_diff marker guard)
-    "zorder_layout_keys",
-    "ann_imi_topk",
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    # dedup_keep_first rewrite (min/max_by) consumers not already
-    # in-window — the shared-helper manual-promotion rule. (The 5
-    # late-r8 additions took three promotion slots back: the shared
-    # triangle helpers are exercised in-window by the oriented
-    # variant + an identical-counts test, snapshot_diff's r8 change
-    # was input-validation only, and dedup_keep_first is covered
-    # in-window by dedup_first_item_per_order + sink_upsert_catalog.)
-    # (asof_next_quote, sinapi_unpivot_precos, and user_status_sync
-    # gave their slots to the late-r8 additions: the as-of pair is
-    # hypothesis-pinned against pandas merge_asof in all three
-    # directions, unpivot + keep-first are both exercised by other
-    # in-window queries, and latest_per_group's rewrite is covered
-    # in-window by its canonical consumer latest_event_per_user.
-    # Late r8: pagerank took sink_upsert_catalog's slot — its AQE
-    # partitioning-claim correction made it changed-code, while the
-    # upsert sink sits in the tail pool with an r7 green and full
-    # test_sinks coverage.)
-    "item_cooccurrence_pagerank",
-    "latest_event_per_user",
-    # (c) stale-green refresh, oldest cohort first: the full r4 set —
-    # rotation_check now enforces a max-3-round staleness bound
-    "customer_revenue_moving_avg",
-    "dedup_first_item_per_order",
-    "doc_bpe_token_count",
-    "doc_char_entropy",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_ngram_profile",
-    "doc_quality_score",
-    "doc_simhash",
-    "doc_token_count",
-    "doc_winnow_fingerprint",
-    "embedding_label_centroids",
-    "events_json_extract",
-    "exact_dedup_documents",
-    "filter_parent_rows",
-    "hourly_event_stats",
-    "key_domain_union",
-    "monthly_order_revenue",
-    "near_dedup_ngram_jaccard",
-    "normalize_text_codes",
-    "orphan_check_facts",
-    "pivot_qty_by_status",
-    "sliding_event_stats",
-    "union_view_itens",
-    "unpivot_qty_by_status",
-    # (d) oldest r5 rows as remaining fill
+    "near_dedup_embedding",
+    # (c) stale fill — the 22 oldest r5-green rows that fit (the two
+    # displaced by (b2), near_dedup_minhash + pii_redact_documents,
+    # lead the tail pool and MUST take r10 window slots — they hit
+    # the staleness bound then; see docs/R10_PLAN.md)
     "asof_latest_quote",
     "bm25_doc_ranking",
     "bom_cost_rollup",
@@ -142,34 +109,24 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_resolution",
     "dedup_lines_c4",
     "doc_length_quantiles",
-    # ---- tail: refresh pool, oldest green first (rest of r5, then r6,
-    # then r7) so a wider driver window always refreshes stalest next ----
-    # (head of pool: the three manual promotions displaced by the
-    # late-r8 additions — first to re-enter in r9)
-    "sinapi_cost_lookup_q1",
-    "item_cooccurrence_triangles",
-    "snapshot_diff_cdc",
-    "asof_next_quote",
-    "sinapi_unpivot_precos",
-    "user_status_sync",
     "doc_mixed_language",
     "doc_repetition_filter",
     "doc_similarity_topk",
     "embedding_pq_codes",
     "event_rate_anomalies",
     "heavy_hitter_tokens",
-    "latest_event_per_user",
     "media_binary_stats",
     "media_decode_stats",
     "media_feature_extract",
     "media_frame_sample",
     "missing_parts_placeholder",
     "near_dedup_incremental",
+    # ---- tail: refresh pool, oldest green first (r5 remainder, then
+    # r6/r7/r8 cohorts) so a wider driver window always refreshes the
+    # stalest rows next; order regenerated mechanically at the r9 flip ----
     "near_dedup_minhash",
     "pii_redact_documents",
     "range_join_windows",
-    "sinapi_cost_lookup_q1",
-    "sinapi_unpivot_precos",
     "skew_salted_join",
     "split_train_holdout",
     "sql_text_item_history",
@@ -177,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_mix_sources",
     "tfidf_top_terms",
     "url_domain_stats",
-    "user_status_sync",
     "bracket_revenue_disjunctive",
     "chunk_documents_stride",
     "cluster_balanced_sample",
@@ -219,9 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "top_unshipped_orders",
     "user_retention_cohorts",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     "ann_pq_adc_topk",
-    "asof_next_quote",
     "bpe_pair_merge_counts",
     "coercion_ptbr_roundtrip",
     "cost_lookup",
@@ -238,12 +192,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_gap_fill",
     "hard_negative_mining",
     "inverted_index_postings",
-    "sink_upsert_catalog",
     "item_price_history",
     "kcore_item_graph",
     "min_cost_supplier_per_part",
     "nation_pair_trade_volume",
-    "near_dedup_embedding",
     "part_revenue_concentration",
     "perplexity_buckets",
     "pricing_summary",
@@ -262,10 +214,61 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_session_replay",
     "supplier_count_by_part_attrs",
     "user_growth_curve",
+    "ann_imi_pq_topk",
+    "ann_imi_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "asof_nearest_quote",
+    "bfs_khop_distances",
+    "customer_revenue_moving_avg",
+    "decontaminate_bloom_prefilter",
+    "dedup_first_item_per_order",
+    "distinct_kmv_orders",
+    "doc_bpe_token_count",
+    "doc_char_entropy",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_ngram_profile",
+    "doc_quality_score",
+    "doc_simhash",
+    "doc_token_count",
+    "doc_winnow_fingerprint",
+    "embedding_label_centroids",
+    "events_json_extract",
+    "exact_dedup_documents",
+    "filter_parent_rows",
+    "hourly_event_stats",
+    "hybrid_search_rrf",
+    "inverted_index_positional",
+    "inverted_index_postings_full",
+    "item_cooccurrence_pagerank",
+    "item_cooccurrence_triangles_oriented",
+    "item_price_ewma",
+    "key_domain_union",
+    "kmv_set_overlap",
+    "label_propagation_communities",
+    "latest_event_per_user",
+    "mmr_diverse_sample",
+    "monthly_order_revenue",
+    "near_dedup_ngram_jaccard",
+    "normalize_text_codes",
+    "orphan_check_facts",
+    "phrase_match_positional",
+    "pivot_qty_by_status",
+    "skyline_pareto_parts",
+    "sliding_event_stats",
+    "union_view_itens",
+    "unpivot_qty_by_status",
+    "zorder_layout_keys",
+    "zorder_skipping_stats",
 )
 
 
 def _prioritized(reg: dict) -> dict:
+    # duplicates would silently distort the rotation order (dict
+    # construction keeps only the first occurrence) — fail loud instead
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
     ordered = {n: reg[n] for n in _PRIORITY if n in reg}
     ordered.update((n, s) for n, s in reg.items() if n not in ordered)
     return ordered

@@ -128,10 +128,16 @@ def derive_lsh_params(
     import math
 
     n = max(int(n_vectors), 1)
+    # floor(x + 0.5), not round(): the oracles pin FLOOR(LOG2(..)+0.5)
+    # (half-up), while Python round() is banker's at .5. log2(n/t) is
+    # never exactly .5 for rational n/t mathematically, but at corpus
+    # sizes beyond ~2^48 the DOUBLE log2 can land on an exact .5 ulp,
+    # where the two conventions pick different bit widths — mirror the
+    # SQL literally (same convention as the IVF/IMI k-sizing helpers).
     bits = (
         min_bits
         if n <= target_bucket
-        else round(math.log2(n / target_bucket))
+        else math.floor(math.log2(n / target_bucket) + 0.5)
     )
     bits = max(min_bits, min(max_bits, bits))
     tables = max(min_tables, 1 + bits // 4)

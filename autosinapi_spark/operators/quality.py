@@ -65,8 +65,17 @@ def expectations_report(
         )
         names.append(name)
     for j, (name, keys) in enumerate(unique_checks):
-        aggs.append(F.count_distinct(*[F.col(k) for k in keys])
-                    .cast("long").alias(f"__u{j}"))
+        # count_distinct over a STRUCT, not the bare columns: the
+        # multi-arg form skips any row where ANY key column is NULL
+        # (so one NULL-keyed row would read as a violation), while a
+        # struct of NULL fields is itself non-NULL and is counted —
+        # matching DuckDB's COUNT(DISTINCT (a, b)) row-tuple
+        # semantics and the "rows beyond the first per duplicate key
+        # tuple" contract above. NULL key tuples dedup like any other.
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+            .cast("long").alias(f"__u{j}")
+        )
     metrics = df.agg(*aggs)
     for j, (name, _) in enumerate(unique_checks):
         metrics = metrics.withColumn(

@@ -1663,20 +1663,24 @@ def _ivf_pq_oracle() -> str:
     """
 
 
-@register(
-    "ann_ivf_pq_topk",
-    _ivf_pq_oracle(),
-    doc="IVF-PQ ANN: coarse codebook routes each vector to one cell, "
-    f"queries probe their {_IVFPQ_PROBES} nearest cells, candidates "
-    "inside probed cells are scored by PQ asymmetric distance "
-    f"(per-query LUT), ADC top-{_IVFPQ_R} shortlist, exact cosine "
-    "rerank to top-5 — the composition deployed ANN indexes use "
-    "(Jegou et al. 2011; extension).",
-)
+# DEREGISTERED in round 9 (was `ann_ivf_pq_topk`, r8-green): the flat
+# coarse assignment ranks N vectors against sqrt(N) cells — O(N^1.5)
+# dot products, measured 9.6x wall at 10x data (README scale table) —
+# so a user reaching for "the IVF-PQ query" must land on the
+# scale-safe `ann_imi_pq_topk` (IMI coarse, O(N^1.25), identical ADC
+# tail) instead. Kept as an importable measured CONTRAST row:
+# tests/test_ann.py pins it against its DuckDB oracle + the brute
+# force baseline, and tools/scale_bench.py still measures it (added
+# to the query map explicitly) so the O(N^1.5)-vs-O(N^1.25) story
+# stays backed by numbers.
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sub-linear ANN shape: IVF prunes the corpus to ~P/K of its
+    """Flat-IVF + PQ contrast row (UNREGISTERED — see note above;
+    production path: ``ann_imi_pq_topk``).
+
+    The sub-linear ANN shape: IVF prunes the corpus to ~P/K of its
     cells BEFORE any distance math, then ADC scores only those
-    candidates from 8-byte codes.
+    candidates from 8-byte codes — but stage 1's flat assignment is
+    O(N^1.5) and does not survive a 100x scale-up.
 
     Scale shape: both codebooks ride broadcasts (coarse: K_c ~ sqrt(N)
     structs; PQ LUT: queries x M x K rounded distances). Assignment is

@@ -1,7 +1,7 @@
-"""Round-9 staged queries (extensions; built and tested in round 8).
+"""Round-9 registered queries (extensions; built and tested in round 8).
 
-Operators finished ahead of their registration round. Twenty
-total:
+Operators finished in round 8 ahead of their registration round and
+flipped to ``@register`` at the start of round 9. Twenty total:
 the four below, plus (further down) ``cusum_changepoints``,
 ``data_quality_expectations``, ``sssp_weighted_distances``,
 ``incremental_agg_maintenance``, ``mad_outlier_flags``,
@@ -40,13 +40,13 @@ mining, quantized ln over exact-integer ratios):
   step of Delta/Iceberg ``OPTIMIZE``; complements
   ``zorder_layout_keys``, which plans the row layout INSIDE files).
 
-Why staged, not registered: the driver verifies the first 50 registry
-entries per round and round 8's window is fully claimed by the
-changed/new queries plus the 43 overdue-stale refresh cohort that
-``tools/rotation_check.py`` enforces — registering these now would
-evict mechanically-required entries. They carry full DuckDB oracles
-and Spark-vs-oracle + Python-replay tests (``tests/test_staged_r9.py``)
-and flip to ``@register`` + window slots first thing in round 9.
+History: these were built in round 8 but STAGED (not registered)
+because the driver verifies the first 50 registry entries per round
+and round 8's window was fully claimed by the changed/new queries plus
+the overdue-stale refresh cohort that ``tools/rotation_check.py``
+enforces. Round 9 registered them and gave all 20 front-window slots
+(docs/R9_PLAN.md §1-2). They carry full DuckDB oracles and
+Spark-vs-oracle + Python-replay tests (``tests/test_staged_r9.py``).
 
 No counterpart in the reference (a pandas Excel->Postgres ETL,
 `/root/reference/autosinapi/etl_pipeline.py`); these are the
@@ -60,19 +60,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import tokens
-from .registry import QuerySpec
+from .registry import register
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Park a finished query for next-round registration."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Flipped to ``@register`` at the start of round 9 (docs/R9_PLAN.md §1).
+# Kept as an empty alias one round so out-of-tree callers of the old
+# staged surface fail soft; every query below is in the main REGISTRY.
+STAGED: dict = {}
 
 
 # --- iterative BPE training (apply the merge list) -------------------
@@ -155,7 +148,7 @@ _BPE_FOLD = (
 )
 
 
-@stage(
+@register(
     "bpe_train_merges",
     _bpe_sql(),
     doc=f"Iterative BPE tokenizer training, {_BPE_ROUNDS} merge rounds "
@@ -315,7 +308,7 @@ def _ppr_sql() -> str:
     """
 
 
-@stage(
+@register(
     "personalized_pagerank_nation",
     _ppr_sql(),
     doc=f"Personalized PageRank over the order-basket co-occurrence "
@@ -501,7 +494,7 @@ _SKMV_SQL = f"""
 """
 
 
-@stage(
+@register(
     "streaming_kmv_distinct",
     _SKMV_SQL,
     doc=f"Streaming windowed distinct-count sketch: watermark "
@@ -655,7 +648,7 @@ _CP_SQL = f"""
 """
 
 
-@stage(
+@register(
     "compaction_bin_packing",
     _CP_SQL,
     doc=f"Lakehouse compaction planner: per-month file inventory "
@@ -790,7 +783,7 @@ _CUSUM_SQL = f"""
 """
 
 
-@stage(
+@register(
     "cusum_changepoints",
     _CUSUM_SQL,
     doc=f"CUSUM change-point detection over per-nation monthly order "
@@ -936,7 +929,7 @@ _DQ_SQL = """
 """
 
 
-@stage(
+@register(
     "data_quality_expectations",
     _DQ_SQL,
     doc="Deequ-style data-quality expectation suite over lineitem "
@@ -1049,7 +1042,7 @@ def _sssp_sql() -> str:
     """
 
 
-@stage(
+@register(
     "sssp_weighted_distances",
     _sssp_sql(),
     doc=f"Bounded weighted SSSP: {_SSSP_ROUNDS} synchronized "
@@ -1184,7 +1177,7 @@ _IVM_SQL = f"""
 """
 
 
-@stage(
+@register(
     "incremental_agg_maintenance",
     _IVM_SQL,
     doc="Incremental materialized-view maintenance: monthly revenue "
@@ -1305,7 +1298,7 @@ _MAD_SQL = f"""
 """
 
 
-@stage(
+@register(
     "mad_outlier_flags",
     _MAD_SQL,
     doc=f"Robust point-anomaly detection: per-nation monthly revenue "
@@ -1451,7 +1444,7 @@ _HLL_SQL = f"""
 """
 
 
-@stage(
+@register(
     "hll_distinct_flags",
     _HLL_SQL,
     doc=f"HyperLogLog cardinality sketch: {_HLL_M} leading-zero-rank "
@@ -1584,18 +1577,32 @@ _DP_SQL = f"""
 """
 
 
-@stage(
+@register(
     "dp_noisy_counts",
     _DP_SQL,
-    doc="Differentially private count release via the geometric "
-    "mechanism: per (returnflag, linestatus) row counts plus "
-    "two-sided geometric noise (difference of two trailing-zero-bit "
-    "Geometric(1/2) draws — the discrete Laplace at epsilon = ln 2), "
+    doc="Deterministic SIMULATION of the geometric-mechanism DP count "
+    "release, for engine-parity benchmarking only: per (returnflag, "
+    "linestatus) row counts plus two-sided geometric noise "
+    "(difference of two trailing-zero-bit Geometric(1/2) draws — the "
+    "discrete Laplace at epsilon = ln 2 shape, Ghosh et al. 2009), "
     "clamped at zero — integer-exact end to end, no float inverse "
-    "CDF (Ghosh et al. 2009; extension).",
+    "CDF. NOT a private release: the noise is a deterministic md5 "
+    "function of the group key (recomputable by anyone) and n_true "
+    "is emitted alongside; a real DP release needs fresh secret "
+    "randomness and must not publish the true counts (extension).",
 )
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_returnflag, l_linestatus, n_true, noise, n_released).
+
+    PRIVACY CAVEAT: this deterministically SIMULATES the geometric
+    mechanism so two engines can hash-compare the exact released
+    values — the "noise" is a public function of the group key and
+    ``n_true`` is part of the output, so the mechanism provides NO
+    privacy guarantee. Do not copy this pattern for an actual DP
+    release (that requires fresh secret randomness per release and
+    withholding the true counts); what it demonstrates is the SHAPE
+    of the operator — where the noise is applied and what it costs
+    at scale.
 
     Scale shape: the count is a map-side-combinable groupBy over the
     fact table; the noise draw is a row-local expression evaluated on
@@ -1697,7 +1704,7 @@ _AR_SQL = f"""
 """
 
 
-@stage(
+@register(
     "association_rules_2item",
     _AR_SQL,
     doc=f"Apriori 2-itemset association rules over order baskets: "
@@ -1864,7 +1871,7 @@ def _f2_sql(idiv: str) -> str:
 """
 
 
-@stage(
+@register(
     "join_size_cms_estimate",
     _f2_sql("//"),
     doc=f"Join-size (F2) estimation: the self-equijoin size on "
@@ -2010,7 +2017,7 @@ _SYS_SQL = f"""
 """
 
 
-@stage(
+@register(
     "systematic_weighted_sample",
     _SYS_SQL,
     doc=f"Weighted systematic (PPS) sampling: documents whose "
@@ -2182,7 +2189,7 @@ def _hq_sql(idiv: str) -> str:
 """
 
 
-@stage(
+@register(
     "histogram_quantile_cents",
     _hq_sql("//"),
     doc=f"Mergeable equi-width histogram quantile sketch: "
@@ -2379,7 +2386,7 @@ _HOLT_SQL = f"""
 """
 
 
-@stage(
+@register(
     "holt_trend_forecast",
     _HOLT_SQL,
     doc="Holt double exponential smoothing over per-part monthly "
@@ -2494,7 +2501,7 @@ def _recall_sql() -> str:
 """
 
 
-@stage(
+@register(
     "ann_recall_eval",
     _recall_sql(),
     doc="ANN index quality evaluation in-engine: the LSH arm's top-k "
@@ -2611,7 +2618,7 @@ _OLS_SQL = """
 """
 
 
-@stage(
+@register(
     "ols_trend_fit",
     _OLS_SQL,
     doc="Grouped closed-form OLS: per-nation linear trend of monthly "
@@ -2745,7 +2752,7 @@ _CHI2_SQL = """
 """
 
 
-@stage(
+@register(
     "chi2_independence_ppm",
     _CHI2_SQL,
     doc="Pearson chi-square independence test over the order "
@@ -2870,7 +2877,7 @@ _PMI_SQL = f"""
 """
 
 
-@stage(
+@register(
     "collocation_pmi_bigrams",
     _PMI_SQL,
     doc=f"PMI collocation mining (Church & Hanks 1990): top-"

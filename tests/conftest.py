@@ -27,10 +27,21 @@ def spark(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
-def duck():
+def duck(tmp_path_factory):
     import duckdb
 
-    con = duckdb.connect()
+    # Explicit budget + spill path: the fixture shares its process
+    # with a 16 GB-heap Spark driver for ~190 oracle executions, and
+    # without a limit DuckDB sizes its pool off total RAM and can hit
+    # OutOfMemoryException late in a single-process full-suite run
+    # (the embedding_pca_top2 oracle's 128 unrolled power rounds was
+    # the observed peak). With a hard limit it spills to disk instead.
+    con = duckdb.connect(
+        config={
+            "memory_limit": "6GB",
+            "temp_directory": str(tmp_path_factory.mktemp("duckdb-spill")),
+        }
+    )
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"

@@ -481,3 +481,25 @@ def test_sq8_recall_vs_brute_force(spark):
     }
     assert brute, "brute-force baseline must be non-empty"
     assert brute == sq8, "SQ8 recall@5 dropped below 1.0"
+
+
+def test_ivf_pq_contrast_matches_oracle(spark, duck):
+    """The DEREGISTERED flat-IVF+PQ contrast row keeps its full DuckDB
+    oracle parity here (it left the registry in r9 because its flat
+    coarse assignment is O(N^1.5) — the registered production path is
+    ann_imi_pq_topk — but the measured contrast only means something
+    if the contrast row stays correct)."""
+    from autosinapi_spark.plans.similarity_queries import (
+        _ivf_pq_oracle,
+        ann_ivf_pq_topk,
+    )
+    from tests.test_correctness import _canon_rows
+
+    sdf = ann_ivf_pq_topk(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    ocur = duck.execute(_ivf_pq_oracle())
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)

@@ -1,10 +1,12 @@
-"""Round-9 staged queries: Spark-vs-DuckDB parity + Python replays.
+"""Round-9-registered queries (plans/staged_r9.py): Python replays +
+structural invariants.
 
-Same compare contract as tests/test_correctness.py (these queries are
-not registered yet — round 8's driver window is fully claimed by the
-rotation cohort; see plans/staged_r9.py's module docstring), plus
-independent pure-Python replays of the two iterative operators and
-structural invariants for the sketch and the packing plan.
+The Spark-vs-DuckDB oracle compare for this cohort lives in
+tests/test_correctness.py since the r9 flip registered them (a
+duplicate compare ran here while they were staged in r8); what stays
+here is what the registry compare can't express — independent
+pure-Python replays of the iterative operators and structural
+invariants for the sketches and the packing plan.
 """
 
 from __future__ import annotations
@@ -12,45 +14,19 @@ from __future__ import annotations
 import re
 from collections import Counter, defaultdict
 
-import pytest
-
 from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.test_correctness import _canon_rows
 
 
-def _staged():
-    from autosinapi_spark.plans import staged_r9
+def _r9_cohort() -> dict:
+    """name -> QuerySpec for every query defined in plans/staged_r9."""
+    import __spark_entry__ as e
 
-    return staged_r9.STAGED
-
-
-def _ids():
-    return sorted(_staged().keys())
-
-
-@pytest.mark.parametrize("name", _ids())
-def test_staged_matches_oracle(spark, duck, name):
-    spec = _staged()[name]
-    sdf = spec.fn(spark, SF_SMOKE)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-
-    ocur = duck.execute(spec.oracle)
-    ocols = [d[0] for d in ocur.description]
-    orows = [tuple(r) for r in ocur.fetchall()]
-
-    assert sorted(scols) == sorted(ocols), (
-        f"{name}: column mismatch spark={sorted(scols)} "
-        f"oracle={sorted(ocols)}"
-    )
-    assert len(srows) == len(orows), (
-        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
-    )
-    s, o = _canon_rows(scols, srows), _canon_rows(ocols, orows)
-    mismatches = [(a, b) for a, b in zip(s, o) if a != b]
-    assert not mismatches, (
-        f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
-    )
+    return {
+        n: spec
+        for n, spec in e._registry().items()
+        if spec.fn.__module__.endswith("staged_r9")
+    }
 
 
 # --- BPE: pure-Python replay of the whole training loop --------------
@@ -511,16 +487,17 @@ def _plan(df) -> str:
 
 
 def test_staged_plans_are_scale_safe(spark):
-    """The shapes that make the staged queries 100 TB-safe must
+    """The shapes that make the r9-cohort queries 100 TB-safe must
     survive future edits. CartesianProduct is banned everywhere; the
     1-row broadcast scalars (BPE argmax, watermark, orphan count)
     are the repo's sanctioned BroadcastNestedLoopJoin exemption; the
     metric-grain window queries must never collapse to an
     unpartitioned (SinglePartition) exchange."""
-    from autosinapi_spark.plans import staged_r9 as s
+    cohort = _r9_cohort()
+    assert len(cohort) == 20, sorted(cohort)
 
-    for name in s.STAGED:
-        plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
+    for name in cohort:
+        plan = _plan(cohort[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
 
     for name in (
@@ -542,7 +519,7 @@ def test_staged_plans_are_scale_safe(spark):
         # (chi2/PMI keep their sanctioned 1-row scalar broadcasts)
         "ols_trend_fit",
     ):
-        plan = _plan(s.STAGED[name].fn(spark, SF_SMOKE))
+        plan = _plan(cohort[name].fn(spark, SF_SMOKE))
         assert "SinglePartition" not in plan, name
 
 

@@ -155,7 +155,9 @@ def main():
     # Staged-for-next-round queries (plans/staged_r9.STAGED) are not
     # in the registry yet, but MUST pass the same compare before they
     # flip to @register: resolve them when named explicitly (or run
-    # all of them via the pseudo-name "--staged").
+    # all of them via the pseudo-name "--staged"). Empty since the r9
+    # flip registered the whole r8 staged cohort; kept for any future
+    # staging round.
     if only:
         from autosinapi_spark.plans.staged_r9 import STAGED
 

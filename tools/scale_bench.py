@@ -253,9 +253,16 @@ def main() -> int:
     spark = get_spark(app_name="scale_bench")
     qs = dict(entrymod.queries())
     # staged-for-next-round queries are measurable before registration
+    # (empty since the r9 flip registered the whole staged_r9 cohort)
     from autosinapi_spark.plans.staged_r9 import STAGED
 
     qs.update({n: spec.fn for n, spec in STAGED.items() if n not in qs})
+    # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
+    # row backs the IMI-vs-flat scale story in README even though no
+    # user-facing query maps to it any more (r9 retirement)
+    from autosinapi_spark.plans.similarity_queries import ann_ivf_pq_topk
+
+    qs.setdefault("ann_ivf_pq_topk", ann_ivf_pq_topk)
 
     runs = 2
     for a in sys.argv[1:]:
