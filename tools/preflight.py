@@ -27,9 +27,39 @@ def _run(label: str, cmd: list[str]) -> None:
     print(f"== {label} ok ({dt:.0f}s)", flush=True)
 
 
+def _bench_summary_fits() -> None:
+    """bench.py's FINAL stdout line must survive the driver's ~2000
+    char tail capture (r7 lost a round of per-query numbers to silent
+    truncation). Exercise compact_summary against a worst-case
+    registry — long names, -1 failures, large values — and fail the
+    round before the bench artifact can go dark."""
+    sys.path.insert(0, str(_REPO))
+    from bench import compact_summary
+
+    timings = {f"a_very_long_query_name_number_{i:03d}": 9999.999 for i in range(250)}
+    for i in range(10):
+        timings[f"a_very_long_failed_query_name_{i:03d}"] = -1.0
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "value": 999999.999,
+        "sf": 1.0,
+        "n_queries": len(timings),
+        "n_failed": 10,
+        "warmup_sec": 99.999,
+        "load_avg_1m": 32.0,
+    }
+    line = compact_summary(out, ok, timings)
+    assert len(line) <= 1500, f"compact summary {len(line)} chars > 1500"
+    import json
+
+    assert json.loads(line)["n_queries"] == len(timings)
+    print(f"== bench-summary cap ok ({len(line)} chars worst-case)")
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    _bench_summary_fits()
     _run("rotation", [sys.executable, "tools/rotation_check.py"])
     _run("lint", [sys.executable, "tools/driver_sim.py", "--lint"])
     _run("sim", [sys.executable, "tools/driver_sim.py", sf_dir])
