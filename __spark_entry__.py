@@ -89,16 +89,27 @@ _PRIORITY: tuple[str, ...] = (
     "asof_next_quote",
     "sinapi_unpivot_precos",
     "user_status_sync",
-    # (b2) r9 changed-code manual promotions: derive_lsh_params now
-    # mirrors the oracle's FLOOR(log2+0.5) literally (helper-level
-    # edit — the fingerprint can't see it, so its two consumers are
-    # promoted by hand per the rotation rule)
+    # (b2) r9 changed-code + new: derive_lsh_params now mirrors the
+    # oracle's FLOOR(log2+0.5) literally (helper-level edit — the
+    # fingerprint can't see it, so its two consumers are promoted by
+    # hand per the rotation rule); hybrid_search_rrf was refactored
+    # onto the shared _rrf_arms/_rrf_fuse helpers that its new
+    # quality harness hybrid_pooled_recall_eval (never checked)
+    # also consumes
     "ann_lsh_topk_auto",
     "near_dedup_embedding",
-    # (c) stale fill — the 22 oldest r5-green rows that fit (the two
-    # displaced by (b2), near_dedup_minhash + pii_redact_documents,
-    # lead the tail pool and MUST take r10 window slots — they hit
-    # the staleness bound then; see docs/R10_PLAN.md)
+    "hybrid_search_rrf",
+    "hybrid_pooled_recall_eval",
+    # ann_ivf_topk: docstring-only edit (the O(N^1.5) flat-assignment
+    # ceiling note added at the ivf_pq retirement) — fingerprint can't
+    # tell docs from code, and the rule is the rule
+    "ann_ivf_topk",
+    # (c) stale fill — the 19 oldest r5-green rows that fit (the five
+    # displaced by (b2) — near_dedup_minhash, pii_redact_documents,
+    # missing_parts_placeholder, near_dedup_incremental,
+    # media_frame_sample — lead the tail pool and MUST take r10
+    # window slots: they hit the staleness bound then; see
+    # docs/R10_PLAN.md)
     "asof_latest_quote",
     "bm25_doc_ranking",
     "bom_cost_rollup",
@@ -118,12 +129,12 @@ _PRIORITY: tuple[str, ...] = (
     "media_binary_stats",
     "media_decode_stats",
     "media_feature_extract",
-    "media_frame_sample",
-    "missing_parts_placeholder",
-    "near_dedup_incremental",
     # ---- tail: refresh pool, oldest green first (r5 remainder, then
     # r6/r7/r8 cohorts) so a wider driver window always refreshes the
     # stalest rows next; order regenerated mechanically at the r9 flip ----
+    "media_frame_sample",
+    "missing_parts_placeholder",
+    "near_dedup_incremental",
     "near_dedup_minhash",
     "pii_redact_documents",
     "range_join_windows",
@@ -216,7 +227,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_growth_curve",
     "ann_imi_pq_topk",
     "ann_imi_topk",
-    "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_sq8_topk",
     "asof_nearest_quote",
@@ -239,7 +249,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_documents",
     "filter_parent_rows",
     "hourly_event_stats",
-    "hybrid_search_rrf",
     "inverted_index_positional",
     "inverted_index_postings_full",
     "item_cooccurrence_pagerank",

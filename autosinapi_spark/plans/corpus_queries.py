@@ -2160,33 +2160,15 @@ _RRF_SQL = f"""
 """
 
 
-@register(
-    "hybrid_search_rrf",
-    _RRF_SQL,
-    doc=f"Hybrid retrieval via reciprocal-rank fusion (K={_RRF_K}, "
-    "Cormack et al. 2009): document-0-as-query BM25 lexical arm + "
-    "embedding-cosine dense arm over the id-aligned corpus, per-arm "
-    f"top-{_RRF_ARM_TOP} rank lists fused by 1/(K+rank) sums into "
-    f"the top-{_RRF_TOP} — the calibration-free sparse+dense "
-    "combiner RAG retrieval stacks run (extension).",
-)
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, rank_sparse, rank_dense, rrf_score, rank) top fusion.
-
-    Scale shape: each arm is its existing scalable plan — the BM25
-    arm's aggregates partial-combine and its query-term set rides a
-    broadcast (the per-doc score SUM partial-combines on doc_id);
-    the dense arm is the broadcast-1-query cosine scan (at 100 TB it
-    would route through the IMI/SQ8 index instead — same (id, rank)
-    contract into the fusion). Fusion itself touches only the two
-    ARM_TOP-row rank lists: a full-outer join on doc_id plus two
-    IEEE divisions per row. Per-term BM25 scores are 6dp-rounded
-    BEFORE the per-doc sum (left-assoc order irrelevant: the SUM is
-    over <= |qterms| rounded values re-rounded at 6dp; both engines
-    aggregate the identical value set per doc — order effects sit
-    below the rounding grid) and ranks are integers, so the fused
-    ordering is engine-identical.
-    """
+def _rrf_arms(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two per-arm rank lists feeding RRF fusion — sparse =
+    (doc_id, rank_sparse), dense = (doc_id, rank_dense), each the
+    arm's top-``_RRF_ARM_TOP`` for the document-0 query. Shared by
+    ``hybrid_search_rrf`` (fusion) and ``hybrid_pooled_recall_eval``
+    (arm-vs-fusion quality harness), so the two queries evaluate the
+    IDENTICAL retrieval systems."""
     from ..functions.vectors import as_double, dot_fixed, norm
 
     docs = load(spark, sf_dir, "documents")
@@ -2264,6 +2246,44 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_ARM_TOP)
         .withColumn("rank_dense", F.row_number().over(wd))
     ).select("doc_id", "rank_dense")
+    return sparse_rank, dense_rank
+
+
+@register(
+    "hybrid_search_rrf",
+    _RRF_SQL,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion (K={_RRF_K}, "
+    "Cormack et al. 2009): document-0-as-query BM25 lexical arm + "
+    "embedding-cosine dense arm over the id-aligned corpus, per-arm "
+    f"top-{_RRF_ARM_TOP} rank lists fused by 1/(K+rank) sums into "
+    f"the top-{_RRF_TOP} — the calibration-free sparse+dense "
+    "combiner RAG retrieval stacks run (extension).",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_sparse, rank_dense, rrf_score, rank) top fusion.
+
+    Scale shape: each arm is its existing scalable plan — the BM25
+    arm's aggregates partial-combine and its query-term set rides a
+    broadcast (the per-doc score SUM partial-combines on doc_id);
+    the dense arm is the broadcast-1-query cosine scan (at 100 TB it
+    would route through the IMI/SQ8 index instead — same (id, rank)
+    contract into the fusion). Fusion itself touches only the two
+    ARM_TOP-row rank lists: a full-outer join on doc_id plus two
+    IEEE divisions per row. Per-term BM25 scores are 6dp-rounded
+    BEFORE the per-doc sum (left-assoc order irrelevant: the SUM is
+    over <= |qterms| rounded values re-rounded at 6dp; both engines
+    aggregate the identical value set per doc — order effects sit
+    below the rounding grid) and ranks are integers, so the fused
+    ordering is engine-identical.
+    """
+    sparse_rank, dense_rank = _rrf_arms(spark, sf_dir)
+    return _rrf_fuse(sparse_rank, dense_rank)
+
+
+def _rrf_fuse(sparse_rank: DataFrame, dense_rank: DataFrame) -> DataFrame:
+    """RRF fusion of the two arm rank lists into the ranked
+    top-``_RRF_TOP`` — (doc_id, rank_sparse, rank_dense, rrf_score,
+    rank). Shared by the fusion query and the quality harness."""
     fused = (
         sparse_rank.join(dense_rank, "doc_id", "full_outer")
         .select(
@@ -2289,4 +2309,148 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_TOP)
         .withColumn("rank", F.row_number().over(wf).cast("bigint"))
         .orderBy("rank")
+    )
+
+
+# --- hybrid retrieval quality harness: pooled-consensus recall -------
+# There are no human relevance labels on a synthetic corpus, so the
+# harness uses the pooling convention (the TREC device RRF itself is
+# built on, Cormack et al. 2009: documents retrieved by MULTIPLE
+# independent systems are the best available relevance proxy): the
+# pseudo-relevant pool = the intersection of the two arms' ARM_TOP
+# lists, and each system (sparse-only, dense-only, fused) is scored
+# by how much of that pool its top-10 recovers. Fusion should
+# dominate its arms here BY DESIGN — the row quantifies the gain
+# (and a regression where it stops dominating means an arm or the
+# fusion broke), mirroring ann_recall_eval's role for the ANN index.
+
+_RRF_EVAL_SQL = (
+    _RRF_SQL[: _RRF_SQL.rindex(
+        "SELECT doc_id, rank_sparse, rank_dense, rrf_score"
+    )]
+    + f"""
+    , rrf_rank AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+      ) WHERE rn <= {_RRF_TOP}
+    ),
+    pool AS (
+      SELECT s.doc_id FROM sparse_rank s
+      JOIN dense_rank_ d ON d.doc_id = s.doc_id
+    ),
+    pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pool FROM pool),
+    systems AS (
+      SELECT 'dense' AS system, doc_id, CAST(rank_dense AS BIGINT) AS rank
+      FROM dense_rank_ WHERE rank_dense <= {_RRF_TOP}
+      UNION ALL
+      SELECT 'rrf' AS system, doc_id, rank FROM rrf_rank
+      UNION ALL
+      SELECT 'sparse' AS system, doc_id, CAST(rank_sparse AS BIGINT) AS rank
+      FROM sparse_rank WHERE rank_sparse <= {_RRF_TOP}
+    ),
+    hits AS (
+      SELECT sy.system,
+             CAST(COUNT(p.doc_id) AS BIGINT) AS n_hits,
+             MIN(CASE WHEN p.doc_id IS NOT NULL THEN sy.rank END)
+               AS first_hit
+      FROM systems sy LEFT JOIN pool p ON p.doc_id = sy.doc_id
+      GROUP BY sy.system
+    )
+    SELECT h.system,
+           CAST({_RRF_TOP} AS BIGINT) AS top_k,
+           pn.n_pool,
+           h.n_hits,
+           CAST(CASE WHEN pn.n_pool = 0 THEN 0
+                     ELSE h.n_hits * 1000000 // pn.n_pool END
+                AS BIGINT) AS recall_ppm,
+           CAST(COALESCE(h.first_hit, 0) AS BIGINT) AS first_hit_rank
+    FROM hits h, pn
+    ORDER BY h.system
+"""
+)
+
+
+@register(
+    "hybrid_pooled_recall_eval",
+    _RRF_EVAL_SQL,
+    doc="Hybrid-retrieval quality harness: pooled-consensus recall@10 "
+    "for the sparse arm, the dense arm, and their RRF fusion — the "
+    "pseudo-relevant pool is the intersection of the two arms' "
+    f"top-{_RRF_ARM_TOP} lists (the pooling convention underlying "
+    "RRF, Cormack et al. 2009), each system scored by pool docs in "
+    "its top-10 (integer ppm) plus the rank of its first pool hit — "
+    "the scheduled fusion-health measurement mirroring "
+    "ann_recall_eval (extension).",
+)
+def hybrid_pooled_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(system, top_k, n_pool, n_hits, recall_ppm, first_hit_rank),
+    one row per retrieval system in {dense, rrf, sparse}.
+
+    Scale shape: the arms are the shared ``_rrf_arms`` plans (BM25
+    partial-combining aggregates + broadcast-1-query cosine scan);
+    everything added by the harness — pool intersection, the 3x10-row
+    systems frame, hit counting — runs on ARM_TOP-sized rank lists,
+    so evaluation cost is the arm cost regardless of corpus size. The
+    arm lists are localCheckpointed (50 rows each) because three
+    consumers (fusion, pool, systems) would otherwise re-derive the
+    full scan lineage per consumer. Metrics are integer (ppm via
+    DIV), so cross-engine hashes are exact; the n_pool = 0 guard
+    keeps the division total (fixture pools are 5-6 docs).
+    """
+    sparse_rank, dense_rank = _rrf_arms(spark, sf_dir)
+    sparse_rank = sparse_rank.localCheckpoint(eager=False)
+    dense_rank = dense_rank.localCheckpoint(eager=False)
+    rrf = _rrf_fuse(sparse_rank, dense_rank).select("doc_id", "rank")
+    pool = (
+        sparse_rank.join(dense_rank, "doc_id")
+        .select("doc_id", F.lit(1).alias("hit"))
+    )
+    systems = (
+        dense_rank.where(F.col("rank_dense") <= _RRF_TOP)
+        .select(
+            F.lit("dense").alias("system"),
+            "doc_id",
+            F.col("rank_dense").cast("bigint").alias("rank"),
+        )
+        .unionAll(
+            rrf.select(F.lit("rrf").alias("system"), "doc_id", "rank")
+        )
+        .unionAll(
+            sparse_rank.where(F.col("rank_sparse") <= _RRF_TOP).select(
+                F.lit("sparse").alias("system"),
+                "doc_id",
+                F.col("rank_sparse").cast("bigint").alias("rank"),
+            )
+        )
+    )
+    hits = (
+        systems.join(F.broadcast(pool), "doc_id", "left")
+        .groupBy("system")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.min(
+                F.when(F.col("hit").isNotNull(), F.col("rank"))
+            ).alias("first_hit"),
+        )
+    )
+    pn = pool.agg(F.count(F.lit(1)).cast("bigint").alias("n_pool"))
+    return (
+        hits.crossJoin(F.broadcast(pn))
+        .select(
+            "system",
+            F.lit(_RRF_TOP).cast("bigint").alias("top_k"),
+            "n_pool",
+            "n_hits",
+            F.when(F.col("n_pool") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("n_hits * 1000000 DIV n_pool"))
+            .alias("recall_ppm"),
+            F.coalesce(F.col("first_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("first_hit_rank"),
+        )
+        .orderBy("system")
     )

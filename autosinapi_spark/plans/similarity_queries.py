@@ -864,8 +864,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the codebook rides a one-row broadcast (an array of
     K structs); assignment is row-local O(K*d) inside codegen — the
-    honest IVF assignment cost — so the corpus is never shuffled to be
-    assigned. Each vector lands in exactly ONE cell (probes never
+    honest IVF assignment cost, which at K ~ sqrt(N) totals O(N^1.5)
+    dots. That is the flat-IVF family's intrinsic ceiling: past ~1e8
+    vectors swap stage 1 for ``ann_imi_topk``'s product-cell
+    assignment (O(N^1.25); identical downstream), which is why the
+    composed production index is ``ann_imi_pq_topk`` and the flat
+    IVF-PQ composition was deregistered in r9. The corpus is never
+    shuffled to be assigned. Each vector lands in exactly ONE cell (probes never
     produce duplicate candidates), the probe join is an equi-join on
     cell id, and per-query rerank is a bounded window. Cells are
     hash-partitionable; K grows as sqrt(N), keeping expected cell

@@ -624,11 +624,12 @@ def test_positional_index_positions_are_exact(spark):
         assert r.df == len(docs_per_term[r.term])
 
 
-def test_hybrid_search_rrf_python_replay(spark):
-    """RRF fusion replayed in Python: BM25 arm from re-derived
-    tf/df/dl stats, dense arm from numpy cosines, 1/(K+rank) sums."""
+def _py_rrf_arms(spark):
+    """Pure-Python re-derivation of both retrieval arms' rank lists
+    (doc -> 1-based rank, top _RRF_ARM_TOP each) — shared by the
+    fusion replay and the pooled-recall-harness replay."""
     import math
-    from collections import Counter, defaultdict
+    from collections import Counter
 
     from autosinapi_spark.catalog import load
     from autosinapi_spark.functions.text import tokens
@@ -636,14 +637,9 @@ def test_hybrid_search_rrf_python_replay(spark):
         _BM25_B,
         _BM25_K1,
         _RRF_ARM_TOP,
-        _RRF_K,
         _RRF_QDOC,
-        _RRF_TOP,
-        hybrid_search_rrf,
     )
     from tests.conftest import SF_SMOKE
-
-    got = hybrid_search_rrf(spark, SF_SMOKE).collect()
 
     docs = (
         load(spark, SF_SMOKE, "documents")
@@ -709,6 +705,21 @@ def test_hybrid_search_rrf_python_replay(spark):
             ]
         )
     }
+    return sparse_rank, dense_rank
+
+
+def test_hybrid_search_rrf_python_replay(spark):
+    """RRF fusion replayed in Python: BM25 arm from re-derived
+    tf/df/dl stats, dense arm from exact cosines, 1/(K+rank) sums."""
+    from autosinapi_spark.plans.corpus_queries import (
+        _RRF_K,
+        _RRF_TOP,
+        hybrid_search_rrf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = hybrid_search_rrf(spark, SF_SMOKE).collect()
+    sparse_rank, dense_rank = _py_rrf_arms(spark)
     fused = {}
     for d in set(sparse_rank) | set(dense_rank):
         fused[d] = round(
@@ -721,3 +732,60 @@ def test_hybrid_search_rrf_python_replay(spark):
     for r in got:
         assert r.rank_sparse == sparse_rank.get(r.doc_id)
         assert r.rank_dense == dense_rank.get(r.doc_id)
+
+
+def test_hybrid_pooled_recall_eval_python_replay(spark):
+    """The fusion-quality harness replayed in Python: pool = arm
+    intersection, per-system top-10 hits, ppm recall, first-hit
+    rank — and the structural claim that RRF's pool recall is at
+    least each arm's (fusion dominates by construction; a regression
+    here means an arm or the fusion broke)."""
+    from autosinapi_spark.plans.corpus_queries import (
+        _RRF_K,
+        _RRF_TOP,
+        hybrid_pooled_recall_eval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.system: r
+        for r in hybrid_pooled_recall_eval(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {"sparse", "dense", "rrf"}
+
+    sparse_rank, dense_rank = _py_rrf_arms(spark)
+    fused = {}
+    for d in set(sparse_rank) | set(dense_rank):
+        fused[d] = round(
+            (1.0 / (_RRF_K + sparse_rank[d]) if d in sparse_rank else 0.0)
+            + (1.0 / (_RRF_K + dense_rank[d]) if d in dense_rank else 0.0),
+            6,
+        )
+    rrf_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_RRF_TOP
+            ]
+        )
+    }
+    pool = set(sparse_rank) & set(dense_rank)
+    assert pool, "fixture must produce a non-empty consensus pool"
+    for name, ranks in (
+        ("sparse", sparse_rank),
+        ("dense", dense_rank),
+        ("rrf", rrf_rank),
+    ):
+        top10 = {d: r for d, r in ranks.items() if r <= _RRF_TOP}
+        hits = {d: r for d, r in top10.items() if d in pool}
+        row = got[name]
+        assert row.top_k == _RRF_TOP
+        assert row.n_pool == len(pool)
+        assert row.n_hits == len(hits), name
+        assert row.recall_ppm == len(hits) * 1000000 // len(pool)
+        assert row.first_hit_rank == (min(hits.values()) if hits else 0)
+    # fusion must recover at least as much of the consensus pool as
+    # either arm alone (RRF's raison d'etre)
+    assert got["rrf"].n_hits >= max(
+        got["sparse"].n_hits, got["dense"].n_hits
+    )
