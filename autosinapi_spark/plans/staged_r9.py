@@ -1074,6 +1074,25 @@ def sssp_weighted_distances(
     compile-time constant; an unbounded SSSP runs the same loop to a
     driver-side fixed-point check. Weights and distances are pure
     int64 (max ~R * 1e6), bit-deterministic across engines.
+
+    Measured negative result (r9): the sparse-Bellman-Ford/SPFA
+    variant — relax only rows whose distance strictly improved last
+    round, with the improved flag derived for free via
+    min(struct(dist, tag)) — is round-identical in output (a strict
+    round-k improvement can only arrive via a round-(k-1)-improved
+    vertex) but 1.6x SLOWER here (interleaved min-of-3 at sf0.1:
+    10.3s full vs 16.2s frontier). Cause: the small distance frame
+    rides a broadcast into the relax join, so shrinking it buys
+    nothing — the bound is the RELAXED OUTPUT (frontier-incident
+    edges) feeding the min shuffle, and on this dense small-diameter
+    basket graph nearly every reached vertex keeps improving within
+    the 4 bounded rounds, so the frontier IS the reached set while
+    the tag struct and the second consumer of each round's
+    checkpoint add real cost. The frontier form pays off when
+    settled >> improved per round — sparse graphs, long horizons, or
+    run-to-fixpoint — which is the 100 TB posture documented in
+    DEPLOY.md; at this benchmark's shape, full relaxation is the
+    faster plan and is what runs below.
     """
 
     def _ck(df: DataFrame) -> DataFrame:
