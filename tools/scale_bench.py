@@ -120,6 +120,7 @@ QUERIES = [
     "kmv_set_overlap",  # everything after the distinct is sketch-sized
     "zorder_skipping_stats",  # file-granularity stat rows only
     "hybrid_search_rrf",  # two arm plans + ARM_TOP-row fusion join
+    "hybrid_pooled_recall_eval",  # r9 harness: arm plans + 50-row pool math
     # round-8 staged-for-r9 additions (plans/staged_r9.py)
     "bpe_train_merges",  # dictionary-sized rounds; in-plan broadcast argmax
     "personalized_pagerank_nation",  # seeded PR over the identical graph
