@@ -154,7 +154,12 @@ def _offset_col(t: pa.Table, name: str, off: int) -> pa.Table:
 def _replicate(name: str, tweak) -> None:
     t = pq.read_table(SRC / f"{name}.parquet")
     parts = [tweak(t, c) for c in range(COPIES)]
-    out = pa.concat_tables(parts).combine_chunks()
+    out = pa.concat_tables(parts)
+    if COPIES <= 10:
+        # chunk merge halves read amplification at the default scale;
+        # at --copies=100 the merged copy would double peak memory on
+        # the biggest tables for no measured read-side difference
+        out = out.combine_chunks()
     pq.write_table(out, DST / f"{name}.parquet")
     print(f"built {name}: {t.num_rows} -> {out.num_rows} rows", file=sys.stderr)
 
@@ -233,6 +238,17 @@ def build() -> None:
 
 
 def main() -> int:
+    # --copies=N: replicate N copies instead of 10 (e.g. --copies=100
+    # is a 100x "sf10" spot-check — the two-decade scaling probe; the
+    # replica corpus lands in its own /tmp dir so the default sf1 set
+    # stays cached). The ratio column is then sfN/10 vs sf0.1.
+    global COPIES, DST
+    for a in sys.argv[1:]:
+        if a.startswith("--copies="):
+            COPIES = max(2, int(a.split("=", 1)[1]))
+            if COPIES != 10:
+                DST = Path(f"/tmp/sf_scale_x{COPIES}")
+
     if "--rebuild" in sys.argv or not (DST / "part.parquet").exists():
         build()
 
@@ -302,7 +318,8 @@ def main() -> int:
     for name in queries:
         run(name, str(SRC))
 
-    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    big_label = f"sf{COPIES / 10:g}"
+    print(f"{'query':28s} {'sf0.1':>8s} {big_label:>8s} {'ratio':>6s}")
     worst = 0.0
     for name in queries:
         # min-of-N per scale: single runs on this shared box carry
@@ -320,8 +337,11 @@ def main() -> int:
         if name != "near_dedup_ngram_jaccard":
             worst = max(worst, ratio)
         print(f"{name:28s} {small:7.2f}s {big:7.2f}s {ratio:5.1f}x")
-    print(f"worst ratio for 10x data: {worst:.1f}x", file=sys.stderr)
-    return 0 if worst < 10 else 1
+    print(
+        f"worst ratio for {COPIES}x data: {worst:.1f}x",
+        file=sys.stderr,
+    )
+    return 0 if worst < COPIES else 1
 
 
 if __name__ == "__main__":
