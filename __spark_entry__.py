@@ -100,10 +100,15 @@ _PRIORITY: tuple[str, ...] = (
     "near_dedup_embedding",
     "hybrid_search_rrf",
     "hybrid_pooled_recall_eval",
-    # ann_ivf_topk: docstring-only edit (the O(N^1.5) flat-assignment
-    # ceiling note added at the ivf_pq retirement) — fingerprint can't
-    # tell docs from code, and the rule is the rule
-    "ann_ivf_topk",
+    # semdedup_embeddings: rewritten late r9 onto corpus-derived
+    # product cells (the r9 full-registry sweep measured the pinned
+    # K=32 codebook at 13.3x wall for 10x data; the fix pins cluster
+    # occupancy instead — 3.1x measured). Changed code => in-window.
+    # It takes the slot ann_ivf_topk held until its late-r9
+    # deregistration (flat O(N^1.5) assignment, 20.2x in the same
+    # sweep — now the second measured contrast row next to
+    # ann_ivf_pq_topk; ann_imi_topk is the registered IVF-family path)
+    "semdedup_embeddings",
     # (c) stale fill — the 19 oldest r5-green rows that fit (the five
     # displaced by (b2) — near_dedup_minhash, pii_redact_documents,
     # missing_parts_placeholder, near_dedup_incremental,
@@ -215,7 +220,6 @@ _PRIORITY: tuple[str, ...] = (
     "proportional_allocation_sample",
     "returned_item_top_customers",
     "rollup_revenue",
-    "semdedup_embeddings",
     "sink_append_nodup",
     "sink_replace_period",
     "sink_truncate_reload",

@@ -843,17 +843,20 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
 
 
 
-@register(
-    "ann_ivf_topk",
-    _IVF_ORACLE,
-    doc="IVF-Flat ANN: deterministic coarse codebook (K ~ sqrt(N) "
-    "anchor vectors), every vector assigned to its nearest cell, "
-    f"queries probe their {_IVF_PROBES} nearest cells, exact cosine "
-    "rerank inside the probed cells (extension; the inverted-file "
-    "counterpart to the hyperplane-LSH scale path).",
-)
+# DEREGISTERED late round 9 (was `ann_ivf_topk`, r8-green): same flat
+# coarse assignment as the `ann_ivf_pq_topk` contrast row below —
+# N vectors ranked against K ~ sqrt(N) cells is O(N^1.5) dots, and the
+# r9 full-registry sweep measured it at 20.2x wall for 10x data (the
+# worst ratio in the registry; theory says 31.6x). The registered
+# inverted-file query a user lands on is now `ann_imi_topk` (product-
+# cell assignment, O(N^1.25), identical probe/rerank tail). Kept as an
+# importable measured CONTRAST row: tests/test_ann.py pins it against
+# its DuckDB oracle (`_IVF_ORACLE`) + the brute-force baseline, and
+# tools/scale_bench.py still measures it explicitly so the flat-vs-IMI
+# story stays backed by numbers.
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat search structure on a deterministic codebook.
+    """IVF-Flat contrast row (UNREGISTERED — see note above;
+    production path: ``ann_imi_topk``).
 
     The codebook here is the first K ~ sqrt(N) vectors — chosen so the
     DuckDB oracle replays the whole structure bit-for-bit (k-means is
@@ -1042,19 +1045,90 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster the embedding space, then prune near-identical vectors
 # WITHIN each cluster only — the clustering bounds the pair search so
-# the quadratic stage never sees the whole corpus. Here the codebook
-# is the first K vectors refined by ONE deterministic Lloyd step
-# (assign -> exact-decimal per-dim mean -> reassign), which the DuckDB
-# oracle replays bit-for-bit; k-means++ with data-dependent iteration
+# the quadratic stage never sees the whole corpus. The codebook is a
+# 4-way PRODUCT codebook with corpus-derived sizing (the r9 sweep
+# measured the previous pinned K=32 full-space codebook at 13.3x wall
+# for 10x data — fixed cluster count means occupancy, and the pair
+# stage with it, grows quadratically; same failure family as the
+# pinned 8-bit LSH buckets fixed in r7): k4 ~ (N/64)^(1/4) anchor
+# sub-centroids per quarter-space, each refined by ONE deterministic
+# Lloyd step (assign -> exact-decimal per-dim mean -> reassign), give
+# k4^4 ~ N/64 product cells, pinning expected occupancy at ~64 at any
+# N while assignment stays 4*k4 quarter-dots per row (the IMI coarse-
+# assignment idea, vs O(N * N/64) full dots for a flat codebook of
+# the same cell count). DuckDB replays the whole construction
+# bit-for-bit from COUNT(*); k-means++ with data-dependent iteration
 # counts would be the deployment codebook (pyspark.ml KMeans), with
 # everything downstream unchanged.
 # ---------------------------------------------------------------------------
 
-_SEM_K = 32
 _SEM_TAU = 0.99
+_SEM_TARGET = 64  # target product-cell occupancy at any N
+_SEM_Q = 4  # sub-codebooks (quarter-spaces)
+_SEM_QDIM = _DIM // _SEM_Q
 
 
 def _sem_oracle() -> str:
+    # one assignment + Lloyd-refine + reassignment CTE chain per
+    # quarter-space, generated; every arithmetic convention (round-6
+    # cosines, DESC/cid tiebreak, DECIMAL(28,10) means rounded to 8,
+    # floor(x + 0.5) sizing) is shared literally with the Spark side
+    qcols = ", ".join(
+        f"v[{q * _SEM_QDIM + 1}:{(q + 1) * _SEM_QDIM}] AS q{q}, "
+        f"sqrt(list_dot_product(v[{q * _SEM_QDIM + 1}:"
+        f"{(q + 1) * _SEM_QDIM}], v[{q * _SEM_QDIM + 1}:"
+        f"{(q + 1) * _SEM_QDIM}])) AS nq{q}"
+        for q in range(_SEM_Q)
+    )
+    chains = []
+    for q in range(_SEM_Q):
+        chains.append(
+            f"""
+    cb_{q} AS (
+      SELECT vec_id AS cid, q{q} AS cv, nq{q} AS cn FROM e, k4
+      WHERE vec_id < k4.k
+    ),
+    a1_{q} AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.q{q}, c.cv)
+                 / (e.nq{q} * c.cn), 6) DESC, c.cid) AS rn
+      FROM e, cb_{q} c
+    ),
+    m_{q} AS (
+      SELECT cid, u.pos - 1 AS dim,
+             ROUND(CAST(SUM(CAST(u.val AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 8) AS val
+      FROM (
+        SELECT a.cid,
+               unnest(list_transform(e.q{q}, (x, i) -> {{pos: i, val: x}}))
+                 AS u
+        FROM e JOIN a1_{q} a ON a.vec_id = e.vec_id AND a.rn = 1
+      )
+      GROUP BY cid, u.pos - 1
+    ),
+    c1_{q} AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+      FROM (SELECT cid, list(val ORDER BY dim) AS cv
+            FROM m_{q} GROUP BY cid)
+    ),
+    a2_{q} AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.q{q}, c.cv)
+                 / (e.nq{q} * c.cn), 6) DESC, c.cid) AS rn
+      FROM e, c1_{q} c
+    )"""
+        )
+    cell_joins = "\n      ".join(
+        f"JOIN a2_{q} x{q} ON x{q}.vec_id = e.vec_id AND x{q}.rn = 1"
+        for q in range(_SEM_Q)
+    )
+    cid_expr = "x0.cid"
+    for q in range(1, _SEM_Q):
+        cid_expr = f"({cid_expr} * k4.k + x{q}.cid)"
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1063,52 +1137,26 @@ def _sem_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
       FROM embeddings
     ),
+    k4 AS (
+      SELECT GREATEST(2, CAST(floor(pow(COUNT(*) / {_SEM_TARGET}.0, 0.25)
+               + 0.5) AS BIGINT)) AS k
+      FROM corpus
+    ),
     e AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM corpus
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv,
+             {qcols}
+      FROM corpus
+    ),{",".join(chains)},
+    cells AS (
+      SELECT e.vec_id, e.v, e.nv, {cid_expr} AS cid
+      FROM e
+      {cell_joins}
+      , k4
     ),
-    c0 AS (
-      SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
-      FROM corpus WHERE vec_id < {_SEM_K}
-    ),
-    a1 AS (
-      SELECT e.vec_id, e.v, c.cid,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 6)
-                 DESC, c.cid) AS rn
-      FROM e, c0 c
-    ),
-    assign1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
-    cmean AS (
-      SELECT cid, u.pos - 1 AS dim,
-             ROUND(CAST(SUM(CAST(u.val AS DECIMAL(28,10))) AS DOUBLE)
-                   / COUNT(*), 8) AS val
-      FROM (
-        SELECT cid,
-               unnest(list_transform(v, (x, i) -> {{pos: i, val: x}})) AS u
-        FROM assign1
-      )
-      GROUP BY cid, u.pos - 1
-    ),
-    c1 AS (
-      SELECT cid, list(val ORDER BY dim) AS cv FROM cmean GROUP BY cid
-    ),
-    c1n AS (
-      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1
-    ),
-    a2 AS (
-      SELECT e.vec_id, e.v, e.nv, c.cid,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 6)
-                 DESC, c.cid) AS rn
-      FROM e, c1n c
-    ),
-    assign2 AS (SELECT vec_id, v, nv, cid FROM a2 WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) + 0 AS cos_sim
-      FROM assign2 a JOIN assign2 b
+      FROM cells a JOIN cells b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
               >= {_SEM_TAU}
@@ -1122,30 +1170,97 @@ def _sem_oracle() -> str:
            COALESCE(d.dup_of, -1) AS dup_of,
            COALESCE(d.cos_sim, -1.0) AS cos_to_dup,
            CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept
-    FROM assign2 s
+    FROM cells s
     LEFT JOIN (SELECT vec_id, dup_of, cos_sim FROM dup WHERE rn = 1) d
       ON d.vec_id = s.vec_id
     """
 
 
-def _nearest_cell(corpus_n: DataFrame, cents_row: DataFrame) -> DataFrame:
-    """Row-local nearest-centroid assignment against a one-row
-    broadcast codebook (the IVF pattern: no shuffle to assign)."""
-    from ..functions.vectors import dot
+@register(
+    "semdedup_embeddings",
+    _sem_oracle(),
+    doc="SemDeDup-style semantic dedup on corpus-derived product "
+    "cells: 4 quarter-space sub-codebooks of k4 ~ (N/64)^(1/4) "
+    "anchors (one exact-decimal Lloyd step each) form k4^4 ~ N/64 "
+    "clusters, pinning per-cluster occupancy — and the quadratic "
+    f"pair stage with it — at any N; cos >= {_SEM_TAU}, keep-min-id "
+    "within cluster (extension; the embedding-space curation pass).",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster id + keep/prune decision.
 
-    return corpus_n.crossJoin(broadcast(cents_row)).select(
+    Scale shape: the whole product codebook (4 x k4 quarter
+    sub-centroids) rides ONE one-row broadcast, so both assignment
+    passes are row-local inside codegen at 4*k4 quarter-dots = k4
+    full-dot equivalents per row — O(N^1.25) total with k4 ~ N^(1/4),
+    the IMI coarse-assignment cost, vs O(N^2/target) for a flat
+    codebook of the same N/64 cell count (and the corpus is never
+    shuffled to be assigned). The Lloyd mean is a (4*k4 x 16)-key hash
+    aggregate with map-side partial combine. The pair stage is an
+    equi-join on the product-cell id whose cost is occupancy^2 per
+    cell — and occupancy is pinned ~{64} by derivation, so it stays
+    LINEAR in N (the r9 sweep measured the previous pinned-K=32
+    full-space codebook at 13.3x wall for 10x data; this derivation
+    replaces it). The one plan-time count() is parameter derivation,
+    not a data collect (the near_dedup_embedding convention). At
+    deployment the sub-codebooks come from pyspark.ml KMeans per
+    quarter-space; the oracle pins first-k4 anchors + one Lloyd step
+    so DuckDB can replay the construction bit-for-bit. Past ~1e8
+    vectors per-cell skew becomes the watch item (product cells are
+    not uniformly occupied); the over-full-cell cap idiom from
+    _embedding_pair_plan applies unchanged.
+    Keep-min-id pruning: a vector is pruned iff a smaller-id vector
+    sits within cos >= tau in the SAME cluster (the paper keeps one
+    representative per within-cluster duplicate group; min-id is the
+    deterministic choice of representative).
+    """
+    corpus = _twin_corpus(spark, sf_dir)
+    n = corpus.count()
+    # floor(x + 0.5) shared literally with the oracle (the
+    # ann_imi_topk k2 convention): round() rules differ across engines
+    k4 = max(2, math.floor((n / float(_SEM_TARGET)) ** 0.25 + 0.5))
+
+    quarters = corpus.select(
         "vec_id",
         "v",
-        "nv",
-        F.element_at(
+        norm(F.col("v")).alias("nv"),
+        *[
+            F.slice("v", q * _SEM_QDIM + 1, _SEM_QDIM).alias(f"q{q}")
+            for q in range(_SEM_Q)
+        ],
+    )
+    quarters = quarters.select(
+        "*",
+        *[norm(F.col(f"q{q}")).alias(f"nq{q}") for q in range(_SEM_Q)],
+    )
+
+    cb0 = quarters.where(F.col("vec_id") < k4).agg(
+        *[
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cid"),
+                    F.col(f"q{q}").alias("cv"),
+                    F.col(f"nq{q}").alias("cn"),
+                )
+            ).alias(f"cents{q}")
+            for q in range(_SEM_Q)
+        ]
+    )
+
+    def _cell(q: int):
+        # row-local nearest sub-centroid in quarter-space q (array_sort
+        # over (-cos6, cid) structs = the oracle's DESC, cid tiebreak)
+        return F.element_at(
             F.array_sort(
                 F.transform(
-                    "cents",
+                    f"cents{q}",
                     lambda c: F.struct(
                         (
                             -F.round(
-                                dot(F.col("v"), c["cv"])
-                                / (F.col("nv") * c["cn"]),
+                                dot_fixed(
+                                    F.col(f"q{q}"), c["cv"], _SEM_QDIM
+                                )
+                                / (F.col(f"nq{q}") * c["cn"]),
                                 6,
                             )
                         ).alias("ncos"),
@@ -1154,67 +1269,59 @@ def _nearest_cell(corpus_n: DataFrame, cents_row: DataFrame) -> DataFrame:
                 )
             ),
             1,
-        )["cid"].alias("cid"),
+        )["cid"]
+
+    assign1 = quarters.crossJoin(broadcast(cb0)).select(
+        "vec_id",
+        *[f"q{q}" for q in range(_SEM_Q)],
+        *[_cell(q).alias(f"a{q}") for q in range(_SEM_Q)],
     )
 
-
-@register(
-    "semdedup_embeddings",
-    _sem_oracle(),
-    doc="SemDeDup-style semantic dedup: deterministic codebook + one "
-    "Lloyd refinement step, then near-identical vectors pruned "
-    f"within their cluster only (cos >= {_SEM_TAU}, keep-min-id). "
-    "The clustering bounds the quadratic stage to per-cluster "
-    "occupancy (extension; the embedding-space curation pass).",
-)
-def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector cluster id + keep/prune decision.
-
-    Scale shape: both assignment passes are row-local against a
-    broadcast codebook (O(K*d) per row inside codegen — the corpus is
-    never shuffled to be assigned); the Lloyd mean is a (K x dims)-key
-    hash aggregate with map-side partial combine; the pair stage is an
-    equi-join on cid, so its cost is per-cluster occupancy squared —
-    at deployment K grows as N/target_cluster_size to hold occupancy
-    flat, and the codebook comes from pyspark.ml KMeans (the oracle
-    pins first-K + one Lloyd step only so DuckDB can replay it).
-    Keep-min-id pruning: a vector is pruned iff a smaller-id vector
-    sits within cos >= tau in the SAME cluster (the paper keeps one
-    representative per within-cluster duplicate group; min-id is the
-    deterministic choice of representative).
-    """
-    from ..functions.vectors import dot, norm
-
-    corpus = _twin_corpus(spark, sf_dir).select(
-        "vec_id", "v", norm(F.col("v")).alias("nv")
+    # one Lloyd step per quarter-space: exact-decimal per-dim means,
+    # stacked so all 4 sub-codebooks refine in a single aggregate pass
+    stacked = assign1.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"a{q}").alias("cid"),
+                        F.col(f"q{q}").alias("qv"),
+                    )
+                    for q in range(_SEM_Q)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.cid", F.posexplode("s.qv").alias("dim", "val"))
+    cmean = stacked.groupBy("q", "cid", "dim").agg(
+        davg(F.col("val"), "val", 8)
     )
-    cents0 = (
-        corpus.where(F.col("vec_id") < _SEM_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nv").alias("cn"),
-        )
-        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
-    )
-    assign1 = _nearest_cell(corpus, cents0)
-
-    exploded = assign1.select(
-        "cid", F.posexplode("v").alias("dim", "val")
-    )
-    cmean = exploded.groupBy("cid", "dim").agg(davg(F.col("val"), "val", 8))
-    cents1 = (
-        cmean.groupBy("cid")
+    cb1 = (
+        cmean.groupBy("q", "cid")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "val"))),
                 lambda s: s["val"],
             ).alias("cv")
         )
-        .select("cid", "cv", norm(F.col("cv")).alias("cn"))
-        .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+        .select("q", "cid", "cv", norm(F.col("cv")).alias("cn"))
+        .groupBy()
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("q") == q, F.struct("cid", "cv", "cn"))
+                ).alias(f"cents{q}")
+                for q in range(_SEM_Q)
+            ]
+        )
     )
-    assign2 = _nearest_cell(corpus, cents1)
+
+    cid = _cell(0)
+    for q in range(1, _SEM_Q):
+        cid = cid * F.lit(k4) + _cell(q)
+    assign2 = quarters.crossJoin(broadcast(cb1)).select(
+        "vec_id", "v", "nv", cid.alias("cid")
+    )
 
     pa = assign2.select(
         "cid",
@@ -1235,7 +1342,8 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                dot_fixed(F.col("va"), F.col("vb"), _DIM)
+                / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),
         )

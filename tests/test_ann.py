@@ -503,3 +503,24 @@ def test_ivf_pq_contrast_matches_oracle(spark, duck):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows) > 0
     assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)
+
+
+def test_ivf_flat_contrast_matches_oracle(spark, duck):
+    """The DEREGISTERED flat-IVF contrast row keeps its full DuckDB
+    oracle parity (it left the registry late r9: the r9 sweep measured
+    its flat coarse assignment at 20.2x wall for 10x data — the
+    registered inverted-file path is ann_imi_topk)."""
+    from autosinapi_spark.plans.similarity_queries import (
+        _IVF_ORACLE,
+        ann_ivf_topk,
+    )
+    from tests.test_correctness import _canon_rows
+
+    sdf = ann_ivf_topk(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    ocur = duck.execute(_IVF_ORACLE)
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)

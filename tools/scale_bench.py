@@ -70,6 +70,7 @@ QUERIES = [
     "item_cooccurrence_pagerank",  # identical graph; 10x edge-build input
     "entity_resolution_parts",  # 10x rows, same 64-name dictionary
     "ann_ivf_pq_topk",  # sqrt(N) cells + probe-bounded ADC
+    "ann_ivf_topk",  # flat O(N^1.5) contrast row (deregistered late r9)
     "source_token_kl",  # (source, term) count + vocab-keyed join
     "events_gap_fill",  # grid-sized agg; spine constant, counts 10x
     "user_retention_cohorts",  # 10x users, same 30-day window
@@ -264,9 +265,13 @@ def main() -> int:
     # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
     # row backs the IMI-vs-flat scale story in README even though no
     # user-facing query maps to it any more (r9 retirement)
-    from autosinapi_spark.plans.similarity_queries import ann_ivf_pq_topk
+    from autosinapi_spark.plans.similarity_queries import (
+        ann_ivf_pq_topk,
+        ann_ivf_topk,
+    )
 
     qs.setdefault("ann_ivf_pq_topk", ann_ivf_pq_topk)
+    qs.setdefault("ann_ivf_topk", ann_ivf_topk)
 
     # --all: the full-coverage sweep — every registered query, the
     # curated heavy rows first, the rest in name order. All fact
