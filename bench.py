@@ -71,7 +71,14 @@ def main() -> int:
             runs[name] = 1
             continue
         best = time.perf_counter() - t0
-        n = 3 if best <= 10.0 else (2 if best <= 30.0 else 1)
+        # Repeat budget (retuned late r9): min-of-3 only for sub-2s
+        # queries, where per-run overhead noise dominates the signal;
+        # min-of-2 through 30s. At 188 registered queries the old
+        # <=10s -> 3-run rule put the suite's true wall at ~931s
+        # (sum n_i*t_i = 806s measured) — uncomfortably past the
+        # ~790s the r8 bench ran inside the driver's budget; this
+        # profile lands ~780s with query_runs still emitted per row.
+        n = 3 if best <= 2.0 else (2 if best <= 30.0 else 1)
         for _ in range(n - 1):
             t0 = time.perf_counter()
             try:
