@@ -1198,7 +1198,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled to be assigned). The Lloyd mean is a (4*k4 x 16)-key hash
     aggregate with map-side partial combine. The pair stage is an
     equi-join on the product-cell id whose cost is occupancy^2 per
-    cell — and occupancy is pinned ~{64} by derivation, so it stays
+    cell — and occupancy is pinned ~64 by derivation, so it stays
     LINEAR in N (the r9 sweep measured the previous pinned-K=32
     full-space codebook at 13.3x wall for 10x data; this derivation
     replaces it). The one plan-time count() is parameter derivation,

@@ -180,13 +180,41 @@ def build() -> None:
         return t2
 
     def emb_tweak(t, c):
-        off = c * (pc.max(t.column("vec_id")).as_py() + 1)
+        # stride must clear the twin band: _twin_corpus plants
+        # near-dup twins at vec_id + 100000, so a plain (max+1) stride
+        # makes copies 51+ reuse the twins' id space (measured at
+        # --copies=100: the duplicated ids blow up the pair/dup joins
+        # of every twin-corpus query — a harness artifact, not an
+        # operator cost). Each copy gets a 2*100000 block so real ids
+        # and twin ids never collide at any copy count; documents are
+        # already safe (ID_OFFSET=1e6 vs 5e5 ids at 100 copies).
+        from autosinapi_spark.plans.similarity_queries import _TWIN_OFFSET
+
+        stride = max(
+            pc.max(t.column("vec_id")).as_py() + 1, 2 * _TWIN_OFFSET
+        )
+        off = c * stride
         t2 = _offset_col(t, "vec_id", off)
         if c:
             i = t2.schema.get_field_index("embedding")
             col = t2.column("embedding").combine_chunks()
             arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
-            vals = pc.add(arr.values, pa.scalar(0.01 * c, arr.values.type))
+            # per-ELEMENT +-0.01c jitter, NOT a uniform +0.01c shift:
+            # the uniform shift points every high-c copy at the
+            # all-ones direction, and cosine-space queries collapse
+            # (measured at --copies=100: one semdedup product cell
+            # held 54k of 400k vectors, sum(occ^2) 312x the balanced
+            # ideal, vs a perfectly balanced 81/81 cells at 1 copy).
+            # Row-and-element-varying signs keep replica directions as
+            # diverse as the base corpus at any copy count; magnitude
+            # 0.01c keeps each copy distinct from copy 0, as before.
+            import numpy as np
+
+            rng = np.random.default_rng(c)
+            jit = (
+                rng.integers(0, 2, size=len(arr.values)) * 2 - 1
+            ) * (0.01 * c)
+            vals = pc.add(arr.values, pa.array(jit))
             new = pa.ListArray.from_arrays(arr.offsets, vals.cast(arr.values.type))
             t2 = t2.set_column(i, t2.schema.field("embedding"), new.cast(t2.schema.field("embedding").type))
         return t2
