@@ -505,6 +505,42 @@ def test_ivf_pq_contrast_matches_oracle(spark, duck):
     assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)
 
 
+def test_semdedup_prunes_planted_twins(spark):
+    """Behavioral recall for the product-cell SemDeDup (the oracle
+    compare pins engine parity; this pins that the operator actually
+    DOES its job): a planted x1.001 twin is an exact-direction dup
+    (cos = 1.0 >= tau), so whenever base and twin land in the same
+    product cell the twin (larger id) must carry kept=0 — and the
+    cell capture rate for twins must be near-total, because identical
+    directions get identical quarter cosines. Also pins cid
+    well-formedness under the corpus-derived k4."""
+    import math
+
+    from autosinapi_spark.plans.similarity_queries import (
+        _SEM_Q,
+        _SEM_TARGET,
+        _TWIN_OFFSET,
+        semdedup_embeddings,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = {r.vec_id: r for r in semdedup_embeddings(spark, SF_CORRECT).collect()}
+    n = len(rows)
+    k4 = max(2, math.floor((n / float(_SEM_TARGET)) ** 0.25 + 0.5))
+    assert all(0 <= r.cid < k4**_SEM_Q for r in rows.values())
+
+    bases = [v for v in rows if v < _TWIN_OFFSET]
+    assert bases and len(bases) * 2 == n
+    captured = [v for v in bases if rows[v].cid == rows[v + _TWIN_OFFSET].cid]
+    assert len(captured) / len(bases) >= 0.95, (
+        f"only {len(captured)}/{len(bases)} twins share their base's cell"
+    )
+    for v in captured:
+        twin = rows[v + _TWIN_OFFSET]
+        assert twin.kept == 0, f"co-clustered twin of {v} not pruned"
+        assert twin.dup_of >= 0 and twin.cos_to_dup >= 0.99
+
+
 def test_ivf_flat_contrast_matches_oracle(spark, duck):
     """The DEREGISTERED flat-IVF contrast row keeps its full DuckDB
     oracle parity (it left the registry late r9: the r9 sweep measured
