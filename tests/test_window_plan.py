@@ -41,6 +41,51 @@ def test_mandatory_rows_are_in_window():
         assert mandatory <= in_window
 
 
+def test_overcommit_keeps_dropped_mandatory_rows_visible(monkeypatch):
+    """r9 advice finding: with > WINDOW mandatory rows, the truncated
+    window must not silently drop the overflow — they must appear in
+    the tail (so --emit still covers the registry) and cohorts() must
+    report the true pre-truncation mandatory count."""
+    import tools.window_plan as wp
+
+    names = [f"q{i:03d}" for i in range(WINDOW + 20)]
+    fps = {n: f"fp-{n}" for n in names}
+    # half the registry changed code, the other half never green:
+    # mandatory = all of them > WINDOW
+    last = {n: 9 for n in names[: WINDOW + 10]}
+    monkeypatch.setattr(wp, "fingerprints", lambda: fps)
+    monkeypatch.setattr(wp, "last_greens", lambda: (last, 9))
+    monkeypatch.setattr(wp, "stale_bound", lambda n: 4)
+
+    class _Snap:
+        @staticmethod
+        def exists():
+            return True
+
+        @staticmethod
+        def read_text():
+            import json
+
+            # every green row's snapshot fingerprint mismatches
+            return json.dumps({n: "stale" for n in last})
+
+    monkeypatch.setattr(wp, "SNAP", _Snap)
+
+    never, changed, overdue, fresh = wp.cohorts()
+    assert len(never) + len(changed) + len(overdue) > WINDOW
+
+    window, tail = wp.plan()
+    assert len(window) == WINDOW
+    all_names = [n for n, _ in window] + [n for n, _ in tail]
+    assert sorted(all_names) == sorted(names), (
+        "over-committed mandatory rows must not vanish from the plan"
+    )
+    # the dropped changed-code rows lead the tail (never-green ages
+    # sort before any green round)
+    dropped = set(names) - {n for n, _ in window}
+    assert dropped <= {n for n, _ in tail}
+
+
 def test_cohort_order_and_tail_age():
     window, tail = plan()
     rank = {

@@ -190,9 +190,12 @@ def build() -> None:
         # already safe (ID_OFFSET=1e6 vs 5e5 ids at 100 copies).
         from autosinapi_spark.plans.similarity_queries import _TWIN_OFFSET
 
-        stride = max(
-            pc.max(t.column("vec_id")).as_py() + 1, 2 * _TWIN_OFFSET
-        )
+        # max_id + 1 + _TWIN_OFFSET always clears the twin band
+        # regardless of where max_id sits; the earlier
+        # max(max_id + 1, 2 * _TWIN_OFFSET) form silently collided
+        # again for any base fixture whose ids landed inside
+        # [_TWIN_OFFSET, 2 * _TWIN_OFFSET) (r9 advice finding).
+        stride = pc.max(t.column("vec_id")).as_py() + 1 + _TWIN_OFFSET
         off = c * stride
         t2 = _offset_col(t, "vec_id", off)
         if c:

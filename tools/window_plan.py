@@ -51,8 +51,10 @@ from tools.rotation_check import (  # noqa: E402
 )
 
 
-def plan() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
-    """([(name, cohort)] window, [(name, cohort)] tail)."""
+def cohorts() -> tuple[list[str], list[str], list[str], list[str]]:
+    """(never-green, changed-code, overdue, fresh) — PRE-truncation,
+    so callers can detect a genuine over-commit (mandatory > WINDOW)
+    that the truncated window proposal cannot express."""
     import json
 
     cur = fingerprints()
@@ -79,6 +81,15 @@ def plan() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     )
     overdue = [n for n in rest if last[n] <= overdue_cut]
     fresh = [n for n in rest if last[n] > overdue_cut]
+    return never, changed, overdue, fresh
+
+
+def plan() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """([(name, cohort)] window, [(name, cohort)] tail)."""
+    never, changed, overdue, fresh = cohorts()
+    last, latest = last_greens()
+    bound = stale_bound(len(fingerprints()))
+    overdue_cut = latest - bound
 
     window: list[tuple[str, str]] = []
     for n in never:
@@ -97,13 +108,19 @@ def plan() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
         )
         window.append((n, f"{label} (last green r{last[n]})"))
 
+    def age_key(n: str) -> tuple[int, str]:
+        return (last.get(n, -(10**9)), n)
+
+    # Tail = EVERY registered name not in the window (never/changed/
+    # overdue/fresh alike), so an over-committed window can't silently
+    # drop mandatory rows from the proposal — they surface at the
+    # tail head, oldest-first, where next round's fill picks them up.
     in_window = {n for n, _ in window}
     tail = [
         (n, f"last green r{last[n]}" if n in last else "never-green")
-        for n in rest + never
+        for n in never + changed + overdue + fresh
         if n not in in_window
     ]
-    # tail stays oldest-first so the pool head is next round's fill
     tail.sort(key=lambda t: age_key(t[0]))
     return window, tail
 
@@ -114,11 +131,11 @@ def main() -> int:
     last, latest = last_greens()
     bound = stale_bound(len(cur))
 
-    mandatory = sum(
-        1
-        for _, c in window
-        if not c.startswith(("stale fill", "due-next"))
-    )
+    # Count mandatory rows PRE-truncation (the window proposal is
+    # already capped at WINDOW, so counting its labels can never
+    # detect an over-commit — r9 advice finding).
+    never, changed, overdue, _fresh = cohorts()
+    mandatory = len(never) + len(changed) + len(overdue)
     if mandatory > WINDOW:
         print(
             f"window-plan: OVER-COMMITTED — {mandatory} mandatory rows "
