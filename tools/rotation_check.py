@@ -68,28 +68,112 @@ def last_greens() -> tuple[dict[str, int], int]:
     return last, latest
 
 
-def fingerprints() -> dict[str, str]:
-    """name -> hash of (oracle SQL, plan function source).
+# Repo-defined code lives under these module prefixes; helper
+# traversal stops at anything else (pyspark, stdlib, site-packages).
+_PKG_PREFIXES: tuple[str, ...] = ("autosinapi_spark", "__spark_entry__")
+# Helper-of-helper chains in this repo are shallow (plan fn -> module
+# helper -> functions/ or plans/registry primitive); 3 levels covers
+# them with a cycle guard for safety.
+_HELPER_DEPTH = 3
 
-    Oracle text is the load-bearing half: shared SQL helpers
-    (sql_dsum/sql_davg) expand into it, so an edit to a helper
-    fingerprints every query whose oracle it feeds. Function source
-    catches Spark-side edits. Shared Python helpers called from a fn
-    body are the known blind spot — edit one, and its callers keep
-    their fingerprint — so helper-level refactors still need a manual
-    front-window promotion.
-    """
+
+def _code_names(code) -> set[str]:
+    """All global names referenced by a code object, including inside
+    nested code objects (lambdas, comprehensions, inner defs)."""
+    import types
+
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def _helper_sources(fn, _seen=None, _depth=0) -> list[str]:
+    """Sources of repo-defined functions/classes reachable from fn's
+    referenced globals, recursively (bounded). This closes the r9
+    blind spot: editing a shared Python helper (functions/vectors.py,
+    plans/registry.dsum, a module-level _twin_corpus) now changes the
+    fingerprint of every registered query whose plan function calls
+    it, so rotation_check promotes the callers mechanically instead
+    of relying on a hand promotion."""
+    import types
+
+    if _seen is None:
+        _seen = set()
+    code = getattr(fn, "__code__", None)
+    g = getattr(fn, "__globals__", None)
+    if code is None or g is None:
+        return []
+    names = _code_names(code)
+
+    candidates = []
+    for n in sorted(names):
+        obj = g.get(n)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            # attribute-style helper use (import m; m.helper(...)):
+            # co_names carries both the module alias and the attr
+            # names, so resolve every referenced name against every
+            # repo module in scope. Over-approximates on name
+            # collisions, which only makes fingerprints MORE
+            # sensitive — never less.
+            if getattr(obj, "__name__", "").startswith(_PKG_PREFIXES):
+                for a in sorted(names):
+                    attr = getattr(obj, a, None)
+                    if attr is not None:
+                        candidates.append(attr)
+            continue
+        candidates.append(obj)
+
+    out: list[str] = []
+    for obj in candidates:
+        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        mod = getattr(obj, "__module__", "") or ""
+        if not mod.startswith(_PKG_PREFIXES):
+            continue
+        key = (mod, getattr(obj, "__qualname__", repr(obj)))
+        if key in _seen:
+            continue
+        _seen.add(key)
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            continue
+        out.append(f"{mod}.{key[1]}\x01{src}")
+        if _depth < _HELPER_DEPTH and inspect.isfunction(obj):
+            out.extend(_helper_sources(obj, _seen, _depth + 1))
+    return out
+
+
+def spec_fingerprint(oracle: str | None, fn) -> str:
+    """Hash of (oracle SQL, plan fn source, reachable repo helper
+    sources). Oracle text covers shared SQL helpers (sql_dsum/
+    sql_davg expand into it); fn source covers Spark-side edits;
+    the helper closure covers shared Python helpers."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    helpers = "\x00".join(sorted(_helper_sources(fn)))
+    payload = (oracle or "") + "\x00" + src + "\x00" + helpers
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def fingerprints() -> dict[str, str]:
+    """name -> spec_fingerprint for every registered query."""
     import __spark_entry__ as e
 
-    out = {}
-    for name, spec in e._registry().items():
-        try:
-            src = inspect.getsource(spec.fn)
-        except (OSError, TypeError):
-            src = ""
-        payload = (spec.oracle or "") + "\x00" + src
-        out[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
-    return out
+    return {
+        name: spec_fingerprint(spec.oracle, spec.fn)
+        for name, spec in e._registry().items()
+    }
 
 
 def main() -> int:

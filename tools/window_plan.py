@@ -27,10 +27,9 @@ Usage:
 The output is a PROPOSAL to paste into ``__spark_entry__._PRIORITY``
 (keep or edit the cohort comments); run ``tools/rotation_check.py``
 after pasting — this tool derives from the same rules, but the
-checker stays the enforcement point. Fingerprints cannot see
-shared-helper edits (rotation_check's documented blind spot), so
-helper-level refactors still need their consumers promoted by hand
-on top of the emitted plan.
+checker stays the enforcement point. Since r10, fingerprints include
+the sources of reachable repo-defined Python helpers, so a shared-
+helper edit promotes its callers mechanically (no hand promotion).
 """
 
 from __future__ import annotations
