@@ -1066,6 +1066,40 @@ _SEM_TAU = 0.99
 _SEM_TARGET = 64  # target product-cell occupancy at any N
 _SEM_Q = 4  # sub-codebooks (quarter-spaces)
 _SEM_QDIM = _DIM // _SEM_Q
+# Over-full-cell guard: product cells are not uniformly occupied
+# (template/boilerplate content concentrates direction space; the
+# derivation pins MEAN occupancy ~_SEM_TARGET but the 100x-replica
+# measurement already showed max/mean ~2, and past ~1e8 vectors the
+# tail grows). Only the first _SEM_CELL_CAP members of a cell (by
+# vec_id) may act as kept representatives, so per-cell pair cost is
+# occupancy * cap, never occupancy^2. 8x the target occupancy: exact
+# (cap never binds) until a cell is 8x over-subscribed.
+_SEM_CELL_CAP = 8 * _SEM_TARGET
+
+
+def _capped_rep_side(cells: DataFrame, cell_cap: int | None) -> DataFrame:
+    """Representative (id_a) side of the within-cell pair join.
+
+    With a cap, only the cell's first ``cell_cap`` members by vec_id
+    may act as the kept representative: per-cell pair enumeration
+    becomes occupancy x cell_cap instead of occupancy^2, so one
+    skewed product cell cannot go quadratic. Results are EXACT while
+    occupancy <= cell_cap; beyond it, a vector is pruned only against
+    the cell's lowest-id members — and because keep-min-id already
+    selects the smallest qualifying id as ``dup_of``, the
+    representative of a duplicate group ranks near 1, so output only
+    changes when a vector's every near-dup ranks past the cap. The
+    rank window shuffles on cid — the SAME key the pair join needs —
+    so the exchange is shared, not added (pinned in test_ann.py).
+    """
+    if cell_cap is None:
+        return cells
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cell_cap)
+        .drop("rk")
+    )
 
 
 def _sem_oracle() -> str:
@@ -1153,12 +1187,18 @@ def _sem_oracle() -> str:
       {cell_joins}
       , k4
     ),
+    ranked AS (
+      SELECT vec_id, v, nv, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+      FROM cells
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) + 0 AS cos_sim
-      FROM cells a JOIN cells b
+      FROM ranked a JOIN cells b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
+      WHERE a.rk <= {_SEM_CELL_CAP}
+        AND ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
               >= {_SEM_TAU}
     ),
     dup AS (
@@ -1184,9 +1224,15 @@ def _sem_oracle() -> str:
     "anchors (one exact-decimal Lloyd step each) form k4^4 ~ N/64 "
     "clusters, pinning per-cluster occupancy — and the quadratic "
     f"pair stage with it — at any N; cos >= {_SEM_TAU}, keep-min-id "
-    "within cluster (extension; the embedding-space curation pass).",
+    f"within cluster, representative side capped at {_SEM_CELL_CAP} "
+    "members per cell so one skewed cell cannot go quadratic "
+    "(extension; the embedding-space curation pass).",
 )
-def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_cap: int | None = _SEM_CELL_CAP,
+) -> DataFrame:
     """Per-vector cluster id + keep/prune decision.
 
     Scale shape: the whole product codebook (4 x k4 quarter
@@ -1205,10 +1251,13 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a data collect (the near_dedup_embedding convention). At
     deployment the sub-codebooks come from pyspark.ml KMeans per
     quarter-space; the oracle pins first-k4 anchors + one Lloyd step
-    so DuckDB can replay the construction bit-for-bit. Past ~1e8
-    vectors per-cell skew becomes the watch item (product cells are
-    not uniformly occupied); the over-full-cell cap idiom from
-    _embedding_pair_plan applies unchanged.
+    so DuckDB can replay the construction bit-for-bit. The >= 1e8
+    per-cell skew watch item is closed by ``cell_cap`` (see
+    _capped_rep_side): the representative side of the pair join is
+    bounded at the cell's first _SEM_CELL_CAP members by id, mirrored
+    literally in the oracle's ranked CTE, so a pathological cell
+    costs occ x cap instead of occ^2 while results stay exact until a
+    cell is 8x over target occupancy.
     Keep-min-id pruning: a vector is pruned iff a smaller-id vector
     sits within cos >= tau in the SAME cluster (the paper keeps one
     representative per within-cluster duplicate group; min-id is the
@@ -1323,7 +1372,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", "nv", cid.alias("cid")
     )
 
-    pa = assign2.select(
+    pa = _capped_rep_side(assign2, cell_cap).select(
         "cid",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),

@@ -560,3 +560,156 @@ def test_ivf_flat_contrast_matches_oracle(spark, duck):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows) > 0
     assert _canon_rows(sdf.columns, srows) == _canon_rows(ocols, orows)
+
+
+def test_semdedup_cell_cap_bounds_pair_enumeration(spark):
+    """The over-full-cell guard's cost bound, measured on the join
+    itself: with a hot cell at occupancy 640 and cap 64, candidate
+    enumeration must be occ x cap - C(cap+1, 2) for the hot cell
+    (linear in occupancy) instead of C(occ, 2) (quadratic), and cells
+    at or under the cap must be untouched (exact)."""
+    from autosinapi_spark.plans.similarity_queries import _capped_rep_side
+
+    hot_n, cold_n, cap = 640, 64, 64
+    rows = [(0, i) for i in range(hot_n)] + [
+        (1, 10_000 + i) for i in range(cold_n)
+    ]
+    cells = spark.createDataFrame(rows, "cid INT, vec_id LONG")
+
+    def pair_count(cell_cap):
+        a = _capped_rep_side(cells, cell_cap).select(
+            "cid", F.col("vec_id").alias("id_a")
+        )
+        b = cells.select("cid", F.col("vec_id").alias("id_b"))
+        return (
+            a.join(b, "cid").where(F.col("id_a") < F.col("id_b")).count()
+        )
+
+    full_hot = hot_n * (hot_n - 1) // 2
+    full_cold = cold_n * (cold_n - 1) // 2
+    capped_hot = cap * hot_n - cap * (cap + 1) // 2
+    assert pair_count(None) == full_hot + full_cold
+    assert pair_count(cap) == capped_hot + full_cold
+    assert capped_hot < full_hot / 4  # quadratic -> linear, visibly
+
+
+def test_semdedup_cell_cap_on_skewed_fixture(spark, tmp_path):
+    """End-to-end on a 10x-skewed fixture: 84 of 128 base vectors are
+    scalar multiples of one direction, so (with their twins) one
+    product cell holds 168 of 256 corpus vectors = 10.5x the design
+    mean occupancy n / k4^Q = 16. Under a binding cap (32 << 168):
+    the hot duplicate family must be pruned IDENTICALLY to the
+    uncapped run (its representative is the cell's rank-1 member),
+    and the only permitted differences are vectors whose EVERY
+    near-dup ranks past the cap in their cell — those flip to
+    kept=1/dup_of=-1, the documented recall-for-worst-case trade."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from autosinapi_spark.plans.similarity_queries import (
+        _SEM_Q,
+        semdedup_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    hot_dir = rng.standard_normal(64)
+    vecs = []
+    for i in range(84):  # hot family: exact scalar multiples
+        vecs.append(hot_dir * (1.0 + 0.003 * i))
+    for _ in range(44):  # cold: Rademacher directions, cos ~ 0
+        vecs.append((rng.integers(0, 2, 64) * 2 - 1).astype("float64"))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(128), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 128, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    uncapped = {
+        r.vec_id: (r.cid, r.dup_of, r.kept)
+        for r in semdedup_embeddings(spark, sf, cell_cap=None).collect()
+    }
+    capped = {
+        r.vec_id: (r.cid, r.dup_of, r.kept)
+        for r in semdedup_embeddings(spark, sf, cell_cap=32).collect()
+    }
+
+    n = len(uncapped)
+    assert n == 256
+    from collections import Counter
+
+    occ = Counter(cid for cid, _, _ in uncapped.values())
+    k4 = 2  # max(2, floor((256/64)^0.25 + 0.5))
+    design_mean = n / k4**_SEM_Q
+    hot_occ = max(occ.values())
+    assert hot_occ >= 10 * design_mean, (
+        f"fixture not skewed enough: hot cell {hot_occ} vs "
+        f"design mean {design_mean}"
+    )
+    assert hot_occ > 32, "cap must actually bind on the hot cell"
+
+    # rank of every vector inside its cell (by vec_id, the cap's order)
+    by_cell: dict[int, list[int]] = {}
+    for v, (cid, _, _) in uncapped.items():
+        by_cell.setdefault(cid, []).append(v)
+    rank = {
+        v: i + 1
+        for members in by_cell.values()
+        for i, v in enumerate(sorted(members))
+    }
+
+    # the hot duplicate family prunes identically: one rank-1
+    # representative, everyone else kept=0 against it, capped or not
+    hot_cid = max(occ, key=occ.get)
+    hot_members = sorted(by_cell[hot_cid])
+    hot_family = [v for v in hot_members if v < 84 or 100_000 <= v < 100_084]
+    assert len(hot_family) == 168
+    rep = min(hot_family)
+    for v in hot_family:
+        want = (hot_cid, -1, 1) if v == rep else (hot_cid, rep, 0)
+        assert capped[v] == want, f"hot member {v}: {capped[v]} != {want}"
+        assert uncapped[v] == want
+
+    # differences are EXACTLY the vectors whose only near-dup (their
+    # planted twin partner) ranks past the cap in the shared cell
+    diffs = {v for v in uncapped if capped[v] != uncapped[v]}
+    assert diffs, "cap never bound — fixture lost its skew"
+    for v in diffs:
+        cid_u, dup_u, kept_u = uncapped[v]
+        assert (kept_u, capped[v][2]) == (0, 1), "diff must flip a prune"
+        assert capped[v][1] == -1
+        assert rank[dup_u] > 32, (
+            f"{v}: capped run dropped representative {dup_u} at "
+            f"rank {rank[dup_u]} <= cap"
+        )
+    # and nothing ELSE was allowed to change: any pruned vector whose
+    # uncapped representative ranks within the cap must keep it
+    for v, (cid_u, dup_u, kept_u) in uncapped.items():
+        if kept_u == 0 and rank[dup_u] <= 32:
+            assert capped[v] == uncapped[v]
+
+
+def test_semdedup_cell_cap_adds_no_exchange(spark):
+    """The representative-cap rank window partitions by cid — the
+    same key the pair join shuffles on — so enabling the cap must add
+    ZERO exchanges to the physical plan (it may add one per-cell,
+    occupancy-bounded sort)."""
+    from autosinapi_spark.plans.similarity_queries import semdedup_embeddings
+
+    def exchanges(cap):
+        plan = (
+            semdedup_embeddings(spark, SF_SMOKE, cell_cap=cap)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange hashpartitioning")
+
+    assert exchanges(512) == exchanges(None)
