@@ -174,14 +174,26 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, every_nth: int = 1
+) -> DataFrame:
     """Frame sampling: 1 input row -> N frame rows (video shape).
 
     Deterministic fake: the payload splits into fixed-size chunks
     standing in for decoded frames; a real implementation swaps the
     chunker for ffmpeg keyframe extraction. Demonstrates the
     one-to-many mapInPandas batch shape.
+
+    ``every_nth`` is the sampling stride a real video pipeline applies
+    (keep one frame per n, the fps-downsample shape): the emitted
+    ``frame_idx`` keeps the ORIGINAL frame numbering (0, n, 2n, ...),
+    not a re-densified one, so downstream joins against full-rate
+    extractions still line up. A zero-length payload still yields its
+    single empty frame (index 0 is always sampled).
     """
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    step = frame_bytes * every_nth
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,7 +201,7 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                for i in range(0, max(len(p), 1), frame_bytes):
+                for i in range(0, max(len(p), 1), step):
                     ids.append(mid)
                     idxs.append(i // frame_bytes)
                     frames.append(bytes(p[i : i + frame_bytes]))

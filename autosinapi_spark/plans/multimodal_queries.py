@@ -116,29 +116,39 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_sample",
     # Frames are deterministic fixed-size slices of the ASCII payload,
-    # so the one-to-many explosion IS SQL-expressible: one offset per
-    # 256-byte stride (empty payloads still yield one zero-byte frame,
-    # matching the chunker's max(len, 1) floor).
+    # so the one-to-many explosion IS SQL-expressible: 256-byte frames
+    # sampled every 2nd frame (the fps-downsample shape: offsets step
+    # 512, frame_idx keeps ORIGINAL numbering 0, 2, 4, ...; empty
+    # payloads still yield their single zero-byte frame 0, matching
+    # the chunker's max(len, 1) floor). frame_md5 hashes the exact
+    # slice CONTENT, so the oracle pins offset/bounds arithmetic, not
+    # just lengths (text is ASCII, so char slicing == byte slicing).
     """
     WITH d AS (
-      SELECT doc_id AS media_id, length(text) AS n
+      SELECT doc_id AS media_id, text, length(text) AS n
       FROM documents WHERE text IS NOT NULL
     )
     SELECT media_id,
            CAST(off // 256 AS INT) AS frame_idx,
-           CAST(LEAST(256, n - off) AS INT) AS frame_bytes
+           CAST(LEAST(256, n - off) AS INT) AS frame_bytes,
+           md5(substr(text, off + 1, 256)) AS frame_md5
     FROM (
-      SELECT media_id, n, unnest(range(0, GREATEST(n, 1), 256)) AS off
+      SELECT media_id, text, n,
+             unnest(range(0, GREATEST(n, 1), 512)) AS off
       FROM d
     )
     """,
-    doc="Frame sampling: one media row explodes to N fixed-size frame "
-    "rows (video decode shape). Fully oracle-checked: the frames are "
-    "deterministic 256-byte strides, replayed in DuckDB with "
-    "range() offsets + length arithmetic.",
+    doc="Frame sampling: one media row explodes to frame rows (video "
+    "decode shape), downsampled to every 2nd 256-byte frame with "
+    "original frame numbering preserved. Fully oracle-checked "
+    "including per-frame content md5: DuckDB replays the stride "
+    "offsets, tail bounds, and exact slice bytes.",
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256)
+    frames = sample_frames(_media(spark, sf_dir), frame_bytes=256, every_nth=2)
     return frames.select(
-        "media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
     )

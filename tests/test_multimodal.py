@@ -69,3 +69,53 @@ def test_frame_sampling_reassembles(media):
 def test_resize_is_an_explicit_stub(media):
     with pytest.raises(NotImplementedError, match="PIL"):
         resize_images(media, 256, 256)
+
+
+def test_frame_index_arithmetic(spark):
+    """Pin the chunker's stride/bounds math on crafted payload lengths:
+    frame count = max(1, ceil(L / k)), indices contiguous from 0, every
+    frame full-size except a tail of exactly L - (n-1)*k bytes, and a
+    zero-length payload still yields its single empty frame."""
+    import math
+
+    k = 64
+    lengths = [0, 1, 63, 64, 65, 127, 128, 129, 200]
+    rows = [(i, b"x" * L) for i, L in enumerate(lengths)]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+
+    got: dict[int, list] = {}
+    for r in sample_frames(media, frame_bytes=k).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    for mid, L in enumerate(lengths):
+        frames = sorted(got[mid], key=lambda r: r["frame_idx"])
+        n = max(1, math.ceil(L / k))
+        assert [f["frame_idx"] for f in frames] == list(range(n)), (
+            f"L={L}: bad indices"
+        )
+        sizes = [len(bytes(f["frame"])) for f in frames]
+        assert sizes[:-1] == [k] * (n - 1), f"L={L}: non-tail frame short"
+        assert sizes[-1] == L - (n - 1) * k, f"L={L}: tail size"
+
+
+def test_frame_sampling_every_nth_keeps_original_numbering(spark):
+    """fps-downsample stride: every_nth=3 over a 10-frame payload keeps
+    original frame indices 0, 3, 6, 9 with full-size slices at the
+    right offsets (content checked byte-for-byte)."""
+    k, nth, L = 8, 3, 80
+    payload = bytes(i % 256 for i in range(L))
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id LONG, payload BINARY"
+    )
+    frames = sorted(
+        sample_frames(media, frame_bytes=k, every_nth=nth).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [f["frame_idx"] for f in frames] == [0, 3, 6, 9]
+    for f in frames:
+        off = f["frame_idx"] * k
+        assert bytes(f["frame"]) == payload[off : off + k]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_nth"):
+        sample_frames(media, frame_bytes=k, every_nth=0)
