@@ -216,6 +216,78 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_eval_oracle() -> str:
+    # Truth reuses the minhash chain's `sh` CTE (same corpus, same
+    # word-trigram shingle space) with the exact PPJoin arm's lossless
+    # length filter + round-6 Jaccard convention, so the two arms are
+    # compared over IDENTICAL similarity definitions.
+    return f"""
+    WITH {CORPUS_SQL},
+    {minhash_pairs_ctes(0.5)},
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b
+        ON a.id < b.id
+       AND len(a.sg) >= {_JACCARD_T} * len(b.sg)
+       AND len(b.sg) >= {_JACCARD_T} * len(a.sg)
+      WHERE ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                  / len(list_distinct(a.sg || b.sg)), 6) >= {_JACCARD_T}
+    ),
+    hits AS (
+      SELECT t.id_a FROM truth t
+      JOIN scored s ON s.id_a = t.id_a AND s.id_b = t.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM scored) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           (SELECT COUNT(*) FROM hits) * 1000000
+             // GREATEST((SELECT COUNT(*) FROM truth), 1) AS recall_ppm
+    """
+
+
+@register(
+    "near_dedup_recall_eval",
+    _recall_eval_oracle(),
+    doc="Dedup quality harness (r9 verdict ask): candidate-stage "
+    f"recall of banded MinHash-LSH against the exact PPJoin trigram-"
+    f"Jaccard arm at J >= {_JACCARD_T} on the planted-twin corpus. "
+    "Both arms share one shingle space, so every true pair the LSH "
+    "bands surface also passes the exact verify — recall_ppm isolates "
+    "band misses. One summary row; integer ppm (never round a ratio).",
+)
+def near_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the probabilistic dedup arm vs the exact one.
+
+    Scale shape: the expensive side is the exact PPJoin arm — which a
+    100 TB deployment runs on a SAMPLE to score the LSH configuration
+    before the full probabilistic pass (this harness IS that scoring
+    job). The hit join is pair-keyed (two longs), counts are map-side
+    partial aggregates, and the three 1-row counts meet on broadcast
+    cross joins — nothing wide ever reaches the driver.
+    Mirrors reference test strategy of checking derived outputs
+    against independently-computed truth (SURVEY.md section 5).
+    """
+    truth = near_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    lsh = near_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
+
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_true",
+            "n_lsh_pairs",
+            "n_hits",
+            F.expr(
+                "n_hits * 1000000 DIV greatest(n_true, 1)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hh, h -> (h & {1 << i}) != 0)) "
