@@ -156,7 +156,16 @@ def spec_fingerprint(oracle: str | None, fn) -> str:
     """Hash of (oracle SQL, plan fn source, reachable repo helper
     sources). Oracle text covers shared SQL helpers (sql_dsum/
     sql_davg expand into it); fn source covers Spark-side edits;
-    the helper closure covers shared Python helpers."""
+    the helper closure covers shared Python helpers.
+
+    Deliberate consequence: editing a helper that feeds more than
+    WINDOW queries (register, dsum, catalog.load, ...) re-fingerprints
+    ALL its callers and over-commits the window — which is honest
+    (they all genuinely need a recheck) but cannot be satisfied in one
+    round. Handle it explicitly: stage the refresh across rounds via
+    window_plan's tail (dropped mandatory rows lead it), or, for a
+    provably behavior-neutral edit, regenerate the snapshot at a
+    0-changed baseline and say so in the commit message."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
