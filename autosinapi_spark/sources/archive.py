@@ -2,11 +2,12 @@
 
 The reference downloads ``SINAPI_{type}_{MM}_{YYYY}.zip`` over HTTP
 (``downloader.py:67-140``), normalizes the name and extracts
-(``etl_pipeline.py:212-241``). Network access is out of scope here;
-the local-zip path is implemented fully and the HTTP fetch takes an
-injectable ``fetcher`` transport whose default raises (no network in
-this environment) — URL building, landing, and error wrapping are
-all real and tested with fake fetchers.
+(``etl_pipeline.py:212-241``). The HTTP fetch takes an injectable
+``fetcher`` transport: the SANDBOX default raises (so no run ever
+touches the wire silently), and :func:`urllib_fetcher` is the real
+stdlib transport — tested end-to-end in-sandbox over ``file://``
+URLs, which ``urlopen`` serves without network, so fetch -> land ->
+extract is exercised through the same code path deployment uses.
 """
 
 from __future__ import annotations
@@ -80,15 +81,36 @@ def build_download_url(
 def _no_network_fetcher(url: str) -> bytes:
     """Default transport — this environment has no network access.
 
-    Wire ``requests.get(url, timeout=DOWNLOAD_TIMEOUT).content`` here
-    when deploying (downloader.py:101-121); everything downstream of
-    the returned bytes is fully implemented and tested via injected
-    fetchers.
+    Pass ``fetcher=urllib_fetcher`` (real stdlib transport, below)
+    when deploying; the default raises so a sandboxed run can never
+    attempt the wire silently. Everything downstream of the returned
+    bytes is fully implemented and tested.
     """
     raise NotImplementedError(
-        "network access unavailable; pass fetcher= or place the zip "
-        "locally and call extract_zip()"
+        "network access unavailable; pass fetcher=urllib_fetcher (or "
+        "another transport), or place the zip locally and call "
+        "extract_zip()"
     )
+
+
+def urllib_fetcher(url: str, timeout: int = DOWNLOAD_TIMEOUT) -> bytes:
+    """Real transport over stdlib ``urllib.request`` — the deployment
+    implementation of the reference's ``requests.get(url,
+    timeout=...)`` (downloader.py:101-121), with the same timeout
+    contract and no extra dependency.
+
+    Also the reason S1 is no longer test-stubbed at the transport
+    layer: ``urlopen`` serves ``file://`` URLs without any network, so
+    the sandbox test suite drives the FULL fetch -> land -> extract
+    path through this exact function (tests/test_sources.py); only
+    the scheme differs at deployment. HTTP >= 400 raises
+    ``urllib.error.HTTPError``, which ``download_sinapi_zip`` wraps in
+    :class:`DownloadError` like every other transport failure.
+    """
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        return resp.read()
 
 
 def download_sinapi_zip(

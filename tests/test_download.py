@@ -81,3 +81,57 @@ def test_downloaded_zip_flows_into_extract(tmp_path):
     got = download_sinapi_zip(2024, 3, tmp_path, fetcher=lambda _u: buf.getvalue())
     (member,) = extract_zip(got, tmp_path / "out")
     assert member.read_bytes() == b"payload"
+
+
+def test_urllib_fetcher_end_to_end_over_file_url(tmp_path):
+    """The REAL stdlib transport, driven over a file:// URL (urlopen
+    serves it without network): fetch -> land -> extract runs through
+    the exact deployment code path, only the URL scheme differs."""
+    import io
+    import zipfile
+
+    from autosinapi_spark.sources.archive import (
+        download_sinapi_zip,
+        extract_zip,
+        urllib_fetcher,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("SINAPI_Custos.xlsx", b"planilha")
+        zf.writestr("SINAPI_Insumos.csv", b"a;b\n1;2\n")
+    src = tmp_path / "served.zip"
+    src.write_bytes(buf.getvalue())
+
+    landed = download_sinapi_zip(
+        2024,
+        7,
+        tmp_path / "land",
+        fetcher=lambda _url: urllib_fetcher(src.as_uri()),
+    )
+    assert landed.name == "SINAPI-2024-07-formato-xlsx.zip"
+    members = extract_zip(landed, tmp_path / "out")
+    assert sorted(m.name for m in members) == [
+        "SINAPI_Custos.xlsx",
+        "SINAPI_Insumos.csv",
+    ]
+    assert (tmp_path / "out" / "SINAPI_Custos.xlsx").read_bytes() == b"planilha"
+
+
+def test_urllib_fetcher_missing_target_wraps_as_download_error(tmp_path):
+    """A transport failure through the real fetcher (URLError on a
+    missing file:// target) must wrap in DownloadError exactly like
+    any other fetcher exception (downloader.py:119-121 parity)."""
+    import pytest
+
+    from autosinapi_spark.sources.archive import (
+        DownloadError,
+        download_sinapi_zip,
+        urllib_fetcher,
+    )
+
+    missing = (tmp_path / "nope.zip").as_uri()
+    with pytest.raises(DownloadError, match="Erro no download"):
+        download_sinapi_zip(
+            2024, 7, tmp_path, fetcher=lambda _url: urllib_fetcher(missing)
+        )
