@@ -12,8 +12,10 @@ demands:
   UDFs, batch shapes, explode semantics — is REAL and tested;
 - the codec call itself is a deterministic fake (payload bytes are
   interpreted through a fixed synthetic header) behind the same
-  signature a PIL/ffmpeg implementation would have, and the
-  real-decoder entry points raise ``NotImplementedError`` loudly.
+  signature a PIL/ffmpeg implementation would have — ONLY the
+  compressed-format decode is faked; everything downstream of decoded
+  bytes (frame chunking/striding, byte features, nearest-neighbor
+  resize of raw bitmaps) is real arithmetic, numpy-pinned in tests.
 
 Scale notes: every UDF here is ``mapInPandas`` (Arrow-batched, one
 Python worker per partition, no per-row pickling); payload bytes
@@ -214,14 +216,80 @@ def sample_frames(
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize — requires PIL, which this container lacks.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
 
-    STUB: raises immediately. The decode/feature/frame plumbing above
-    defines the pattern; swap in PIL.Image.resize inside a
-    mapInPandas when the codec libs are installed.
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    src_width_col: str = "width",
+    src_height_col: str = "height",
+) -> DataFrame:
+    """Nearest-neighbor resize of RAW grayscale bitmaps (real, no
+    codec): payload bytes are row-major ``src_height x src_width``
+    pixels (the post-decode representation), output is ``height x
+    width``. Implemented as vectorized numpy fancy indexing inside one
+    Arrow-batched ``mapInPandas`` — the resize ARITHMETIC needs no
+    image library; only decoding COMPRESSED formats does, and that
+    remains :func:`decode_media`'s documented deployment swap
+    (PIL/ffmpeg in place of the fake codec). Rows whose payload length
+    does not match ``src_width * src_height`` are emitted with NULL
+    pixels rather than dropped, so malformed media is visible
+    downstream (the orphan-check convention). Pixel mapping is the
+    standard floor grid ``src_idx = out_idx * src_dim // out_dim``,
+    pinned against pure-numpy truth in tests/test_multimodal.py.
     """
-    raise NotImplementedError(
-        "image resize requires PIL/Pillow, not installed in this "
-        "environment; see decode_media for the mapInPandas pattern"
-    )
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, sw, sh, p in zip(
+                pdf["media_id"],
+                pdf[src_width_col],
+                pdf[src_height_col],
+                pdf["payload"],
+            ):
+                ids.append(mid)
+                # null metadata reaches pandas as NaN in a float
+                # column, so isna() is the real null check here
+                if (
+                    p is None
+                    or pd.isna(sw)
+                    or pd.isna(sh)
+                    or sw < 1
+                    or sh < 1
+                    or len(p) != int(sw) * int(sh)
+                ):
+                    pix.append(None)
+                    continue
+                img = np.frombuffer(p, dtype=np.uint8).reshape(
+                    int(sh), int(sw)
+                )
+                rows = np.arange(height) * int(sh) // height
+                cols = np.arange(width) * int(sw) // width
+                pix.append(img[np.ix_(rows, cols)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_width": np.int32(width),
+                    "out_height": np.int32(height),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(
+        "media_id", src_width_col, src_height_col, "payload"
+    ).mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -66,9 +66,53 @@ def test_frame_sampling_reassembles(media):
         assert all(len(bytes(r["frame"])) <= 64 for r in rows)
 
 
-def test_resize_is_an_explicit_stub(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        resize_images(media, 256, 256)
+def test_resize_matches_numpy_truth(spark):
+    """Nearest-neighbor resize of raw grayscale bitmaps vs pure-numpy
+    truth: up- and down-scaling, identity passthrough, and the
+    mismatched-payload -> NULL pixels contract."""
+    rng = np.random.default_rng(3)
+    img_a = rng.integers(0, 256, (12, 10), dtype=np.uint8)  # 10x12
+    img_b = rng.integers(0, 256, (5, 7), dtype=np.uint8)  # 7x5
+    rows = [
+        (1, 10, 12, img_a.tobytes()),
+        (2, 7, 5, img_b.tobytes()),
+        (3, 10, 12, b"short"),  # length != w*h -> NULL pixels
+        (4, None, 12, img_a.tobytes()),  # missing metadata -> NULL
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id LONG, width INT, height INT, payload BINARY"
+    )
+    out_w, out_h = 6, 8
+    got = {
+        r["media_id"]: r
+        for r in resize_images(media, out_w, out_h).collect()
+    }
+    assert all(
+        (r["out_width"], r["out_height"]) == (out_w, out_h)
+        for r in got.values()
+    )
+    for mid, img in ((1, img_a), (2, img_b)):
+        sh, sw = img.shape
+        ri = np.arange(out_h) * sh // out_h
+        ci = np.arange(out_w) * sw // out_w
+        want = img[np.ix_(ri, ci)].tobytes()
+        assert bytes(got[mid]["pixels"]) == want, f"media {mid}"
+    assert got[3]["pixels"] is None
+    assert got[4]["pixels"] is None
+
+    # identity resize reproduces the input bit-for-bit
+    same = resize_images(
+        spark.createDataFrame(
+            [(9, 10, 12, img_a.tobytes())],
+            "media_id LONG, width INT, height INT, payload BINARY",
+        ),
+        10,
+        12,
+    ).collect()[0]
+    assert bytes(same["pixels"]) == img_a.tobytes()
+
+    with pytest.raises(ValueError, match="target size"):
+        resize_images(media, 0, 4)
 
 
 def test_frame_index_arithmetic(spark):
