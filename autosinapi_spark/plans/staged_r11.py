@@ -1,0 +1,387 @@
+"""Round-11 staged queries (built and tested in round 10).
+
+Staged, NOT registered: the r10 driver window is fully claimed by the
+overdue-refresh cohort plus this round's changed-code promotions
+(docs/R10_PLAN.md arithmetic — registering more than one new query in
+r10 would push r6-cohort rows past the staleness bound at r11). Each
+carries a full DuckDB oracle and a Spark-vs-oracle compare in
+tests/test_staged_r11.py (the same duplicate-compare convention the
+r8-staged cohort used before its r9 flip); flip to ``@register`` at
+the r11 window rewrite — at 189 + 4 = 193 registered the staleness
+bound stays 4 (flips at > 200).
+
+- ``quality_linear_scorer`` — fastText-shaped linear quality
+  classifier (Joulin et al. 2016): hashed unigram features against a
+  deterministic weight table, per-doc mean score. All INTEGER
+  arithmetic (hash-derived weights, truncating-div per-mil score), so
+  the oracle compare is exact by construction.
+- ``token_fertility_by_lang`` — per-language tokenizer fertility
+  (BPE-ish tokens per whitespace word, ppm): the tokenizer-health
+  metric multilingual pipelines track per language (high fertility =
+  the tokenizer fragments that language's text).
+- ``ngram_novelty_score`` — per-document novelty: fraction of its
+  distinct word trigrams appearing in NO other document (corpus
+  df = 1), in ppm. The inverse of boilerplate: low novelty flags
+  template/duplicated content that per-pair dedup misses.
+- ``lsh_band_tuning_costs`` — the COST side of the LSH tuning loop
+  (``near_dedup_recall_eval`` is the quality side): for every (bands,
+  rows) factorization of the K=12 signature, the realized bucket
+  histogram and candidate-pair volume on the actual corpus — pick the
+  config from measured cost-vs-recall, not the textbook S-curve.
+
+No counterpart in the reference (a pandas Excel->Postgres ETL); these
+extend the LLM-corpus curation surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import tokens
+from ..operators.near_dedup import (
+    band_keys,
+    base_hashes,
+    minhash_signature,
+    portable_hash64,
+    shingles,
+)
+from .near_dedup_queries import CORPUS_SQL, _corpus, minhash_band_ctes
+from .registry import QuerySpec
+from .text_queries import _BPE_RE
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: stage a query for the r11 registration flip."""
+
+    def wrap(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+# --- fastText-shaped linear quality scorer ----------------------------
+# Joulin et al. 2016 ("Bag of Tricks"): a linear classifier over
+# hashed n-gram features is the standard cheap corpus-quality scorer
+# (the CCNet/LLaMA filtering stage). Deployment swaps the
+# deterministic hash-derived weight table for trained weights
+# broadcast as a map; the plan shape (row-local feature hashing +
+# per-doc reduce, ZERO shuffles) is identical.
+
+_QLS_SEED = 7
+_QLS_DIM = 100_003  # feature buckets (prime)
+_QLS_SPAN = 2_001  # weights span [-1000, 1000]
+
+
+@stage(
+    "quality_linear_scorer",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, len(ts) AS n_tokens,
+             CAST(list_sum(list_transform(ts, t ->
+               (CAST('0x' || substr(md5('{_QLS_SEED}:' || t), 1, 15)
+                     AS BIGINT) % {_QLS_DIM}) % {_QLS_SPAN} - 1000))
+               AS BIGINT) AS w_sum
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, w_sum,
+           (w_sum * 1000) // n_tokens AS score_pmil,
+           CASE WHEN (w_sum * 1000) // n_tokens >= 0 THEN 1 ELSE 0 END
+             AS pred_keep
+    FROM scored
+    """,
+    doc="fastText-shaped linear quality scorer: hashed unigram "
+    f"buckets (md5 % {_QLS_DIM}) -> deterministic integer weights in "
+    "[-1000, 1000] -> per-doc mean score in per-mil (truncating div, "
+    "engine-parity verified) + keep/drop decision. Row-local, zero "
+    "shuffles; deployment swaps the hash-derived table for trained "
+    "weights with the same plan (extension).",
+)
+def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: feature hashing and the weight lookup are pure
+    Column expressions inside codegen (one md5 per token, same as the
+    minhash base-hash budget); the per-doc reduce is F.aggregate over
+    the token array — no explode, no shuffle, embarrassingly parallel
+    at any corpus size. Weights w(b) = (b % span) - 1000 stand in for
+    a trained table; at deployment the broadcast map lookup keeps the
+    exact same shape."""
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens("text")
+
+    def w(t):
+        bucket = portable_hash64(t, _QLS_SEED) % _QLS_DIM
+        return bucket % _QLS_SPAN - 1000
+
+    scored = docs.select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        F.aggregate(
+            ts, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t)
+        ).alias("w_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.expr("w_sum * 1000 DIV n_tokens").alias("score_pmil"),
+        F.when(F.expr("w_sum * 1000 DIV n_tokens") >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pred_keep"),
+    )
+
+
+# --- per-language tokenizer fertility ---------------------------------
+
+
+@stage(
+    "token_fertility_by_lang",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                              ' ')) AS n_ws,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           (CAST(SUM(n_bpe) AS BIGINT) * 1000000)
+             // CAST(SUM(n_ws) AS BIGINT) AS fertility_ppm
+    FROM c
+    WHERE n_bpe > 0
+    GROUP BY lang
+    """,
+    doc="Per-language tokenizer fertility: BPE-ish tokens per "
+    "whitespace word in ppm — the tokenizer-health metric tracked per "
+    "language in multilingual pipelines (high fertility = the "
+    "tokenizer fragments that language). Integer sums + truncating "
+    "div; language-cardinality output (extension).",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both token counts are row-local regex/split sizes
+    in codegen; the aggregate is a language-keyed hash agg with
+    map-side combine — output rows = |languages|, so the exchange
+    carries a handful of rows per map partition at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    counts = docs.where(bpe > 0).select(
+        "lang",
+        F.size(tokens("text")).alias("n_ws"),
+        bpe.alias("n_bpe"),
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("sum_ws_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_ws_tokens",
+            "sum_bpe_tokens",
+            F.expr(
+                "sum_bpe_tokens * 1000000 DIV sum_ws_tokens"
+            ).alias("fertility_ppm"),
+        )
+    )
+
+
+# --- per-document n-gram novelty --------------------------------------
+
+
+@stage(
+    "ngram_novelty_score",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sg
+      FROM tok WHERE len(ts) >= 3
+    ),
+    g AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
+    df AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
+    novel AS (
+      SELECT g.doc_id, COUNT(*) AS n_novel
+      FROM g JOIN df ON df.gram = g.gram AND df.n_docs = 1
+      GROUP BY g.doc_id
+    )
+    SELECT sh.doc_id,
+           len(sh.sg) AS n_grams,
+           COALESCE(novel.n_novel, 0) AS n_novel,
+           (COALESCE(novel.n_novel, 0) * 1000000) // len(sh.sg)
+             AS novelty_ppm
+    FROM sh LEFT JOIN novel ON novel.doc_id = sh.doc_id
+    """,
+    doc="Per-document n-gram novelty: fraction of a doc's distinct "
+    "word trigrams that appear in NO other document (corpus df = 1), "
+    "in ppm — the inverse of boilerplate; low novelty flags template "
+    "content that pairwise dedup thresholds miss (extension).",
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shuffles carry (gram-digest-sized key, doc_id)
+    rows, never documents; the df aggregate combines map-side; the
+    df = 1 filter prunes before the join back, so the join's build
+    side is only the singleton grams. Same family as tf-idf/C4 line
+    dedup: token-bound, linear in corpus grams.
+    Grams per doc are DISTINCT (list_distinct on both engines), so
+    df counts documents, not occurrences."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sg")
+    ).where(F.size("sg") >= 1)
+    g = sh.select("doc_id", F.explode("sg").alias("gram"))
+    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    novel = (
+        g.join(df_counts.where(F.col("n_docs") == 1), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sh.select("doc_id", F.size("sg").alias("n_grams"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "coalesce(n_novel, 0) * 1000000 DIV n_grams"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# --- LSH band-configuration cost table ---------------------------------
+# Every (bands, rows) factorization of the K=12 MinHash signature,
+# measured on the ACTUAL corpus: bucket histogram + candidate-pair
+# volume. With near_dedup_recall_eval (the recall side) this closes
+# the tuning loop — pick (b, r) from measured cost at measured recall,
+# not from the 1-(1-s^r)^b textbook curve, which assumes a similarity
+# distribution real corpora don't have.
+
+_TUNE_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
+_TUNE_K = 12
+
+
+def _tuning_oracle() -> str:
+    # Reuses minhash_band_ctes verbatim so the tok/sh/hashed/sig CTEs
+    # stay mirror-identical with the registered dedup (its trailing
+    # 4x3 `bands` CTE goes unreferenced here — harmless). Per config,
+    # one UNION ALL branch per band re-keys the shared sig.
+    branches = []
+    for b, r in _TUNE_CONFIGS:
+        for band in range(b):
+            cols = ", ".join(
+                f"CAST(h{band * r + i} AS VARCHAR)" for i in range(r)
+            )
+            branches.append(
+                f"      SELECT {b} AS bands, {r} AS rows_per_band, "
+                f"{band} AS band, md5(concat_ws(',', {cols})) AS bkey "
+                "FROM sig"
+            )
+    keys = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH {CORPUS_SQL},
+    {minhash_band_ctes()},
+    keys AS (
+{keys}
+    ),
+    counts AS (
+      SELECT bands, rows_per_band, band, bkey, COUNT(*) AS n
+      FROM keys GROUP BY bands, rows_per_band, band, bkey
+    )
+    SELECT bands, rows_per_band,
+           COUNT(*) AS n_buckets,
+           CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+           MAX(n) AS max_bucket
+    FROM counts
+    GROUP BY bands, rows_per_band
+    """
+
+
+@stage(
+    "lsh_band_tuning_costs",
+    _tuning_oracle(),
+    doc="LSH band-configuration cost table: for every (bands, rows) "
+    f"factorization of the K={_TUNE_K} MinHash signature, the realized "
+    "bucket count, candidate-pair volume (sum of C(n,2) over buckets) "
+    "and max bucket size on the actual twin corpus — the cost side of "
+    "the tuning loop whose quality side is near_dedup_recall_eval "
+    "(extension).",
+)
+def lsh_band_tuning_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the md5 base-hash pass (the expensive step) runs
+    ONCE — the signature frame is localCheckpointed before the four
+    configs re-key it — and every downstream exchange carries
+    (config, band, 16-byte bkey) rows only; all four configs' bucket
+    histograms reduce in a single map-combined hash aggregate (config
+    is part of the grouping key, so this is one shuffle, not four).
+    Output is |configs| rows."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sg")
+    ).where(F.size("sg") >= 1)
+    hashed = sh.select("doc_id", base_hashes(F.col("sg")).alias("hh"))
+    sig = hashed.select(
+        "doc_id",
+        *[
+            c.alias(f"h{i}")
+            for i, c in enumerate(
+                minhash_signature(F.col("hh"), _TUNE_K)
+            )
+        ],
+    ).localCheckpoint(eager=False)
+
+    frames = []
+    for b, r in _TUNE_CONFIGS:
+        keyed = sig.select(
+            F.explode(
+                band_keys([F.col(f"h{i}") for i in range(_TUNE_K)], b, r)
+            ).alias("tb")
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col("tb.band").alias("band"),
+            F.col("tb.bkey").alias("bkey"),
+        )
+        frames.append(keyed)
+    keys = reduce(lambda a, c: a.unionByName(c), frames)
+    counts = keys.groupBy("bands", "rows_per_band", "band", "bkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_cand_pairs"),
+            F.max("n").alias("max_bucket"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_buckets",
+            "n_cand_pairs",
+            "max_bucket",
+        )
+    )

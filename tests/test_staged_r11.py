@@ -1,0 +1,137 @@
+"""Round-11-staged queries (plans/staged_r11.py): the full
+Spark-vs-DuckDB oracle compare (the duplicate-compare convention the
+r8-staged cohort used before its r9 registration flip — once these
+register, tests/test_correctness.py takes this over) plus independent
+pure-Python replays of the novel arithmetic."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from autosinapi_spark.plans.staged_r11 import (
+    _QLS_DIM,
+    _QLS_SEED,
+    _QLS_SPAN,
+    _TUNE_CONFIGS,
+    STAGED,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_correctness import _canon_rows
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = STAGED[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
+
+    ocur = duck.execute(spec.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+
+    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
+    )
+    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
+        f"{name}: value mismatch"
+    )
+
+
+def _py_hash(seed: int, s: str) -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text or "").strip().split(" ")
+
+
+def test_quality_scorer_matches_python_replay(spark, duck):
+    """Weight derivation + per-doc fold, replayed in pure Python."""
+    from autosinapi_spark.plans.staged_r11 import quality_linear_scorer
+
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.w_sum, r.score_pmil, r.pred_keep)
+        for r in quality_linear_scorer(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        ts = _py_tokens(text)
+        w_sum = sum(
+            (_py_hash(_QLS_SEED, t) % _QLS_DIM) % _QLS_SPAN - 1000
+            for t in ts
+        )
+        q = abs(w_sum) * 1000 // len(ts)
+        score = -q if w_sum < 0 else q  # truncation toward zero
+        assert got[doc_id] == (
+            len(ts),
+            w_sum,
+            score,
+            1 if score >= 0 else 0,
+        ), f"doc {doc_id}"
+
+
+def test_novelty_matches_python_replay(spark, duck):
+    """Corpus-wide df and the per-doc novelty fraction, in Python."""
+    from collections import Counter
+
+    from autosinapi_spark.plans.staged_r11 import ngram_novelty_score
+
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    grams = {}
+    for doc_id, text in texts.items():
+        ts = _py_tokens(text)
+        if len(ts) < 3:
+            continue
+        grams[doc_id] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        }
+    df = Counter(g for sg in grams.values() for g in sg)
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_ppm)
+        for r in ngram_novelty_score(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(grams)
+    for doc_id, sg in grams.items():
+        n_novel = sum(1 for g in sg if df[g] == 1)
+        assert got[doc_id] == (
+            len(sg),
+            n_novel,
+            n_novel * 1_000_000 // len(sg),
+        ), f"doc {doc_id}"
+
+
+def test_band_tuning_costs_shape_and_monotonicity(spark):
+    """Structural invariants: one row per config; candidate volume is
+    non-increasing in rows-per-band (more rows per band = stricter
+    collision requirement AND fewer lottery tickets, so (6,2) is the
+    loosest config and (2,6) the strictest); the bucket histogram is
+    internally consistent."""
+    from autosinapi_spark.plans.staged_r11 import lsh_band_tuning_costs
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_band_tuning_costs(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(_TUNE_CONFIGS)
+    by_r = sorted(rows.values(), key=lambda r: r.rows_per_band)
+    pairs = [r.n_cand_pairs for r in by_r]
+    assert pairs == sorted(pairs, reverse=True), (
+        f"candidate volume must fall as rows-per-band grows: "
+        f"{[(r.bands, r.rows_per_band, r.n_cand_pairs) for r in by_r]}"
+    )
+    for r in rows.values():
+        assert r.max_bucket >= 1
+        assert r.n_cand_pairs >= r.max_bucket * (r.max_bucket - 1) // 2
+        # a bucket holds >= 1 member, so buckets <= bands * corpus
+        assert r.n_buckets <= r.bands * 2 * 500 * 2  # twin corpus cap

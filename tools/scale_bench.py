@@ -289,10 +289,13 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     # staged-for-next-round queries are measurable before registration
-    # (empty since the r9 flip registered the whole staged_r9 cohort)
-    from autosinapi_spark.plans.staged_r9 import STAGED
+    # (staged_r9 is empty since the r9 flip; staged_r11 is the r10-built
+    # cohort awaiting the r11 window)
+    from autosinapi_spark.plans.staged_r9 import STAGED as STAGED_R9
+    from autosinapi_spark.plans.staged_r11 import STAGED as STAGED_R11
 
-    qs.update({n: spec.fn for n, spec in STAGED.items() if n not in qs})
+    for staged in (STAGED_R9, STAGED_R11):
+        qs.update({n: spec.fn for n, spec in staged.items() if n not in qs})
     # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
     # row backs the IMI-vs-flat scale story in README even though no
     # user-facing query maps to it any more (r9 retirement)
