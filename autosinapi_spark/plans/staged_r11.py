@@ -28,6 +28,12 @@ bound stays 4 (flips at > 200).
   rows) factorization of the K=12 signature, the realized bucket
   histogram and candidate-pair volume on the actual corpus — pick the
   config from measured cost-vs-recall, not the textbook S-curve.
+- ``lang_id_quality_eval`` — per-true-language recall of the
+  registered ``doc_lang_id`` heuristic against the fixture's
+  ground-truth labels. Deliberately unflattering on this corpus
+  (en recall 73%, non-en predicted 'en' 70-84% at sf0.01): the
+  stopword-vote heuristic needs per-language lists, and this harness
+  is how a deployment would score each addition.
 
 No counterpart in the reference (a pandas Excel->Postgres ETL); these
 extend the LLM-corpus curation surface.
@@ -268,6 +274,82 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "coalesce(n_novel, 0) * 1000000 DIV n_grams"
             ).alias("novelty_ppm"),
+        )
+    )
+
+
+# --- language-ID quality harness ---------------------------------------
+
+
+def _lang_eval_oracle() -> str:
+    # Composes the REGISTERED doc_lang_id oracle verbatim as a CTE, so
+    # the prediction under evaluation is mirror-identical with the
+    # production query by construction (and the fingerprint covers it
+    # through the oracle text).
+    from .registry import REGISTRY
+
+    pred = REGISTRY["doc_lang_id"].oracle
+    return f"""
+    WITH pred AS ({pred})
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_en,
+           CAST(SUM(CASE WHEN pred_lang = 'pt' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_pt,
+           CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_und,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           (CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // COUNT(*) AS recall_ppm
+    FROM pred
+    GROUP BY lang
+    """
+
+
+@stage(
+    "lang_id_quality_eval",
+    _lang_eval_oracle(),
+    doc="Language-ID quality harness: per TRUE language (the fixture "
+    "ships ground-truth labels), the prediction distribution and "
+    "recall of the registered doc_lang_id stopword heuristic, in "
+    "integer ppm. Deliberately honest: the heuristic only votes "
+    "en/pt, so the harness MEASURES its coverage gap on the 5-language "
+    "corpus rather than hiding it — at deployment, add stopword lists "
+    "per language and re-read this table (extension).",
+)
+def lang_id_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: inherits doc_lang_id's row-local stopword votes,
+    then one language-keyed map-combined aggregate; output rows =
+    |languages|."""
+    from .text_queries import doc_lang_id
+
+    pred = doc_lang_id(spark, sf_dir)
+    hit = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == "en", 1).otherwise(0)
+            ).alias("n_pred_en"),
+            F.sum(
+                F.when(F.col("pred_lang") == "pt", 1).otherwise(0)
+            ).alias("n_pred_pt"),
+            F.sum(
+                F.when(F.col("pred_lang") == "und", 1).otherwise(0)
+            ).alias("n_pred_und"),
+            F.sum(hit).alias("n_correct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pred_en",
+            "n_pred_pt",
+            "n_pred_und",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n_docs").alias("recall_ppm"),
         )
     )
 
