@@ -28,12 +28,16 @@ bound stays 4 (flips at > 200).
   rows) factorization of the K=12 signature, the realized bucket
   histogram and candidate-pair volume on the actual corpus — pick the
   config from measured cost-vs-recall, not the textbook S-curve.
-- ``lang_id_quality_eval`` — per-true-language recall of the
-  registered ``doc_lang_id`` heuristic against the fixture's
-  ground-truth labels. Deliberately unflattering on this corpus
-  (en recall 73%, non-en predicted 'en' 70-84% at sf0.01): the
-  stopword-vote heuristic needs per-language lists, and this harness
-  is how a deployment would score each addition.
+- ``lang_id_quality_eval`` — per-label recall of the registered
+  ``doc_lang_id`` heuristic against the fixture's ``lang`` labels.
+  Reading the numbers honestly: on THIS corpus every document draws
+  from one shared English-ish vocabulary and the labels are
+  independent metadata, so predictions land 'en'/'und' regardless of
+  label (en recall 73%, others 0 at sf0.01) — the harness is
+  measuring label-text independence in the fixture, which is exactly
+  the diagnosis it would give a real mislabeled corpus. At deployment
+  with genuinely multilingual text it scores each per-language
+  stopword list added to the heuristic.
 
 No counterpart in the reference (a pandas Excel->Postgres ETL); these
 extend the LLM-corpus curation surface.
