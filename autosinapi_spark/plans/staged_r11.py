@@ -232,17 +232,18 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
     df AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
-    novel AS (
-      SELECT g.doc_id, COUNT(*) AS n_novel
-      FROM g JOIN df ON df.gram = g.gram AND df.n_docs = 1
-      GROUP BY g.doc_id
+    flagged AS (
+      SELECT g.doc_id,
+             CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END AS novel
+      FROM g JOIN df ON df.gram = g.gram
     )
-    SELECT sh.doc_id,
-           len(sh.sg) AS n_grams,
-           COALESCE(novel.n_novel, 0) AS n_novel,
-           (COALESCE(novel.n_novel, 0) * 1000000) // len(sh.sg)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           (CAST(SUM(novel) AS BIGINT) * 1000000) // COUNT(*)
              AS novelty_ppm
-    FROM sh LEFT JOIN novel ON novel.doc_id = sh.doc_id
+    FROM flagged
+    GROUP BY doc_id
     """,
     doc="Per-document n-gram novelty: fraction of a doc's distinct "
     "word trigrams that appear in NO other document (corpus df = 1), "
@@ -252,32 +253,38 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: shuffles carry (gram-digest-sized key, doc_id)
     rows, never documents; the df aggregate combines map-side; the
-    df = 1 filter prunes before the join back, so the join's build
-    side is only the singleton grams. Same family as tf-idf/C4 line
-    dedup: token-bound, linear in corpus grams.
-    Grams per doc are DISTINCT (list_distinct on both engines), so
-    df counts documents, not occurrences."""
+    flag-then-aggregate shape needs 3 exchanges (gram agg, gram join
+    probe, doc agg — plan-pinned in tests) where the filter-join-back
+    variant needed 4 plus a second doc_id join, because n_grams and
+    n_novel fall out of ONE aggregate over the flagged join. Same
+    family as tf-idf/C4 line dedup: token-bound, linear in corpus
+    grams. Grams per doc are DISTINCT (list_distinct on both
+    engines), so df counts documents, not occurrences; every sh doc
+    reaches the output because the g-df join is lossless (every gram
+    has a df row)."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", shingles(F.col("text"), 3).alias("sg")
     ).where(F.size("sg") >= 1)
     g = sh.select("doc_id", F.explode("sg").alias("gram"))
     df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-    novel = (
-        g.join(df_counts.where(F.col("n_docs") == 1), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
+    flagged = g.join(df_counts, "gram").select(
+        "doc_id",
+        F.when(F.col("n_docs") == 1, F.lit(1)).otherwise(F.lit(0)).alias(
+            "novel"
+        ),
     )
     return (
-        sh.select("doc_id", F.size("sg").alias("n_grams"))
-        .join(novel, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-            F.expr(
-                "coalesce(n_novel, 0) * 1000000 DIV n_grams"
-            ).alias("novelty_ppm"),
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_grams").alias("novelty_ppm"),
         )
     )
 

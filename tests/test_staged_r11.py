@@ -135,3 +135,31 @@ def test_band_tuning_costs_shape_and_monotonicity(spark):
         assert r.n_cand_pairs >= r.max_bucket * (r.max_bucket - 1) // 2
         # a bucket holds >= 1 member, so buckets <= bands * corpus
         assert r.n_buckets <= r.bands * 2 * 500 * 2  # twin corpus cap
+
+
+def test_staged_plan_shapes(spark):
+    """Pin the staged cohort's exchange budgets: the scorer is
+    shuffle-free, fertility is one language-keyed agg, novelty's
+    flag-then-aggregate shape holds at 3 (gram agg, gram join probe,
+    doc agg), and the tuning table reduces all four configs in two
+    agg exchanges over one localCheckpointed signature pass."""
+    from autosinapi_spark.plans.staged_r11 import (
+        lsh_band_tuning_costs,
+        ngram_novelty_score,
+        quality_linear_scorer,
+        token_fertility_by_lang,
+    )
+
+    def exchanges(fn):
+        plan = (
+            fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange")
+
+    assert exchanges(quality_linear_scorer) == 0
+    assert exchanges(token_fertility_by_lang) == 1
+    assert exchanges(ngram_novelty_score) == 3
+    assert exchanges(lsh_band_tuning_costs) == 2
