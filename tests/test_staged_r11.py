@@ -163,3 +163,26 @@ def test_staged_plan_shapes(spark):
     assert exchanges(token_fertility_by_lang) == 1
     assert exchanges(ngram_novelty_score) == 3
     assert exchanges(lsh_band_tuning_costs) == 2
+
+
+def test_tuning_table_consistent_with_registered_dedup(spark):
+    """Cross-query consistency: the (4,3) tuning row measures the cost
+    of exactly the configuration near_dedup_minhash runs, so its
+    candidate-pair volume (sum of C(n,2) over band buckets, counted
+    once per band collision) must bound the registered query's output
+    (distinct verified pairs at J >= 0.5) from above."""
+    from autosinapi_spark.plans.near_dedup_queries import (
+        near_dedup_minhash,
+    )
+    from autosinapi_spark.plans.staged_r11 import lsh_band_tuning_costs
+
+    tuning = {
+        (r.bands, r.rows_per_band): r.n_cand_pairs
+        for r in lsh_band_tuning_costs(spark, SF_SMOKE).collect()
+    }
+    n_out = near_dedup_minhash(spark, SF_SMOKE).count()
+    assert n_out > 0
+    assert tuning[(4, 3)] >= n_out, (
+        f"registered config enumerates {tuning[(4, 3)]} candidates but "
+        f"emits {n_out} verified pairs — impossible"
+    )
