@@ -176,8 +176,12 @@ def main() -> int:
     )
     print(f"tail: {len(tail)} rows; last-green histogram "
           + ", ".join(f"r{r}={k}" for r, k in sorted(ages.items())))
+    # At the r(latest+2) check the artifacts run through r(latest+1),
+    # so a tail row is overdue there iff last green <= latest+1-bound
+    # (the old latest+2-bound cut counted the next cohort a full round
+    # early — 43 "mandatory" rows where the true answer was 4).
     over_next = [
-        n for n, _ in tail if last.get(n, -(10**9)) <= latest + 2 - bound
+        n for n, _ in tail if last.get(n, -(10**9)) <= latest + 1 - bound
     ]
     print(
         f"tail rows that become MANDATORY at r{latest + 2}: "
