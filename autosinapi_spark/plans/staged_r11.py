@@ -28,6 +28,11 @@ bound stays 4 (flips at > 200).
   rows) factorization of the K=12 signature, the realized bucket
   histogram and candidate-pair volume on the actual corpus — pick the
   config from measured cost-vs-recall, not the textbook S-curve.
+- ``priority_sample_orders`` — Duffield-Lund-Thorup priority
+  sampling: hash-deterministic top-K by priority w/u with the
+  unbiased max(w, tau) subset-sum estimator — the weighted sample
+  whose estimates aggregate correctly, completing the sampling
+  family (stratified / PPS / systematic / temperature / reservoir).
 - ``lang_id_quality_eval`` — per-label recall of the registered
   ``doc_lang_id`` heuristic against the fixture's ``lang`` labels.
   Reading the numbers honestly: on THIS corpus every document draws
@@ -47,7 +52,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -286,6 +291,116 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.expr("n_novel * 1000000 DIV n_grams").alias("novelty_ppm"),
         )
+    )
+
+
+# --- priority sampling (weighted bottom-k with unbiased estimates) -----
+# Duffield, Lund & Thorup 2007 (JACM): draw u_i uniform, rank items by
+# priority q_i = w_i / u_i, keep the top K; with tau = the (K+1)-th
+# priority, w_hat_i = max(w_i, tau) is an UNBIASED estimator of w_i's
+# contribution to any subset sum — the weighted sample whose estimates
+# you can actually aggregate. u_i here is hash-deterministic
+# (h / 2^50), so the sample is reproducible across runs/engines; q is
+# one exact-input IEEE multiply + divide, bit-identical in Spark and
+# DuckDB.
+
+_PRI_K = 100
+_PRI_SEED = 11
+_PRI_U = 1 << 50  # u denominator; h % 2^50 stays exactly double-representable
+# tau = w * 2^50 / h can in principle overflow BIGINT cents (needs
+# u < w / 9e18, ~1e-12 — never among the top-(K+1) order statistics at
+# any realistic N); the deterministic clamp keeps the CAST defined.
+_PRI_TAU_CLAMP = 9e17
+
+
+@stage(
+    "priority_sample_orders",
+    f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS w_cents,
+             (CAST('0x' || substr(md5('{_PRI_SEED}:'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % {_PRI_U}) + 1 AS h
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey, w_cents,
+             (CAST(w_cents AS DOUBLE) * {float(_PRI_U)})
+               / CAST(h AS DOUBLE) AS q
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM q ORDER BY q DESC, o_orderkey LIMIT {_PRI_K + 1}
+    ),
+    r AS (
+      SELECT o_orderkey, w_cents, q,
+             CAST(ROW_NUMBER() OVER (ORDER BY q DESC, o_orderkey)
+                  AS INT) AS rank,
+             MIN(q) OVER () AS tau
+      FROM top
+    )
+    SELECT o_orderkey, w_cents, rank,
+           GREATEST(w_cents,
+                    CAST(FLOOR(LEAST(tau, {_PRI_TAU_CLAMP})) AS BIGINT))
+             AS est_cents
+    FROM r WHERE rank <= {_PRI_K}
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup 2007): top-K orders "
+    "by hash-deterministic priority w/u with the unbiased "
+    "max(w, tau) subset-sum estimator (tau = the (K+1)-th priority, "
+    "floor-quantized to cents). The weighted sample whose estimates "
+    "aggregate correctly — complements the stratified/PPS/temperature "
+    "samplers (extension).",
+)
+def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan computes (w_cents, h, q) row-locally;
+    the top-(K+1) is TakeOrdered (per-partition heads merged at the
+    driver-sized K+1, never a global sort); tau rides a 1-row
+    broadcast and the rank window orders the <= K+1-row head only
+    (bounded — allowlisted in test_plan_shapes). q's float path is
+    one multiply + one divide over exactly-representable integers
+    (w_cents < 2^53, h <= 2^50), so both engines produce bit-identical
+    doubles and the hash compare is exact."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint")
+        .alias("w_cents"),
+        (
+            portable_hash64(F.col("o_orderkey").cast("string"), _PRI_SEED)
+            % F.lit(_PRI_U)
+            + 1
+        ).alias("h"),
+    )
+    scored = base.select(
+        "o_orderkey",
+        "w_cents",
+        (
+            F.col("w_cents").cast("double")
+            * F.lit(float(_PRI_U))
+            / F.col("h").cast("double")
+        ).alias("q"),
+    )
+    top = scored.orderBy(F.desc("q"), F.asc("o_orderkey")).limit(_PRI_K + 1)
+    tau = top.agg(F.min("q").alias("tau"))
+    # rank over the <= K+1-row TakeOrdered head (bounded by the limit)
+    head = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(head)
+    ).crossJoin(F.broadcast(tau))
+    return ranked.where(F.col("rank") <= _PRI_K).select(
+        "o_orderkey",
+        "w_cents",
+        "rank",
+        F.greatest(
+            F.col("w_cents"),
+            F.floor(F.least(F.col("tau"), F.lit(_PRI_TAU_CLAMP))).cast(
+                "bigint"
+            ),
+        ).alias("est_cents"),
     )
 
 

@@ -134,6 +134,9 @@ def test_no_new_unpartitioned_windows():
         # over the rows/256 block-grain frame (the hierarchical
         # prefix-sum pattern; a second level absorbs extreme scale)
         "plans/staged_r9.py": 2,
+        # staged r11: priority-sampling rank over the (K+1)-row
+        # TakeOrdered head (bounded by the prior limit)
+        "plans/staged_r11.py": 1,
     }
     pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
     found: dict[str, int] = {}

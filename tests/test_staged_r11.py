@@ -186,3 +186,43 @@ def test_tuning_table_consistent_with_registered_dedup(spark):
         f"registered config enumerates {tuning[(4, 3)]} candidates but "
         f"emits {n_out} verified pairs — impossible"
     )
+
+
+def test_priority_sample_matches_python_replay(spark, duck):
+    """Full DLT replay: hash-deterministic priorities, top-K
+    membership, rank order, and the max(w, tau) estimator."""
+    from decimal import Decimal
+
+    from autosinapi_spark.plans.staged_r11 import (
+        _PRI_K,
+        _PRI_SEED,
+        _PRI_TAU_CLAMP,
+        _PRI_U,
+        priority_sample_orders,
+    )
+
+    rows = duck.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    scored = []
+    for key, price in rows:
+        w_cents = int(Decimal(repr(price)) * 100)
+        h = _py_hash(_PRI_SEED, str(key)) % _PRI_U + 1
+        q = (float(w_cents) * float(_PRI_U)) / float(h)
+        scored.append((key, w_cents, q))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    head = scored[: _PRI_K + 1]
+    tau = min(q for _, _, q in head)
+    tau_cents = int(min(tau, _PRI_TAU_CLAMP) // 1)
+    expect = {
+        key: (w, rank + 1, max(w, tau_cents))
+        for rank, (key, w, _) in enumerate(head[:_PRI_K])
+    }
+
+    got = {
+        r.o_orderkey: (r.w_cents, r.rank, r.est_cents)
+        for r in priority_sample_orders(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # unbiasedness precondition: every estimate >= its raw weight
+    assert all(e >= w for w, _, e in got.values())
