@@ -1,14 +1,15 @@
-"""Round-11 staged queries (built and tested in round 10).
+"""Round-11-registered queries (built and oracle-tested in round 10).
 
-Staged, NOT registered: the r10 driver window is fully claimed by the
-overdue-refresh cohort plus this round's changed-code promotions
-(docs/R10_PLAN.md arithmetic — registering more than one new query in
-r10 would push r6-cohort rows past the staleness bound at r11). Each
-carries a full DuckDB oracle and a Spark-vs-oracle compare in
-tests/test_staged_r11.py (the same duplicate-compare convention the
-r8-staged cohort used before its r9 flip); flip to ``@register`` at
-the r11 window rewrite — at 189 + 4 = 193 registered the staleness
-bound stays 4 (flips at > 200).
+History: staged (NOT registered) through round 10 because that round's
+driver window was fully claimed by the overdue-refresh cohort plus
+changed-code promotions (docs/R10_PLAN.md arithmetic). Flipped to
+``@register`` at the round-11 window rewrite (docs/R11_PLAN.md §1):
+at 189 + 6 = 195 registered the staleness bound stays
+max(3, ceil(195/50)) = 4 (it flips to 5 past 200 registered). While
+staged, each ran a duplicate Spark-vs-DuckDB compare in
+tests/test_staged_r11.py; since the flip, tests/test_correctness.py
+owns that compare and the staged-test module keeps only what the
+registry compare can't express (pure-Python replays + plan pins).
 
 - ``quality_linear_scorer`` — fastText-shaped linear quality
   classifier (Joulin et al. 2016): hashed unigram features against a
@@ -65,20 +66,13 @@ from ..operators.near_dedup import (
     shingles,
 )
 from .near_dedup_queries import CORPUS_SQL, _corpus, minhash_band_ctes
-from .registry import QuerySpec
+from .registry import register
 from .text_queries import _BPE_RE
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: stage a query for the r11 registration flip."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Flipped to ``@register`` at the start of round 11 (docs/R11_PLAN.md §1).
+# Kept so pre-flip imports (tests, tools) don't break; the cohort now
+# lives in plans.registry.REGISTRY like every other query.
+STAGED: dict = {}
 
 
 # --- fastText-shaped linear quality scorer ----------------------------
@@ -94,7 +88,7 @@ _QLS_DIM = 100_003  # feature buckets (prime)
 _QLS_SPAN = 2_001  # weights span [-1000, 1000]
 
 
-@stage(
+@register(
     "quality_linear_scorer",
     f"""
     WITH tok AS (
@@ -160,7 +154,7 @@ def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-language tokenizer fertility ---------------------------------
 
 
-@stage(
+@register(
     "token_fertility_by_lang",
     f"""
     WITH c AS (
@@ -220,7 +214,7 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-document n-gram novelty --------------------------------------
 
 
-@stage(
+@register(
     "ngram_novelty_score",
     """
     WITH tok AS (
@@ -313,7 +307,7 @@ _PRI_U = 1 << 50  # u denominator; h % 2^50 stays exactly double-representable
 _PRI_TAU_CLAMP = 9e17
 
 
-@stage(
+@register(
     "priority_sample_orders",
     f"""
     WITH w AS (
@@ -338,7 +332,8 @@ _PRI_TAU_CLAMP = 9e17
       SELECT o_orderkey, w_cents, q,
              CAST(ROW_NUMBER() OVER (ORDER BY q DESC, o_orderkey)
                   AS INT) AS rank,
-             MIN(q) OVER () AS tau
+             CASE WHEN COUNT(*) OVER () > {_PRI_K}
+                  THEN MIN(q) OVER () ELSE 0 END AS tau
       FROM top
     )
     SELECT o_orderkey, w_cents, rank,
@@ -350,7 +345,9 @@ _PRI_TAU_CLAMP = 9e17
     doc="Priority sampling (Duffield-Lund-Thorup 2007): top-K orders "
     "by hash-deterministic priority w/u with the unbiased "
     "max(w, tau) subset-sum estimator (tau = the (K+1)-th priority, "
-    "floor-quantized to cents). The weighted sample whose estimates "
+    "floor-quantized to cents; 0 when N <= K — the whole population "
+    "is the sample and est = w exactly). The weighted sample whose "
+    "estimates "
     "aggregate correctly — complements the stratified/PPS/temperature "
     "samplers (extension).",
 )
@@ -385,7 +382,16 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     top = scored.orderBy(F.desc("q"), F.asc("o_orderkey")).limit(_PRI_K + 1)
-    tau = top.agg(F.min("q").alias("tau"))
+    # DLT boundary: with N <= K the whole population is kept, and the
+    # threshold must be 0 (est = w exactly) — min(q) over the kept head
+    # would be a KEPT item's priority and max(w, floor(tau)) would
+    # overestimate. Unreachable on TPC-H fixtures (orders >> K); pinned
+    # by a tiny-fixture test.
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > _PRI_K, F.min("q"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
     # rank over the <= K+1-row TakeOrdered head (bounded by the limit)
     head = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
     ranked = top.withColumn(
@@ -434,7 +440,7 @@ def _lang_eval_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "lang_id_quality_eval",
     _lang_eval_oracle(),
     doc="Language-ID quality harness: per TRUE language (the fixture "
@@ -528,7 +534,7 @@ def _tuning_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "lsh_band_tuning_costs",
     _tuning_oracle(),
     doc="LSH band-configuration cost table: for every (bands, rows) "

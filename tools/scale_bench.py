@@ -289,8 +289,8 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     # staged-for-next-round queries are measurable before registration
-    # (staged_r9 is empty since the r9 flip; staged_r11 is the r10-built
-    # cohort awaiting the r11 window)
+    # (both dicts are empty since their flips — staged_r9 at r9,
+    # staged_r11 at r11 — but the hook stays for any future staging)
     from autosinapi_spark.plans.staged_r9 import STAGED as STAGED_R9
     from autosinapi_spark.plans.staged_r11 import STAGED as STAGED_R11
 
