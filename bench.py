@@ -120,7 +120,32 @@ def main() -> int:
     # line carrying the headline number plus the slowest queries so the
     # artifact tail is always self-describing.
     print(compact_summary(out, ok, timings))
+    _write_per_query_artifact(out)
     return 0 if len(ok) == len(timings) else 1
+
+
+def _write_per_query_artifact(out: dict) -> None:
+    """Persist the FULL per-query record to the repo so round-over-round
+    diffs survive the driver's 2000-char stdout tail (the r10 verdict
+    could not compute a full 189-query regression diff from BENCH_r10
+    alone). Named bench_per_query_r{N}.json where N defaults to the
+    round the next driver snapshot will get (max existing BENCH_r* + 1);
+    override with SPARK_GRAFT_ROUND. Committed at round close; diff two
+    rounds with one jq over .queries, reading only query_runs-equal
+    rows (README drift rule)."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        seen = [
+            int(m.group(1))
+            for p in Path(_REPO).glob("BENCH_r*.json")
+            if (m := re.match(r"BENCH_r(\d+)\.json", p.name))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    path = Path(_REPO) / f"bench_per_query_r{int(rnd):02d}.json"
+    try:
+        path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    except OSError as exc:  # never let the artifact kill the bench line
+        print(f"bench: artifact write failed: {exc}", file=sys.stderr)
 
 
 def compact_summary(
