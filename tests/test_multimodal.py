@@ -163,3 +163,27 @@ def test_frame_sampling_every_nth_keeps_original_numbering(spark):
 
     with _pytest.raises(ValueError, match="every_nth"):
         sample_frames(media, frame_bytes=k, every_nth=0)
+
+
+def test_documents_fixture_is_ascii_at_gate_sfs(duck):
+    """The multimodal oracles replay byte arithmetic with CHARACTER
+    functions (ord(substr), length, md5-of-substr), which equals the
+    Spark side's byte arithmetic only while documents.text is pure
+    ASCII (ADVICE r10: an accented pt-BR fixture would silently shift
+    every slice). The oracle compare itself would still fail loudly,
+    but THIS failure names the actual cause: if the fixture ever goes
+    non-ASCII, rewrite those oracles to slice encode(text) blobs."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = duckdb.connect()
+        n = d.execute(
+            "SELECT COUNT(*) FROM read_parquet(?) "
+            "WHERE octet_length(encode(text)) != length(text)",
+            [f"{sf}/documents.parquet"],
+        ).fetchone()[0]
+        d.close()
+        assert n == 0, (
+            f"{sf}: {n} non-ASCII documents — the multimodal oracles' "
+            "char-slicing == byte-slicing assumption no longer holds"
+        )
