@@ -30,9 +30,9 @@ from .registry import davg, dsum, register, sql_davg, sql_dsum
     f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
-           {sql_dsum('l_extendedprice', 'sum_base_price')},
-           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_dsum('l_extendedprice', 'sum_base_price', 2)},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 2)},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 2)},
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            {sql_davg('l_discount', 'avg_disc')},
@@ -51,16 +51,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            # money sums at scale 2 (magnitude rule): these are the
+            # audit's perennial WATCH rows — at scale 6 the decimal
+            # significand sits ~31x under the 2^53 DOUBLE-cast budget
+            # at the gate SF and would breach near sf0.3; scale 2
+            # buys 10^4 headroom, and sum_base_price (2-dp inputs) is
+            # value-identical either way.
+            dsum(F.col("l_extendedprice"), "sum_base_price", 2),
             dsum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")),
                 "sum_disc_price",
+                2,
             ),
             dsum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax")),
                 "sum_charge",
+                2,
             ),
             davg(F.col("l_quantity"), "avg_qty"),
             davg(F.col("l_extendedprice"), "avg_price"),

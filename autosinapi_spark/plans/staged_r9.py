@@ -1309,8 +1309,8 @@ _MAD_SQL = f"""
     )
     SELECT d.n_name AS n_name, printf('%04d-%02d', d.y, d.mo) AS month,
            d.cents AS revenue_cents,
-           ROUND(d.med, 6) AS median_cents,
-           ROUND(mad.mad, 6) AS mad_cents,
+           ROUND(d.med, 2) AS median_cents,
+           ROUND(mad.mad, 2) AS mad_cents,
            d.adev > {_MAD_K} * mad.mad AS is_outlier
     FROM dev d JOIN mad ON mad.n_name = d.n_name
     ORDER BY d.n_name, month
@@ -1372,8 +1372,13 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.format_string("%04d-%02d", "y", "mo").alias("month"),
             F.col("cents").alias("revenue_cents"),
-            F.round("med", 6).alias("median_cents"),
-            F.round("mad", 6).alias("mad_cents"),
+            # scale 2 is EXACT here (magnitude-audit WATCH retire):
+            # medians of integer cents are .0/.5, their deviations'
+            # medians .0/.25/.5/.75 — all exactly binary-representable,
+            # so ROUND(·, 2) == ROUND(·, 6) == identity while the
+            # audited significand budget gains 10^4.
+            F.round("med", 2).alias("median_cents"),
+            F.round("mad", 2).alias("mad_cents"),
             (F.col("adev") > _MAD_K * F.col("mad")).alias("is_outlier"),
         )
         .orderBy("n_name", "month")
