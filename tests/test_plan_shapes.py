@@ -137,6 +137,10 @@ def test_no_new_unpartitioned_windows():
         # staged r11: priority-sampling rank over the (K+1)-row
         # TakeOrdered head (bounded by the prior limit)
         "plans/staged_r11.py": 1,
+        # staged r12: UniMax water-filling math over the
+        # |sources|-sized aggregate (bounded by the source count),
+        # and the PageRank rank over the 100-row TakeOrdered head
+        "plans/staged_r12.py": 2,
     }
     pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
     found: dict[str, int] = {}

@@ -1,0 +1,278 @@
+"""Round-12-staged queries (plans/staged_r12.py): the full
+Spark-vs-DuckDB oracle compare (the duplicate-compare convention every
+staged cohort uses before its registration flip — once these register,
+tests/test_correctness.py takes this over) plus independent pure-Python
+replays of the novel arithmetic."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from autosinapi_spark.plans.staged_r12 import (
+    _PRC_BASE,
+    _PRC_EPS,
+    _PRC_INIT,
+    _PRC_MAX_IT,
+    _PRC_TOP,
+    _SW_LISTS,
+    _UMX_BUDGET_DEN,
+    _UMX_BUDGET_NUM,
+    _UMX_EPOCHS,
+    STAGED,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_correctness import _canon_rows
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = STAGED[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
+
+    ocur = duck.execute(spec.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+
+    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
+    )
+    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
+        f"{name}: value mismatch"
+    )
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text or "").strip().split(" ")
+
+
+def test_unimax_matches_python_replay(spark, duck):
+    """Full water-filling replay from raw texts: per-source token
+    sums, the ascending-order prefix cut, and both allocation
+    branches, re-derived independently in pure Python."""
+    from autosinapi_spark.plans.staged_r12 import (
+        unimax_source_allocation,
+    )
+
+    rows = duck.execute("SELECT source, text FROM documents").fetchall()
+    n_docs: Counter = Counter()
+    n_tok: Counter = Counter()
+    for source, text in rows:
+        n_docs[source] += 1
+        n_tok[source] += len(_py_tokens(text))
+
+    c = _UMX_EPOCHS
+    order = sorted(n_tok, key=lambda s: (n_tok[s], s))
+    k = len(order)
+    total = sum(n_tok.values())
+    b = (_UMX_BUDGET_NUM * total) // _UMX_BUDGET_DEN
+
+    # prefix cut: running-AND of the cap-fits flag in ascending order
+    t_star, cum = 0, 0
+    cum_t = 0
+    for i, s in enumerate(order, start=1):
+        if c * n_tok[s] * (k - i + 1) <= b - c * cum:
+            t_star, cum_t = i, cum + n_tok[s]
+        else:
+            break
+        cum += n_tok[s]
+
+    expect = {}
+    for i, s in enumerate(order, start=1):
+        if i <= t_star:
+            alloc = c * n_tok[s]
+        elif k > t_star:
+            alloc = (b - c * cum_t) // (k - t_star)
+        else:
+            alloc = 0
+        expect[s] = (
+            n_docs[s],
+            n_tok[s],
+            c * n_tok[s],
+            alloc,
+            alloc * 1000 // n_tok[s],
+            i <= t_star,
+        )
+
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_tok,
+            r.cap_tok,
+            r.alloc_tok,
+            r.epochs_pm,
+            r.capped,
+        )
+        for r in unimax_source_allocation(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    # semantic invariants of a valid water-filling solution: the
+    # budget is conserved up to the truncating-division remainder,
+    # no source exceeds its cap, and the fixture's budget choice
+    # (1x < B/T < Cx) exercises BOTH branches.
+    allocated = sum(v[3] for v in expect.values())
+    assert allocated <= b
+    # every allocation respects its cap — for the uncapped tail the
+    # uniform share U is strictly below the first uncapped cap by the
+    # cut condition, and caps grow along the ascending order
+    assert all(v[3] <= v[2] for v in expect.values())
+    if k > t_star:
+        # unspent budget is only the truncating-division remainder
+        assert b - allocated < k - t_star
+        uncapped_alloc = {v[3] for v in expect.values() if not v[5]}
+        assert len(uncapped_alloc) == 1  # uniform share for the tail
+    assert 0 < t_star < k, (
+        "fixture must exercise both branches — retune _UMX_BUDGET if "
+        "the testdata distribution changed"
+    )
+
+
+def test_pagerank_convergence_matches_python_replay(spark, duck):
+    """Integer PageRank with the epsilon stop, replayed on plain
+    dicts: edge set, truncating-division shares, per-round max delta,
+    the first-converged round, and the top-100 competition ranks."""
+    from autosinapi_spark.plans.staged_r12 import (
+        pagerank_convergence_eps,
+    )
+
+    li = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in li:
+        baskets[ok].add(pk)
+    edges = set()
+    for ps in baskets.values():
+        for a in ps:
+            for bpart in ps:
+                if a != bpart:
+                    edges.add((a, bpart))
+    outdeg: Counter = Counter(src for src, _ in edges)
+    nodes = {pk for _, pk in li}
+
+    ranks = {n: _PRC_INIT for n in nodes}
+    n_iters = _PRC_MAX_IT
+    for t in range(1, _PRC_MAX_IT + 1):
+        incoming: Counter = Counter()
+        for src, dst in edges:
+            incoming[dst] += ranks[src] // outdeg[src]
+        new = {
+            n: _PRC_BASE + (85 * incoming.get(n, 0)) // 100
+            for n in nodes
+        }
+        maxd = max(abs(new[n] - ranks[n]) for n in nodes)
+        ranks = new
+        if maxd <= _PRC_EPS:
+            n_iters = t
+            break
+
+    head = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_PRC_TOP
+    ]
+    expect = []
+    for pos, (pk, pr) in enumerate(head, start=1):
+        # competition rank: ties share the first position
+        rank_pos = (
+            expect[-1][2]
+            if expect and expect[-1][1] == pr
+            else pos
+        )
+        expect.append((pk, pr, rank_pos, n_iters))
+
+    got = sorted(
+        (
+            (r.part_key, r.pagerank_units, r.rank_pos, r.n_iters)
+            for r in pagerank_convergence_eps(spark, SF_SMOKE).collect()
+        ),
+        key=lambda t4: (-t4[1], t4[0]),
+    )
+    assert got == expect
+    assert 1 <= n_iters < _PRC_MAX_IT, (
+        "fixture must converge strictly before the cap so the "
+        "early-out contrast is actually exercised"
+    )
+
+
+def test_confusion_matches_python_replay(spark, duck):
+    """Stopword votes, the lex-order argmax tie-break, and the ppm
+    shares, replayed in pure Python."""
+    from autosinapi_spark.plans.staged_r12 import (
+        lang_id_stopword_confusion,
+    )
+
+    rows = duck.execute("SELECT lang, text FROM documents").fetchall()
+    cells: Counter = Counter()
+    for lang, text in rows:
+        ts = _py_tokens(text)
+        votes = [
+            (sum(1 for t in ts if t in set(ws)), code)
+            for code, ws in _SW_LISTS
+        ]
+        maxh = max(v for v, _ in votes)
+        if maxh == 0:
+            pred = "und"
+        else:
+            pred = next(code for v, code in votes if v == maxh)
+        cells[(lang, pred)] += 1
+    label_tot: Counter = Counter()
+    for (lang, _), n in cells.items():
+        label_tot[lang] += n
+    expect = {
+        (lang, pred): (
+            n,
+            label_tot[lang],
+            n * 1_000_000 // label_tot[lang],
+        )
+        for (lang, pred), n in cells.items()
+    }
+    got = {
+        (r.lang, r.pred_lang): (r.n_docs, r.label_total, r.share_ppm)
+        for r in lang_id_stopword_confusion(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # per-label shares must tile the label up to ppm truncation
+    for lang, tot in label_tot.items():
+        s = sum(v[2] for (lg, _), v in expect.items() if lg == lang)
+        assert 1_000_000 - len(
+            [1 for (lg, _) in expect if lg == lang]
+        ) < s <= 1_000_000
+
+
+def test_staged_plan_shapes(spark):
+    """Pin the staged cohort's exchange budgets: UniMax is one
+    corpus aggregate plus sources-sized single-partition math, the
+    confusion matrix is one corpus aggregate plus a cells-sized
+    label window, and the convergence PageRank's per-round loop
+    matches the registered fixed-iteration query's shapes (checked
+    structurally there; here we pin the final-plan head only since
+    the loop runs eagerly)."""
+    from autosinapi_spark.plans.staged_r12 import (
+        lang_id_stopword_confusion,
+        unimax_source_allocation,
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_umx = plan(unimax_source_allocation(spark, SF_SMOKE))
+    p_cnf = plan(lang_id_stopword_confusion(spark, SF_SMOKE))
+    for p in (p_umx, p_cnf):
+        assert "CartesianProduct" not in p
+    # UniMax: the corpus-keyed aggregate is checkpointed, so the
+    # final plan holds NO corpus-sized exchange and exactly one
+    # corpus scan overall (the checkpointed RDD replaces the scan);
+    # everything downstream is SinglePartition over the sources-sized
+    # frame.
+    assert p_umx.count("hashpartitioning") == 0
+    assert p_umx.count("documents.parquet") == 0  # behind the checkpoint
+    # Confusion: one corpus-keyed agg pair (lang, pred) plus the
+    # cells-sized lang window repartition.
+    assert p_cnf.count("hashpartitioning") <= 4
+    assert p_cnf.count("documents.parquet") == 1
