@@ -276,3 +276,89 @@ def test_staged_plan_shapes(spark):
     # cells-sized lang window repartition.
     assert p_cnf.count("hashpartitioning") <= 4
     assert p_cnf.count("documents.parquet") == 1
+
+
+# --- water-filling closed form: property tests over random inputs ----
+
+def _py_waterfill(
+    sizes: dict[str, int], c: int, b: int
+) -> dict[str, tuple[int, bool]]:
+    """The exact integer arithmetic both engines run (mirrors
+    _umx_sql / unimax_source_allocation), as a pure function:
+    source -> (alloc, capped)."""
+    order = sorted(sizes, key=lambda s: (sizes[s], s))
+    k = len(order)
+    t_star, cum, cum_t = 0, 0, 0
+    for i, s in enumerate(order, start=1):
+        if c * sizes[s] * (k - i + 1) <= b - c * cum:
+            t_star, cum_t = i, cum + sizes[s]
+        else:
+            break
+        cum += sizes[s]
+    out = {}
+    for i, s in enumerate(order, start=1):
+        if i <= t_star:
+            out[s] = (c * sizes[s], True)
+        elif k > t_star:
+            out[s] = ((b - c * cum_t) // (k - t_star), False)
+        else:
+            out[s] = (0, False)
+    return out
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=10**12),
+            min_size=1,
+            max_size=40,
+        ),
+        c=st.integers(min_value=1, max_value=8),
+        bud_num=st.integers(min_value=1, max_value=40),
+    )
+    def test_waterfill_invariants(sizes, c, bud_num):
+        """For ANY size distribution, epoch cap, and budget: every
+        allocation respects its cap, the capped set is a prefix of
+        the ascending order, unspent budget is only the truncating
+        remainder (or the whole surplus when everything capped),
+        allocations are monotone in source size, and the cut is
+        maximal (t_star + 1 genuinely fails the cap-fits test)."""
+        named = {f"s{i:03d}": v for i, v in enumerate(sizes)}
+        total = sum(sizes)
+        b = bud_num * total // 8  # 0.125x .. 5x the corpus
+        out = _py_waterfill(named, c, b)
+        order = sorted(named, key=lambda s: (named[s], s))
+        k = len(order)
+
+        capped_flags = [out[s][1] for s in order]
+        # prefix property
+        assert capped_flags == sorted(capped_flags, reverse=True)
+        # caps respected
+        assert all(out[s][0] <= c * named[s] for s in order)
+        allocated = sum(v for v, _ in out.values())
+        t_star = sum(capped_flags)
+        if t_star < k:
+            # remainder-only slack, uniform tail, tail below its caps
+            assert 0 <= b - allocated < k - t_star
+            tail = {out[s][0] for s in order if not out[s][1]}
+            assert len(tail) == 1
+            # maximal cut: the first uncapped source genuinely fails
+            s_next = order[t_star]
+            cum_t = sum(named[s] for s in order[:t_star])
+            assert (
+                c * named[s_next] * (k - t_star)
+                > b - c * cum_t
+            )
+        else:
+            # everything capped: allocation is exactly C tokens/source
+            assert allocated == c * total <= b
+        # monotone: a bigger source never receives less
+        allocs = [out[s][0] for s in order]
+        assert allocs == sorted(allocs)
+
+except ImportError:  # pragma: no cover - hypothesis ships in the image
+    pass
