@@ -79,6 +79,7 @@ def main() -> int:
         # ~790s the r8 bench ran inside the driver's budget; this
         # profile lands ~780s with query_runs still emitted per row.
         n = 3 if best <= 2.0 else (2 if best <= 30.0 else 1)
+        samples = [best]
         for _ in range(n - 1):
             t0 = time.perf_counter()
             try:
@@ -86,7 +87,24 @@ def main() -> int:
             except Exception as exc:  # flaky repeat: keep best good run
                 print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
                 continue
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+            best = min(best, samples[-1])
+        # Adaptive third run (r11): the first run of a query after
+        # another query's eviction pressure is reproducibly 1.5-3x its
+        # warm floor, so min-of-2 keeps one cold-adjacent sample often
+        # — the source of every phantom "drift" r9-r11 re-measured and
+        # disproved. When the two samples disagree the pair is telling
+        # us one of them is contaminated: spend ONE more run on exactly
+        # those rows (measured ~5-15 rows/suite, ~30-90s) instead of
+        # min-of-3 everywhere (~+150s, the r9 budget problem).
+        if n == 2 and len(samples) == 2 and max(samples) > 1.3 * best:
+            t0 = time.perf_counter()
+            try:
+                _materialize(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                n = 3
+            except Exception as exc:
+                print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
         timings[name] = round(best, 3)
         runs[name] = n
         # drop this query's lingering frame refs so the ContextCleaner
@@ -106,7 +124,10 @@ def main() -> int:
         "n_failed": len(timings) - len(ok),
         "warmup_sec": round(warmup, 3),
         # per-query measurement conditions: seconds are min-of-n_runs
-        # (n capped by first-run wall so the suite stays bounded);
+        # (n capped by first-run wall so the suite stays bounded;
+        # n=3 on a 2-30s row means the adaptive disagreement run
+        # fired — treat its delta vs a min-of-2 round as budget-
+        # changed, which bench_diff.py does);
         # query_load_1m is the 1-min load average sampled just before
         # each query — read any residual swing against it.
         "query_runs": runs,
