@@ -152,19 +152,24 @@ def main():
         assert n > 0
 
     qs, oracles = e.queries(), e.oracle_sql()
-    # Staged-for-next-round queries (plans/staged_r9.STAGED) are not
-    # in the registry yet, but MUST pass the same compare before they
-    # flip to @register: resolve them when named explicitly (or run
-    # all of them via the pseudo-name "--staged"). Empty since the r9
-    # flip registered the whole r8 staged cohort; kept for any future
-    # staging round.
+    # Staged-for-next-round queries are not in the registry yet, but
+    # MUST pass the same compare (including the type lint) before they
+    # flip to @register: resolve them when named explicitly, or run
+    # all of them via the pseudo-name "--staged". Aggregates every
+    # staged module's dict (all empty after their flips except the
+    # current staging round's).
     if only:
-        from autosinapi_spark.plans.staged_r9 import STAGED
+        from autosinapi_spark.plans.staged_r9 import STAGED as _S9
+        from autosinapi_spark.plans.staged_r11 import STAGED as _S11
+        from autosinapi_spark.plans.staged_r12 import STAGED as _S12
 
+        staged_all: dict = {}
+        for d in (_S9, _S11, _S12):
+            staged_all.update(d)
         if "--staged" in only:
             only.discard("--staged")
-            only.update(STAGED)
-        for n, spec in STAGED.items():
+            only.update(staged_all)
+        for n, spec in staged_all.items():
             if n in only and n not in qs:
                 qs[n] = spec.fn
                 if spec.oracle:
