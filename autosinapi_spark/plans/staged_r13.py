@@ -1,0 +1,234 @@
+"""Round-13-staged query (NOT registered; candidate for the r13 flip).
+
+Registration budget note (docs/R12_PLAN.md): after the r12 flip lands
+at 198 registered, exactly 2 further registrations keep the staleness
+bound at 4 (it flips to 5 at 201). This module stages ONE high-value
+candidate for one of those slots; the other stays open for whatever
+the r11/r12 verdicts ask for.
+
+``suffix_window_rank`` — distributed suffix ranking by prefix
+doubling (Manber & Myers 1990), the building block of exact-substring
+deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" builds a suffix array to find 50-token
+duplicate spans). For every character position of every document, the
+query computes the DENSE RANK of its L=32-character window among all
+corpus positions, then emits the lexicographic head with per-window
+duplicate counts — equal ranks ARE the duplicate-window clusters the
+dedup pass consumes.
+
+Algorithm (all ranks integers, bit-deterministic):
+
+- round 0 is FREE: the first 4 characters pack row-locally into one
+  BIGINT code (base-256 ascii, zero-padded past the document end so a
+  shorter suffix sorts first, matching binary string collation);
+- 3 doubling rounds (4 -> 8 -> 16 -> 32): each round joins every
+  position with its ``p + step`` neighbor IN THE SAME DOCUMENT
+  (missing neighbor = rank 0), then DENSELY re-ranks the (r1, r2)
+  pairs so rank values stay <= n and the next round's pair encoding
+  ``r1 * (max_rank + 1) + r2`` cannot overflow: n^2 < 2^63 holds
+  through n ~ 3e9 positions; past that (the 100 TB regime) the
+  re-rank switches to a range-partitioned sort per shard — the
+  standard large-scale SA construction — with the same round
+  structure.
+- the dense re-rank itself never sorts globally: distinct pair codes
+  are cut into <= _SFX_NBLK contiguous VALUE-range blocks (block id =
+  code DIV ceil(code_space / NBLK), order-preserving by
+  construction), each block gets a partition-local row_number, and
+  block offsets come from an exclusive prefix sum over the
+  NBLK-bounded block-count frame — the hierarchical-prefix-sum
+  pattern of ``systematic_weighted_sample``, applied to an order
+  instead of a key line. Value-range blocking assumes the code space
+  is roughly uniformly occupied; a pathologically repetitive corpus
+  concentrates codes in few blocks, degrading a block's row_number
+  window toward a single task — the range-sampled partitioner above
+  is the production answer there too.
+
+Windows do NOT cross document boundaries (each document is its own
+suffix universe, the semantics a per-document dedup wants); the
+DuckDB oracle is therefore one window function — DENSE_RANK over
+``substr(text, pos + 1, 32)`` — over the exploded position set, which
+also pins the engine-parity assumption: integer ascii ranks equal
+binary string collation only while the fixture is pure ASCII (already
+guarded by tests/test_multimodal.py's fixture assertion).
+
+Reference parity note: the reference engine (a single-process pandas
+ETL, /root/reference/autosinapi/) has no text-indexing operators;
+this is an extension for the 100 TB curation target, the exact-arm
+complement to the rolling-hash ``dedup_substring_spans``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import QuerySpec
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: stage a query as an r13 registration candidate."""
+
+    def wrap(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+_SFX_PACK = 4  # characters packed row-locally into the round-0 rank
+_SFX_ROUNDS = 3  # doubling rounds: 4 -> 8 -> 16 -> 32
+_SFX_WINDOW = _SFX_PACK * (2 ** _SFX_ROUNDS)  # = 32
+_SFX_NBLK = 4096  # contiguous value-range blocks per dense re-rank
+_SFX_TOP = 500  # emitted lexicographic head
+
+
+_SFX_SQL = f"""
+    WITH pos AS (
+      SELECT d.doc_id, CAST(u.i AS BIGINT) AS local_pos,
+             substr(d.text, CAST(u.i AS INT) + 1, {_SFX_WINDOW}) AS w
+      FROM documents d, unnest(range(0, length(d.text))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, local_pos, w,
+             DENSE_RANK() OVER (ORDER BY w) AS sfx_rank,
+             COUNT(*) OVER (PARTITION BY w) AS dup_count
+      FROM pos
+    )
+    SELECT CAST(sfx_rank AS BIGINT) AS sfx_rank,
+           CAST(dup_count AS BIGINT) AS dup_count,
+           doc_id, local_pos, w AS window_text
+    FROM ranked
+    ORDER BY sfx_rank, doc_id, local_pos
+    LIMIT {_SFX_TOP}
+"""
+
+
+@stage(
+    "suffix_window_rank",
+    _SFX_SQL,
+    doc=f"Distributed suffix ranking by prefix doubling (Manber-Myers; "
+    f"the Lee-et-al exact-substring-dedup index): dense rank of every "
+    f"position's {_SFX_WINDOW}-char window via a packed 4-char round 0 "
+    f"plus {_SFX_ROUNDS} dense-re-rank doubling rounds (hierarchical "
+    "value-range blocking, never a global sort); emits the "
+    f"top-{_SFX_TOP} lexicographic head with duplicate-window counts "
+    "(extension).",
+)
+def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sfx_rank, dup_count, doc_id, local_pos, window_text) for the
+    500 lexicographically-first window positions.
+
+    Scale shape per round: one (doc_id, pos)-keyed self-join for the
+    neighbor rank, one distinct over pair codes, one NBLK-bounded
+    block-count aggregate + exclusive-offset window (<= 4096 rows),
+    one block-partitioned row_number, one code-keyed join back —
+    every frame carries only (doc_id, long, long) triples; document
+    text is touched exactly twice (the row-local round-0 pack and the
+    final 500-row window_text join). Rounds are FIXED (no driver
+    action inside the loop), so the whole query is one lazy DAG whose
+    localCheckpoints bound lineage without synchronization barriers.
+    The final head is TakeOrdered (500 rows), never a global sort.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 0: pack the first _SFX_PACK chars at every position into
+    # one base-256 code, row-local (ascii(substring past end) = 0, so
+    # a suffix shorter than the pack sorts first, = binary collation)
+    pack = " + ".join(
+        f"ascii(substring(text, i + {j + 1}, 1)) * "
+        f"{256 ** (_SFX_PACK - 1 - j)}"
+        for j in range(_SFX_PACK)
+    )
+    chars = F.expr(
+        "transform(sequence(0, length(text) - 1), "
+        f"i -> struct(i AS p, CAST({pack} AS BIGINT) AS r))"
+    )
+    pos = (
+        docs.select("doc_id", F.explode(chars).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.p").cast("long").alias("p"),
+            F.col("c.r").alias("rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cur = pos
+    step = _SFX_PACK
+    for rnd in range(_SFX_ROUNDS):
+        right = cur.select(
+            "doc_id",
+            (F.col("p") - step).alias("p"),
+            F.col("rank").alias("r2"),
+        )
+        maxr = cur.agg(F.max("rank").alias("mr"))
+        paired = (
+            cur.join(right, ["doc_id", "p"], "left")
+            .select(
+                "doc_id",
+                "p",
+                F.col("rank").alias("r1"),
+                F.coalesce("r2", F.lit(0).cast("long")).alias("r2"),
+            )
+            .crossJoin(F.broadcast(maxr))
+            .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
+        )
+        distinct_codes = paired.select("v", "mr").distinct()
+        # contiguous value-range blocks: order-preserving, bounded
+        # count, so the offset window below is <= _SFX_NBLK rows
+        blocked = distinct_codes.withColumn(
+            "blk",
+            F.expr(
+                f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
+                f"DIV {_SFX_NBLK})"
+            ),
+        )
+        counts = blocked.groupBy("blk").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # exclusive prefix over the <= NBLK block frame (bounded by a
+        # constant; allowlisted in test_plan_shapes.py)
+        w_off = Window.orderBy("blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.select(
+            "blk",
+            F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long"))
+            .alias("off"),
+        )
+        w_in = Window.partitionBy("blk").orderBy("v")
+        ranked = (
+            blocked.join(F.broadcast(offs), "blk")
+            .select(
+                "v",
+                (F.col("off") + F.row_number().over(w_in))
+                .cast("long")
+                .alias("nr"),
+            )
+        )
+        cur = (
+            paired.join(ranked, "v")
+            .select("doc_id", "p", F.col("nr").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+        step *= 2
+    dup = cur.groupBy("rank").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    top = cur.orderBy("rank", "doc_id", "p").limit(_SFX_TOP)
+    return (
+        F.broadcast(top)
+        .join(dup, "rank")
+        .join(docs, "doc_id")
+        .select(
+            F.col("rank").alias("sfx_rank"),
+            "dup_count",
+            "doc_id",
+            F.col("p").alias("local_pos"),
+            F.expr(
+                f"substring(text, CAST(p + 1 AS INT), {_SFX_WINDOW})"
+            ).alias("window_text"),
+        )
+        .orderBy("sfx_rank", "doc_id", "local_pos")
+    )

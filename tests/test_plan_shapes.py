@@ -141,6 +141,9 @@ def test_no_new_unpartitioned_windows():
         # |sources|-sized aggregate (bounded by the source count),
         # and the PageRank rank over the 100-row TakeOrdered head
         "plans/staged_r12.py": 2,
+        # staged r13: suffix-rank exclusive block-offset prefix sum
+        # over the <= _SFX_NBLK (4096) value-range block counts
+        "plans/staged_r13.py": 1,
     }
     pat = re.compile(r"Window\s*(\(\s*\))?\s*\.\s*orderBy")
     found: dict[str, int] = {}

@@ -1,0 +1,91 @@
+"""Round-13-staged suffix ranking (plans/staged_r13.py): the full
+Spark-vs-DuckDB oracle compare pre-registration plus a pure-Python
+replay of the prefix-doubling arithmetic against a direct
+sorted-windows reference."""
+
+from __future__ import annotations
+
+import pytest
+
+from autosinapi_spark.plans.staged_r13 import (
+    _SFX_TOP,
+    _SFX_WINDOW,
+    STAGED,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_correctness import _canon_rows
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = STAGED[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
+
+    ocur = duck.execute(spec.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+
+    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
+    )
+    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
+        f"{name}: value mismatch"
+    )
+
+
+def test_suffix_rank_matches_python_replay(spark, duck):
+    """Direct reference: sort every (doc, pos) by its 32-char window
+    (Python's str ordering == binary collation on the ASCII fixture),
+    assign dense ranks and duplicate counts, and compare the full
+    emitted head — rank values, duplicate counts, tie order, and the
+    window text itself."""
+    from collections import Counter
+
+    from autosinapi_spark.plans.staged_r13 import suffix_window_rank
+
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    wins = []
+    for doc_id, text in texts.items():
+        for i in range(len(text)):
+            wins.append((text[i : i + _SFX_WINDOW], doc_id, i))
+    dup = Counter(w for w, _, _ in wins)
+    wins.sort()
+    ranks: dict[str, int] = {}
+    for w, _, _ in wins:
+        if w not in ranks:
+            ranks[w] = len(ranks) + 1
+    expect = [
+        (ranks[w], dup[w], doc_id, i, w)
+        for w, doc_id, i in wins[:_SFX_TOP]
+    ]
+
+    got = [
+        (r.sfx_rank, r.dup_count, r.doc_id, r.local_pos, r.window_text)
+        for r in suffix_window_rank(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # the head must genuinely contain duplicate windows, or the
+    # dedup-signal column is untested
+    assert any(d > 1 for _, d, _, _, _ in expect)
+
+
+def test_suffix_rank_plan_shape(spark):
+    """Pins: the head is TakeOrdered (never a global sort of the
+    position set), no cartesian anywhere, and the documents scan
+    prunes to (doc_id, text)."""
+    from autosinapi_spark.plans.staged_r13 import suffix_window_rank
+
+    plan = (
+        suffix_window_rank(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
