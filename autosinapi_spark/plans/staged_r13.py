@@ -29,7 +29,14 @@ Algorithm (all ranks integers, bit-deterministic):
   through n ~ 3e9 positions; past that (the 100 TB regime) the
   re-rank switches to a range-partitioned sort per shard — the
   standard large-scale SA construction — with the same round
-  structure.
+  structure. Round 1 is the tight spot: its r1 values are the packed
+  codes themselves (max 127 * 0x01010101 ~ 2.1e9 on ASCII), so
+  round-1 pair codes reach ~4.6e18 — inside int64 with 2x headroom
+  on ASCII, but NON-ASCII text (Spark ``ascii`` returns the full
+  codepoint) would overflow the pack: a non-ASCII corpus must pack
+  fewer characters or byte-normalize first. The fixture-ASCII guard
+  (tests/test_multimodal.py) protects the oracle comparison for the
+  same reason (codepoint order vs binary collation).
 - the dense re-rank itself never sorts globally: distinct pair codes
   are cut into <= _SFX_NBLK contiguous VALUE-range blocks (block id =
   code DIV ceil(code_space / NBLK), order-preserving by
@@ -174,10 +181,10 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(maxr))
             .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
         )
-        distinct_codes = paired.select("v", "mr").distinct()
+        distinct_codes = paired.select("v").distinct()
         # contiguous value-range blocks: order-preserving, bounded
         # count, so the offset window below is <= _SFX_NBLK rows
-        blocked = distinct_codes.withColumn(
+        blocked = distinct_codes.crossJoin(F.broadcast(maxr)).withColumn(
             "blk",
             F.expr(
                 f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
