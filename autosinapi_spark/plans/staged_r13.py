@@ -153,7 +153,11 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i AS p, CAST({pack} AS BIGINT) AS r))"
     )
     pos = (
-        docs.select("doc_id", F.explode(chars).alias("c"))
+        # length guard: Spark's sequence(0, length - 1) on an EMPTY
+        # text yields the DESCENDING [0, -1] (verified on 4.1), i.e.
+        # two phantom positions — the oracle's range(0, 0) is empty
+        docs.where(F.length("text") > 0)
+        .select("doc_id", F.explode(chars).alias("c"))
         .select(
             "doc_id",
             F.col("c.p").cast("long").alias("p"),

@@ -89,3 +89,31 @@ def test_suffix_rank_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_suffix_rank_empty_doc_guard(spark, tmp_path):
+    """Spark's sequence(0, length - 1) on an empty text yields the
+    DESCENDING [0, -1] — two phantom positions — where the oracle's
+    range(0, 0) is empty. The length guard must drop empty documents
+    entirely (and a 1-char corpus must still rank)."""
+    from autosinapi_spark.plans.staged_r13 import suffix_window_rank
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "", "en", "src0", 0),
+            (2, "a", "en", "src0", 1),
+            (3, "ba", "en", "src0", 2),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = [tuple(r) for r in suffix_window_rank(spark, sf).collect()]
+    # positions: doc2 'a'@0, doc3 'ba'@0 + 'a'@1 -> windows
+    # 'a' (x2, rank 1), 'ba' (rank 2); doc1 contributes NOTHING
+    assert rows == [
+        (1, 2, 2, 0, "a"),
+        (1, 2, 3, 1, "a"),
+        (2, 1, 3, 0, "ba"),
+    ]
