@@ -117,3 +117,76 @@ def test_suffix_rank_empty_doc_guard(spark, tmp_path):
         (1, 2, 3, 1, "a"),
         (2, 1, 3, 0, "ba"),
     ]
+
+
+# --- prefix-doubling arithmetic: property test over random corpora ---
+
+def _py_doubling_ranks(
+    texts: dict[int, str], pack: int, rounds: int
+) -> dict[tuple[int, int], int]:
+    """The exact integer arithmetic the Spark plan runs (pack codes,
+    neighbor pairing with 0-sentinel, dense re-rank per round), as a
+    pure function: (doc_id, pos) -> final dense rank."""
+    pos = {}
+    for doc_id, text in texts.items():
+        for i in range(len(text)):
+            code = 0
+            for j in range(pack):
+                c = ord(text[i + j]) if i + j < len(text) else 0
+                code = code * 256 + c
+            pos[(doc_id, i)] = code
+    step = pack
+    for _ in range(rounds):
+        mr = max(pos.values(), default=0)
+        paired = {
+            (doc_id, p): r1 * (mr + 1)
+            + pos.get((doc_id, p + step), 0)
+            for (doc_id, p), r1 in pos.items()
+        }
+        dense = {v: i + 1 for i, v in enumerate(sorted(set(paired.values())))}
+        pos = {k: dense[v] for k, v in paired.items()}
+        step *= 2
+    return pos
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=40),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_doubling_equals_direct_window_ranks(texts):
+        """For ANY corpus (tiny alphabet -> heavy ties, lengths below
+        the pack width, empty docs): the pack+doubling ranks must
+        equal the dense ranks of directly-sorted 32-char windows —
+        the identity the DuckDB oracle checks on the fixture,
+        exercised here on adversarial shapes."""
+        from autosinapi_spark.plans.staged_r13 import (
+            _SFX_PACK,
+            _SFX_ROUNDS,
+            _SFX_WINDOW,
+        )
+
+        corpus = {i: t for i, t in enumerate(texts)}
+        got = _py_doubling_ranks(corpus, _SFX_PACK, _SFX_ROUNDS)
+
+        wins = sorted(
+            (t[i : i + _SFX_WINDOW], doc_id, i)
+            for doc_id, t in corpus.items()
+            for i in range(len(t))
+        )
+        ranks: dict[str, int] = {}
+        for w, _, _ in wins:
+            if w not in ranks:
+                ranks[w] = len(ranks) + 1
+        expect = {(doc_id, i): ranks[w] for w, doc_id, i in wins}
+        assert got == expect
+
+except ImportError:  # pragma: no cover - hypothesis ships in the image
+    pass
