@@ -1,11 +1,13 @@
-"""Round-12-staged queries (NOT registered until the r12 window
-rewrite; docs/R12_PLAN.md).
+"""Round-12-registered queries (built and oracle-tested in round 11).
 
-Registration budget: the r11 flip took the registry to 195; the
-staleness bound ``max(3, ceil(N/50))`` flips from 4 to 5 past 200
-registered, so at most 5 further registrations fit under the current
-bound across r12+. This cohort stages exactly 3 — the r10 verdict's
-ask #5 — leaving 2 slots of headroom:
+History: staged (NOT registered) through round 11 because that round's
+correctness window was already fully committed; flipped from ``stage``
+to ``@register`` at the round-12 window rewrite (docs/R12_PLAN.md §1).
+At 195 + 3 = 198 registered the staleness bound
+``max(3, ceil(N/50))`` stays 4; it flips to 5 past 200 registered,
+which docs/R13_PLAN.md takes deliberately (registering 3 more in r13
+ends the zero-margin rotation treadmill). The cohort — the r10
+verdict's ask #5:
 
 - ``unimax_source_allocation`` — UniMax epoch-capped budget
   allocation across corpus sources (Chung et al. 2023, "UniMax:
@@ -45,10 +47,11 @@ ask #5 — leaving 2 slots of headroom:
   represent Chinese stopwords; at deployment you swap token lists,
   never thresholds.
 
-Each entry carries a full DuckDB oracle; tests/test_staged_r12.py
-runs the Spark-vs-oracle compare pre-registration (the same
-duplicate-compare convention the r8- and r10-staged cohorts used
-before their flips) plus pure-Python replays of the novel arithmetic.
+Each entry carries a full DuckDB oracle; since the r12 flip the
+registry compare in tests/test_correctness.py owns the oracle check
+(a duplicate compare ran in tests/test_staged_r12.py while they were
+staged in r11); the pure-Python replays of the novel arithmetic stay
+there.
 
 Reference parity note: the reference engine (a single-process pandas
 ETL, /root/reference/autosinapi/) has no sampling, graph, or lang-id
@@ -62,19 +65,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import EN_STOPWORDS, PT_STOPWORDS, tokens
-from .registry import QuerySpec
+from .registry import register
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: stage a query for the r12 registration flip."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Kept for import compatibility with round-11 tooling snapshots; the
+# cohort now registers directly into plans.registry.REGISTRY.
+STAGED: dict = {}
 
 
 # --- UniMax epoch-capped source allocation ----------------------------
@@ -155,7 +150,7 @@ def _umx_sql() -> str:
     """
 
 
-@stage(
+@register(
     "unimax_source_allocation",
     _umx_sql(),
     doc=f"UniMax epoch-capped token-budget allocation across sources "
@@ -365,7 +360,7 @@ def _prc_sql() -> str:
     """
 
 
-@stage(
+@register(
     "pagerank_convergence_eps",
     _prc_sql(),
     doc="Convergence-to-epsilon PageRank over the order-basket item "
@@ -562,7 +557,7 @@ def _sw_confusion_sql() -> str:
     """
 
 
-@stage(
+@register(
     "lang_id_stopword_confusion",
     _sw_confusion_sql(),
     doc="Confusion matrix of the 5-list stopword argmax classifier "

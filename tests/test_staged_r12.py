@@ -1,15 +1,20 @@
-"""Round-12-staged queries (plans/staged_r12.py): the full
-Spark-vs-DuckDB oracle compare (the duplicate-compare convention every
-staged cohort uses before its registration flip — once these register,
-tests/test_correctness.py takes this over) plus independent pure-Python
-replays of the novel arithmetic."""
+"""Round-12-registered queries (plans/staged_r12.py): Python replays +
+structural invariants.
+
+The Spark-vs-DuckDB oracle compare for this cohort lives in
+tests/test_correctness.py since the r12 flip registered them (a
+duplicate compare ran here while they were staged in r11); what stays
+here is what the registry compare can't express — independent
+pure-Python replays of the novel arithmetic (water-filling cut,
+integer PageRank with the epsilon stop, stopword argmax confusion),
+plan-shape pins, and hypothesis property tests over the UniMax
+closed form.
+"""
 
 from __future__ import annotations
 
 import re
 from collections import Counter, defaultdict
-
-import pytest
 
 from autosinapi_spark.plans.staged_r12 import (
     _PRC_BASE,
@@ -21,31 +26,8 @@ from autosinapi_spark.plans.staged_r12 import (
     _UMX_BUDGET_DEN,
     _UMX_BUDGET_NUM,
     _UMX_EPOCHS,
-    STAGED,
 )
 from tests.conftest import SF_SMOKE
-from tests.test_correctness import _canon_rows
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, duck, name):
-    spec = STAGED[name]
-    sdf = spec.fn(spark, SF_SMOKE)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
-
-    ocur = duck.execute(spec.oracle)
-    ocols = [d[0] for d in ocur.description]
-    orows = [tuple(r) for r in ocur.fetchall()]
-
-    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
-    assert len(srows) == len(orows), (
-        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
-    )
-    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
-        f"{name}: value mismatch"
-    )
 
 
 def _py_tokens(text: str) -> list[str]:
