@@ -32,9 +32,14 @@ Algorithm (all ranks integers, bit-deterministic):
   structure. Round 1 is the tight spot: its r1 values are the packed
   codes themselves (max 127 * 0x01010101 ~ 2.1e9 on ASCII), so
   round-1 pair codes reach ~4.6e18 — inside int64 with 2x headroom
-  on ASCII, but NON-ASCII text (Spark ``ascii`` returns the full
-  codepoint) would overflow the pack: a non-ASCII corpus must pack
-  fewer characters or byte-normalize first. The fixture-ASCII guard
+  on ASCII, but any codepoint past 127 (Spark ``ascii`` returns the
+  full codepoint — even Latin-1's 255 puts mr at ~4.3e9, whose
+  square exceeds 2^63) would overflow the pair space: such a corpus
+  must pack fewer characters or byte-normalize first. This is now a
+  RUNTIME guard, not just a docstring hazard (r11 ADVICE): the query
+  raises via ``raise_error`` on the first codepoint > 127, so a
+  non-ASCII corpus errors loudly instead of overflowing (ANSI) or
+  silently corrupting ranks. The fixture-ASCII guard
   (tests/test_multimodal.py) protects the oracle comparison for the
   same reason (codepoint order vs binary collation).
 - the dense re-rank itself never sorts globally: distinct pair codes
@@ -143,8 +148,13 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 0: pack the first _SFX_PACK chars at every position into
     # one base-256 code, row-local (ascii(substring past end) = 0, so
     # a suffix shorter than the pack sorts first, = binary collation)
+    # each digit is cast to BIGINT BEFORE the place-value multiply:
+    # ascii() returns int32, and under ANSI mode 128 * 256^3 == 2^31
+    # already overflows the int multiply — so codepoints >= 128 in
+    # the leading slot would error spuriously (and the Latin-1 guard
+    # below could never produce its message)
     pack = " + ".join(
-        f"ascii(substring(text, i + {j + 1}, 1)) * "
+        f"CAST(ascii(substring(text, i + {j + 1}, 1)) AS BIGINT) * "
         f"{256 ** (_SFX_PACK - 1 - j)}"
         for j in range(_SFX_PACK)
     )
@@ -152,11 +162,42 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, length(text) - 1), "
         f"i -> struct(i AS p, CAST({pack} AS BIGINT) AS r))"
     )
+    # codepoint guard (runtime, not just docstring — r11 ADVICE): the
+    # int64 budget for round-1 pair codes r1*(mr+1)+r2 only holds for
+    # ASCII — packed codes reach (cp_max * 0x01010101), so cp_max 127
+    # gives mr ~2.1e9 and pair codes ~4.6e18 (2x headroom), while
+    # even Latin-1 (cp_max 255, mr ~4.3e9) squares to ~1.8e19 > 2^63.
+    # Wider codepoints additionally break the one-digit base-256
+    # ordering. Raise loudly on the first codepoint > 127 instead of
+    # overflowing (ANSI) or silently corrupting ranks (non-ANSI). The
+    # check is embedded in the USED doc_id projection (a bare
+    # withColumn would be pruned by Catalyst); one rlike pass per
+    # row, row-local.
+    guarded = docs.select(
+        F.when(
+            F.col("text").rlike(r"^[\x00-\x7f]*$"), F.col("doc_id")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "suffix_window_rank: non-ASCII codepoint "
+                        "(packed codes past ascii 127 overflow the "
+                        "int64 round-1 pair space; byte-normalize "
+                        "or reduce _SFX_PACK first) in doc "
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("doc_id"),
+        "text",
+    )
     pos = (
         # length guard: Spark's sequence(0, length - 1) on an EMPTY
         # text yields the DESCENDING [0, -1] (verified on 4.1), i.e.
         # two phantom positions — the oracle's range(0, 0) is empty
-        docs.where(F.length("text") > 0)
+        guarded.where(F.length("text") > 0)
         .select("doc_id", F.explode(chars).alias("c"))
         .select(
             "doc_id",

@@ -1,0 +1,385 @@
+"""Round-13 registration candidates, second module (staged in round
+12; NOT registered until the r13 window rewrite — docs/R13_PLAN.md
+commits to registering these two plus ``staged_r13.suffix_window_rank``
+to cross 201 registered, flipping the rotation staleness bound from 4
+to 5 and ending the zero-margin window treadmill the r9–r11 verdicts
+flagged).
+
+- ``hilbert_layout_keys`` — Hilbert-curve layout keys over
+  (l_partkey, l_suppkey): the locality CONTRAST row to the registered
+  ``zorder_layout_keys`` (plans/olap_queries.py). Both range-normalize
+  each key into a 16-bit budget and derive a 32-bit space-filling
+  index + a 64-way clustering bucket; the difference is the curve.
+  Morton (z-order) interleaving takes unit steps except at power-of-2
+  cell boundaries, where it jumps arbitrarily far — every jump widens
+  some file's min/max envelope on one key. The Hilbert curve takes a
+  UNIT step at every single increment (pinned by the replay test's
+  adjacency property), so equal-count file cuts along the curve give
+  strictly tighter per-file bounding boxes — the reason Databricks
+  liquid clustering and Iceberg moved from z-order to Hilbert for
+  multi-dimensional layout at scale. The xy2d transform (Wikipedia's
+  public-domain formulation of Butz's algorithm) is a per-bit state
+  machine: at each of the 16 levels the quadrant index
+  ``(3*rx) XOR ry`` is accumulated and the lower bits are rotated /
+  reflected into the quadrant's frame. The state dependence across
+  bits means it cannot be a flat sum like Morton — both engines run
+  the SAME generated chain of 16 single-reference CTE levels (pure
+  integer CASE arithmetic; XOR spelled as a CASE over the four
+  (rx, ry) combinations because ``^`` is POWER in DuckDB), collapsed
+  by each optimizer into one row-local projection.
+
+- ``kcore_onion_layers`` — the onion decomposition (Hebert-Dufresne,
+  Grochow & Allard 2016, "Multi-scale structure and topological
+  anomaly detection via a new network statistic: The onion
+  decomposition"; k-cores per Seidman 1983) of the order-basket item
+  co-occurrence graph: repeatedly strip every node whose alive-degree
+  is below K (= the graph's integer mean degree E DIV N, so the
+  threshold is scale-free and data-derived, never fixture-tuned) and
+  emit one row per peel round — nodes removed, their summed
+  alive-degree at removal time, and the surviving count. The LAYER
+  PROFILE is the output (how fast the graph erodes under its own mean
+  degree), which is the curation signal: a web/link corpus whose
+  first layer removes almost everything is sparse spam-tail; a deep
+  onion marks a dense navigational core. On the near-regular TPC-H
+  basket graph the decomposition fully erodes in 2–3 rounds at every
+  fixture SF (measured at sf0.001/0.01/0.1) — itself the honest
+  diagnostic: random co-purchase graphs have no k-core above the mean
+  degree. Rounds are FIXED at ``_KC_ROUNDS`` (no driver action inside
+  the loop — one lazy DAG, localCheckpoint-bounded lineage, the
+  ``item_cooccurrence_pagerank`` shape); rounds that remove nothing
+  emit no row, and the oracle unrolls every round as MATERIALIZED
+  CTEs (multi-reference levels — the DuckDB inlining hazard from the
+  r11 pagerank oracle) so the data-dependent erosion profile itself
+  is oracle-checked.
+
+Each entry carries a full DuckDB oracle; tests/test_staged_r13b.py
+runs the Spark-vs-oracle compare pre-registration (the duplicate-
+compare convention every staged cohort uses before its flip) plus
+pure-Python replays (the Hilbert state machine with the unit-step
+adjacency property; the peel loop on plain dicts).
+
+Reference parity note: the reference engine (a single-process pandas
+ETL, /root/reference/autosinapi/) has no layout or graph operators —
+both are extensions for the 100 TB curation target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import QuerySpec
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: stage a query as an r13 registration candidate."""
+
+    def wrap(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+# --- Hilbert-curve layout keys ---------------------------------------
+
+_HB_BITS = 16  # per-dimension bits -> n = 2^16 grid, 32-bit d
+_HB_N = 1 << _HB_BITS
+_HB_FILES = 64  # target layout files (matches zorder_layout_keys)
+
+
+def _hb_norm(col: str, lo: str, hi: str, idiv: str) -> str:
+    """Range-normalize a BIGINT key into [0, 2^bits): same equal-width
+    integer binning as ``zorder_layout_keys``'s ``_z_norm`` (kept
+    local — importing it would couple this staged module into the
+    registered query's fingerprint closure)."""
+    top = _HB_N - 1
+    return (
+        f"(CASE WHEN {hi} = {lo} THEN 0 "
+        f"ELSE ((CAST({col} AS BIGINT) - {lo}) * {top}) "
+        f"{idiv} ({hi} - {lo}) END)"
+    )
+
+
+def _hb_levels() -> tuple[str, str]:
+    """The 16 chained CTE levels of the xy2d state machine. Each level
+    is referenced exactly ONCE by the next, so no MATERIALIZED pin is
+    needed (the multi-reference inlining hazard does not apply) and
+    both optimizers collapse the chain into one row-local projection."""
+    parts = []
+    prev = "b"
+    lvl = 0
+    s = _HB_N // 2
+    while s > 0:
+        cur = f"h{lvl}"
+        # quadrant index q = (3*rx) XOR ry over rx,ry in {0,1}:
+        # (0,0)->0 (0,1)->1 (1,0)->3 (1,1)->2, spelled as CASE
+        # because ^ means POWER in DuckDB.
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"""{cur} AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CASE WHEN ry = 0 AND rx = 1 THEN {_HB_N - 1} - y
+                  WHEN ry = 0 THEN y ELSE x END AS x,
+             CASE WHEN ry = 0 AND rx = 1 THEN {_HB_N - 1} - x
+                  WHEN ry = 0 THEN x ELSE y END AS y,
+             d + CAST({s * s} AS BIGINT)
+                 * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+                         WHEN rx = 1 THEN 3
+                         WHEN ry = 1 THEN 1 ELSE 0 END) AS d
+      FROM (SELECT *, {rx} AS rx, {ry} AS ry FROM {prev}) t
+    )"""
+        )
+        prev = cur
+        lvl += 1
+        s //= 2
+    return ",\n    ".join(parts), prev
+
+
+def _hb_sql(table: str, idiv: str) -> str:
+    levels, last = _hb_levels()
+    return f"""
+    WITH mm AS (
+      SELECT MIN(CAST(l_partkey AS BIGINT)) AS pmin,
+             MAX(CAST(l_partkey AS BIGINT)) AS pmax,
+             MIN(CAST(l_suppkey AS BIGINT)) AS smin,
+             MAX(CAST(l_suppkey AS BIGINT)) AS smax
+      FROM {table}
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {_hb_norm('l_partkey', 'pmin', 'pmax', idiv)} AS x,
+             {_hb_norm('l_suppkey', 'smin', 'smax', idiv)} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM {table} CROSS JOIN mm
+    ),
+    {levels}
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(d AS BIGINT) AS hval,
+           CAST(d % {_HB_FILES} AS BIGINT) AS hbucket
+    FROM {last}
+    """
+
+
+@stage(
+    "hilbert_layout_keys",
+    _hb_sql("lineitem", "//"),
+    doc=f"Hilbert-curve layout keys over (l_partkey, l_suppkey): each "
+    f"key range-normalized into the {_HB_BITS}-bit budget, then the "
+    f"xy2d state machine (16 unrolled rotate/reflect levels, pure "
+    f"integer CASE arithmetic) gives a 32-bit curve index plus a "
+    f"{_HB_FILES}-way clustering bucket. Locality contrast to "
+    "zorder_layout_keys: the Hilbert curve advances by a UNIT step at "
+    "every increment, so equal-count file cuts get strictly tighter "
+    "min/max envelopes than Morton's boundary jumps (extension).",
+)
+def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every lineitem row with its Hilbert d-value and layout bucket.
+
+    Scale shape: one 1-row min/max aggregate (broadcast back as a
+    scalar — the only exchange in the plan), then the 16-level state
+    machine is a pure row-local integer projection: Catalyst collapses
+    the CTE chain into a single whole-stage-codegen projection — no
+    UDF, no fact-table shuffle, embarrassingly parallel at any scale.
+    Writing the layout is ``repartitionByRange(hbucket, hval)`` + a
+    sorted parquet write, identical to the z-order writer; the modulo
+    bucket stands in for range boundaries from an hval quantile
+    sketch (kept deterministic for the oracle). At 100 TB the only
+    scale-sensitive piece is the min/max scalar — computed in the
+    same scan Catalyst already runs, or read from table statistics.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(_hb_sql("{li}", "DIV"), li=li)
+
+
+# --- k-core onion decomposition --------------------------------------
+
+_KC_ROUNDS = 4  # fixed peel rounds; fixtures fully erode in 2-3
+# (sf0.001: 2 rounds, sf0.01/sf0.1: 3 — measured; a round that
+# removes nothing emits no row, so the cap only bounds the DAG)
+
+
+def _kc_sql(idiv: str) -> str:
+    """Unrolled peel rounds. Every alive/deg level is referenced more
+    than once (stats row + next level), so each is pinned MATERIALIZED
+    — DuckDB inlines multi-reference CTEs otherwise and re-expands the
+    whole upstream tree per reference (the r11 pagerank-oracle spill)."""
+    rounds_sql = []
+    stats_refs = []
+    prev_alive = "a0"
+    for r in range(1, _KC_ROUNDS + 1):
+        deg = f"d{r}"
+        alive = f"a{r}"
+        rounds_sql.append(
+            f"""{deg} AS MATERIALIZED (
+      SELECT a.id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS deg
+      FROM {prev_alive} a LEFT JOIN (
+        SELECT e.src, COUNT(*) AS cnt
+        FROM e
+        JOIN {prev_alive} x ON e.src = x.id
+        JOIN {prev_alive} y ON e.dst = y.id
+        GROUP BY e.src
+      ) c ON a.id = c.src
+    ),
+    s{r} AS (
+      SELECT CAST({r} AS BIGINT) AS peel_round,
+             MAX(kk) AS k_threshold,
+             CAST(SUM(CASE WHEN deg < kk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             CAST(COALESCE(SUM(CASE WHEN deg < kk THEN deg END), 0)
+               AS BIGINT) AS sum_alive_deg,
+             CAST(SUM(CASE WHEN deg >= kk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alive_after
+      FROM {deg} CROSS JOIN k
+    ),
+    {alive} AS MATERIALIZED (
+      SELECT d.id FROM {deg} d CROSS JOIN k WHERE d.deg >= kk
+    )"""
+        )
+        stats_refs.append(f"SELECT * FROM s{r}")
+        prev_alive = alive
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey != b.l_partkey
+    ),
+    a0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS id FROM lineitem
+    ),
+    k AS (
+      SELECT CAST((SELECT COUNT(*) FROM e) {idiv}
+                  (SELECT COUNT(*) FROM a0) AS BIGINT) AS kk
+    ),
+    {','.join(rounds_sql)}
+    SELECT peel_round, k_threshold, n_removed, sum_alive_deg,
+           n_alive_after
+    FROM ({' UNION ALL '.join(stats_refs)})
+    WHERE n_removed > 0
+    ORDER BY peel_round
+    """
+
+
+@stage(
+    "kcore_onion_layers",
+    _kc_sql("//"),
+    doc=f"Onion decomposition (Hebert-Dufresne et al. 2016; Seidman "
+    f"1983 k-cores) of the item co-occurrence graph: strip nodes with "
+    f"alive-degree below the integer mean degree (E DIV N, data-"
+    f"derived) for up to {_KC_ROUNDS} fixed rounds; one row per round "
+    "with nodes removed, their summed alive-degree, and survivors. "
+    "The erosion profile is the corpus-structure diagnostic "
+    "(extension).",
+)
+def kcore_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(peel_round, k_threshold, n_removed, sum_alive_deg,
+    n_alive_after) for every peel round that removed nodes.
+
+    Scale shape: the basket-local pair build and edge distinct are
+    the ``item_cooccurrence_pagerank`` shapes (one shuffle keyed by
+    order, k^2 row-local expansion bounded by basket size, edges
+    checkpointed once). Each round is one semi-join-restricted degree
+    count (two hash joins keyed by node id + one partial-aggregated
+    groupBy) over frames that only ever carry (id) / (id, long) —
+    text-free, narrow, skew-bounded by the max item popularity. The
+    per-round stats are 1-row aggregates unioned at the end; the K
+    threshold is a 1-row scalar broadcast (the repo's scalar-broadcast
+    idiom, never a data-by-data cartesian). Rounds are fixed, so the
+    whole query is one lazy DAG of ~3 shuffles per round with
+    localCheckpoint-bounded lineage — no driver-side loop control, no
+    collect. At 100 TB: rounds scale as O(edges-alive) each and the
+    profile typically needs <= 5 rounds at K = mean degree; a full
+    coreness decomposition would iterate K — that variant batches K
+    values per pass (same loop, vector threshold), the standard
+    distributed-core-decomposition trade.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ps, a -> transform(ps, "
+                    "b -> struct(a AS src, b AS dst)))), "
+                    "x -> x.src != x.dst)"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    # K = E DIV N as one 1-row frame (both sides 1 row, trivially
+    # broadcast; truncating DIV matches DuckDB // on non-negative
+    # operands)
+    ec = edges.agg(F.count(F.lit(1)).cast("long").alias("e_cnt"))
+    nc = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_cnt"))
+    kf = (
+        ec.crossJoin(F.broadcast(nc))
+        .select(F.expr("e_cnt DIV n_cnt").cast("long").alias("kk"))
+        .localCheckpoint(eager=False)
+    )
+    alive = nodes
+    stats = []
+    for r in range(1, _KC_ROUNDS + 1):
+        deg_counts = (
+            edges.join(alive.withColumnRenamed("id", "src"), "src")
+            .join(
+                alive.withColumnRenamed("id", "dst"),
+                "dst",
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        with_deg = (
+            alive.join(
+                deg_counts, alive["id"] == deg_counts["src"], "left"
+            )
+            .select(
+                "id",
+                F.coalesce("cnt", F.lit(0).cast("long")).alias("deg"),
+            )
+            .crossJoin(F.broadcast(kf))
+            .localCheckpoint(eager=False)
+        )
+        stats.append(
+            with_deg.agg(
+                F.lit(r).cast("long").alias("peel_round"),
+                F.max("kk").alias("k_threshold"),
+                F.sum(
+                    F.when(F.col("deg") < F.col("kk"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_removed"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("deg") < F.col("kk"), F.col("deg")
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("sum_alive_deg"),
+                F.sum(
+                    F.when(F.col("deg") >= F.col("kk"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_alive_after"),
+            )
+        )
+        alive = with_deg.where(F.col("deg") >= F.col("kk")).select("id")
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.where(F.col("n_removed") > 0).orderBy("peel_round")

@@ -101,12 +101,16 @@ def main() -> int:
             t0 = time.perf_counter()
             try:
                 _materialize(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-                n = 3
+                samples.append(time.perf_counter() - t0)
+                best = min(best, samples[-1])
             except Exception as exc:
                 print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
         timings[name] = round(best, 3)
-        runs[name] = n
+        # Record SUCCESSFUL runs, not the planned budget: when a repeat
+        # throws, the row got fewer samples than planned, and
+        # bench_diff.py's query_runs-equal filter must see the budget
+        # the measurement actually received (r11 ADVICE).
+        runs[name] = len(samples)
         # drop this query's lingering frame refs so the ContextCleaner
         # can release any localCheckpoint blocks before the next
         # measurement (leaked blocks otherwise accumulate for the

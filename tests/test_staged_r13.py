@@ -119,6 +119,41 @@ def test_suffix_rank_empty_doc_guard(spark, tmp_path):
     ]
 
 
+def test_suffix_rank_non_ascii_raises(spark, tmp_path):
+    """Codepoints past ascii 127 must raise at runtime (r11 ADVICE:
+    loud error, never a bare ANSI overflow or silent rank
+    corruption): even Latin-1's 255 packs to ~4.3e9, whose round-1
+    pair square exceeds 2^63 — so 'é' (U+00E9) raises, not just
+    wide CJK codepoints."""
+    import pytest as _pytest
+
+    from autosinapi_spark.plans.staged_r13 import suffix_window_rank
+
+    # the USER_RAISED_EXCEPTION surfaces wrapped: AQE materializes the
+    # loop's localCheckpoint stages and reports the task failure as a
+    # STAGE_MATERIALIZATION Py4JJavaError, so match the message, not a
+    # specific exception class
+    for bad in ("café", "naïve 中"):
+        sf = str(tmp_path / f"bad{len(bad)}")
+        spark.createDataFrame(
+            [(1, "plain ascii", "en", "src0", 11), (2, bad, "fr", "src0", len(bad))],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{sf}/documents.parquet")
+        with _pytest.raises(Exception, match="non-ASCII codepoint"):
+            suffix_window_rank(spark, sf).collect()
+
+    # pure-ASCII corpus passes the guard and ranks normally
+    sf2 = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [(1, "cafe", "fr", "src0", 4)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{sf2}/documents.parquet")
+    rows = suffix_window_rank(spark, sf2).collect()
+    assert len(rows) == 4  # one window per position
+
+
 # --- prefix-doubling arithmetic: property test over random corpora ---
 
 def _py_doubling_ranks(

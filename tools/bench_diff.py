@@ -60,9 +60,7 @@ def main() -> int:
             a, b = qo[n], qn[n]
             if a <= 0 or b <= 0:
                 continue
-            ratio = b / a
-            if flip:
-                ratio = a / b if b else float("inf")
+            ratio = (a / b) if flip else (b / a)
             if ratio >= threshold:
                 out.append((ratio, n, a, b))
         return sorted(out, reverse=True)

@@ -295,8 +295,9 @@ def main() -> int:
     from autosinapi_spark.plans.staged_r11 import STAGED as STAGED_R11
     from autosinapi_spark.plans.staged_r12 import STAGED as STAGED_R12
     from autosinapi_spark.plans.staged_r13 import STAGED as STAGED_R13
+    from autosinapi_spark.plans.staged_r13b import STAGED as STAGED_R13B
 
-    for staged in (STAGED_R9, STAGED_R11, STAGED_R12, STAGED_R13):
+    for staged in (STAGED_R9, STAGED_R11, STAGED_R12, STAGED_R13, STAGED_R13B):
         qs.update({n: spec.fn for n, spec in staged.items() if n not in qs})
     # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
     # row backs the IMI-vs-flat scale story in README even though no
