@@ -19,14 +19,19 @@ flagged).
   liquid clustering and Iceberg moved from z-order to Hilbert for
   multi-dimensional layout at scale. The xy2d transform (Wikipedia's
   public-domain formulation of Butz's algorithm) is a per-bit state
-  machine: at each of the 16 levels the quadrant index
-  ``(3*rx) XOR ry`` is accumulated and the lower bits are rotated /
-  reflected into the quadrant's frame. The state dependence across
-  bits means it cannot be a flat sum like Morton — both engines run
-  the SAME generated chain of 16 single-reference CTE levels (pure
-  integer CASE arithmetic; XOR spelled as a CASE over the four
-  (rx, ry) combinations because ``^`` is POWER in DuckDB), collapsed
-  by each optimizer into one row-local projection.
+  machine — the state dependence across bits means it cannot be a
+  flat sum like Morton. Here it is folded into the classic 4-state
+  digit automaton: per level, the raw Morton digit (2*bit_x + bit_y)
+  and the current orientation state index two packed constant tables
+  (``_HB_QT``/``_HB_ST``, 2 bits per entry) yielding the base-4
+  Hilbert digit and the next state — branchless shifts/masks only,
+  derived numerically from the reference xy2d and pinned exhaustively
+  by the replay test. Both engines run the SAME generated expression
+  with the recurrence fully inlined into one row-local projection
+  (O(levels^2) terms — see ``_hb_expr`` for why inlining is linear
+  per level here while Catalyst's CollapseProject on the chained form
+  would be exponential and therefore refuses, leaving a 6x-slower
+  per-level row-materialization plan).
 
 - ``kcore_onion_layers`` — the onion decomposition (Hebert-Dufresne,
   Grochow & Allard 2016, "Multi-scale structure and topological
@@ -36,7 +41,15 @@ flagged).
   is below K (= the graph's integer mean degree E DIV N, so the
   threshold is scale-free and data-derived, never fixture-tuned) and
   emit one row per peel round — nodes removed, their summed
-  alive-degree at removal time, and the surviving count. The LAYER
+  alive-degree at removal time, and the surviving count. This is the
+  PROFILE complement to the registered ``kcore_item_graph``
+  (plans/graph_analytics_queries.py), which peels at a FIXED k=90 and
+  emits the surviving membership: same edge build, different
+  statistic (who survives vs how fast the graph erodes) and a
+  threshold that stays meaningful when the degree distribution shifts
+  with corpus scale — exactly what the fixtures show (mean degree 88
+  at sf0.001 vs 119 at sf0.1, so any fixed k is either vacuous or
+  total at one of the two ends). The LAYER
   PROFILE is the output (how fast the graph erodes under its own mean
   degree), which is the curation signal: a web/link corpus whose
   first layer removes almost everything is sparse spam-tail; a deep
@@ -104,44 +117,46 @@ def _hb_norm(col: str, lo: str, hi: str, idiv: str) -> str:
     )
 
 
-def _hb_levels() -> tuple[str, str]:
-    """The 16 chained CTE levels of the xy2d state machine. Each level
-    is referenced exactly ONCE by the next, so no MATERIALIZED pin is
-    needed (the multi-reference inlining hazard does not apply) and
-    both optimizers collapse the chain into one row-local projection."""
-    parts = []
-    prev = "b"
-    lvl = 0
-    s = _HB_N // 2
-    while s > 0:
-        cur = f"h{lvl}"
-        # quadrant index q = (3*rx) XOR ry over rx,ry in {0,1}:
-        # (0,0)->0 (0,1)->1 (1,0)->3 (1,1)->2, spelled as CASE
-        # because ^ means POWER in DuckDB.
-        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
-        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
-        parts.append(
-            f"""{cur} AS (
-      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             CASE WHEN ry = 0 AND rx = 1 THEN {_HB_N - 1} - y
-                  WHEN ry = 0 THEN y ELSE x END AS x,
-             CASE WHEN ry = 0 AND rx = 1 THEN {_HB_N - 1} - x
-                  WHEN ry = 0 THEN x ELSE y END AS y,
-             d + CAST({s * s} AS BIGINT)
-                 * (CASE WHEN rx = 1 AND ry = 1 THEN 2
-                         WHEN rx = 1 THEN 3
-                         WHEN ry = 1 THEN 1 ELSE 0 END) AS d
-      FROM (SELECT *, {rx} AS rx, {ry} AS ry FROM {prev}) t
-    )"""
-        )
-        prev = cur
-        lvl += 1
-        s //= 2
-    return ",\n    ".join(parts), prev
+# The xy2d state machine folded into a 4-state automaton over Morton
+# digits: state = the rotation/reflection accumulated so far; per
+# level, the raw bit-pair digit indexes two packed constant tables
+# (2 bits per entry, 16 entries) for the output base-4 Hilbert digit
+# and the next state. Derived numerically from the reference xy2d and
+# verified exhaustively on the 64x64 grid (the replay test re-pins
+# this). The payoff vs the literal rotate/reflect unroll: no CASE
+# branches and no coordinate mutation — levels reference only the
+# STATIC (x, y) plus the (d, st) carry, which makes full inlining
+# into one projection tractable (see _hb_expr).
+_HB_QT = 506895540  # packed output-digit table
+_HB_ST = 3083492385  # packed next-state table
+
+
+def _hb_expr() -> str:
+    """The automaton recurrence fully inlined into ONE expression.
+
+    Why inline instead of 16 chained per-level projections: each
+    level's state is referenced twice (by the digit lookup and by the
+    next state), so Catalyst's CollapseProject refuses to merge the
+    chain (naive merging would copy the non-cheap state expression
+    and blow up exponentially) and the executed plan materializes an
+    UnsafeRow per level per row — measured 6.6s warm at sf0.1 vs 1.1s
+    for this flat form. Manual inlining is NOT exponential because
+    the d-accumulator references each state only linearly: state_j
+    appears once in digit-term j and once inside state_{j+1}, so the
+    total term count is O(levels^2) (~136 idx computations, ~10 KB of
+    SQL) — one whole-stage-codegen projection in Spark and one
+    flattened projection in DuckDB."""
+    st = "0"
+    d = "CAST(0 AS BIGINT)"
+    for i in range(_HB_BITS - 1, -1, -1):
+        dgt = f"(((x >> {i}) & 1) * 2 + ((y >> {i}) & 1))"
+        idx = f"(({st} * 4 + {dgt}) * 2)"
+        d = f"({d} * 4 + (({_HB_QT} >> {idx}) & 3))"
+        st = f"(({_HB_ST} >> {idx}) & 3)"
+    return d
 
 
 def _hb_sql(table: str, idiv: str) -> str:
-    levels, last = _hb_levels()
     return f"""
     WITH mm AS (
       SELECT MIN(CAST(l_partkey AS BIGINT)) AS pmin,
@@ -153,15 +168,17 @@ def _hb_sql(table: str, idiv: str) -> str:
     b AS (
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              {_hb_norm('l_partkey', 'pmin', 'pmax', idiv)} AS x,
-             {_hb_norm('l_suppkey', 'smin', 'smax', idiv)} AS y,
-             CAST(0 AS BIGINT) AS d
+             {_hb_norm('l_suppkey', 'smin', 'smax', idiv)} AS y
       FROM {table} CROSS JOIN mm
     ),
-    {levels}
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           CAST(d AS BIGINT) AS hval,
-           CAST(d % {_HB_FILES} AS BIGINT) AS hbucket
-    FROM {last}
+    h AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST({_hb_expr()} AS BIGINT) AS hval
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, hval,
+           CAST(hval % {_HB_FILES} AS BIGINT) AS hbucket
+    FROM h
     """
 
 
@@ -170,8 +187,9 @@ def _hb_sql(table: str, idiv: str) -> str:
     _hb_sql("lineitem", "//"),
     doc=f"Hilbert-curve layout keys over (l_partkey, l_suppkey): each "
     f"key range-normalized into the {_HB_BITS}-bit budget, then the "
-    f"xy2d state machine (16 unrolled rotate/reflect levels, pure "
-    f"integer CASE arithmetic) gives a 32-bit curve index plus a "
+    f"xy2d 4-state digit automaton (16 inlined levels of branchless "
+    f"packed-table lookups, one codegen projection) gives a 32-bit "
+    f"curve index plus a "
     f"{_HB_FILES}-way clustering bucket. Locality contrast to "
     "zorder_layout_keys: the Hilbert curve advances by a UNIT step at "
     "every increment, so equal-count file cuts get strictly tighter "
@@ -181,10 +199,11 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every lineitem row with its Hilbert d-value and layout bucket.
 
     Scale shape: one 1-row min/max aggregate (broadcast back as a
-    scalar — the only exchange in the plan), then the 16-level state
-    machine is a pure row-local integer projection: Catalyst collapses
-    the CTE chain into a single whole-stage-codegen projection — no
-    UDF, no fact-table shuffle, embarrassingly parallel at any scale.
+    scalar — the only exchange in the plan), then the 16-level digit
+    automaton arrives pre-inlined as ONE row-local integer projection
+    (``_hb_expr``) — no UDF, no fact-table shuffle, embarrassingly
+    parallel at any scale; measured 1.1s warm at sf0.1 vs 0.57s for
+    the Morton row (Hilbert genuinely does ~2x the integer work).
     Writing the layout is ``repartitionByRange(hbucket, hval)`` + a
     sorted parquet write, identical to the z-order writer; the modulo
     bucket stands in for range boundaries from an hval quantile
@@ -272,7 +291,8 @@ def _kc_sql(idiv: str) -> str:
     f"alive-degree below the integer mean degree (E DIV N, data-"
     f"derived) for up to {_KC_ROUNDS} fixed rounds; one row per round "
     "with nodes removed, their summed alive-degree, and survivors. "
-    "The erosion profile is the corpus-structure diagnostic "
+    "The erosion profile is the corpus-structure diagnostic; profile "
+    "complement to the fixed-k membership row kcore_item_graph "
     "(extension).",
 )
 def kcore_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:

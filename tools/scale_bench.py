@@ -143,6 +143,10 @@ QUERIES = [
     "ols_trend_fit",  # star rollup data-bound; sums at group grain
     "chi2_independence_ppm",  # one scan; cells/margins cardinality-bounded
     "collocation_pmi_bigrams",  # vocab-keyed counts; top-k never global
+    # round-12 staged-for-r13 additions (plans/staged_r13.py, _r13b.py)
+    "suffix_window_rank",  # prefix-doubling ranks; Θ(n)-row round shuffles
+    "hilbert_layout_keys",  # min/max-normalized Hilbert keys, row-local
+    "kcore_onion_layers",  # mean-degree peel rounds over the identical graph
 ]
 
 
