@@ -303,8 +303,11 @@ def kcore_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``item_cooccurrence_pagerank`` shapes (one shuffle keyed by
     order, k^2 row-local expansion bounded by basket size, edges
     checkpointed once). Each round is one semi-join-restricted degree
-    count (two hash joins keyed by node id + one partial-aggregated
-    groupBy) over frames that only ever carry (id) / (id, long) —
+    count (two left-semi hash joins keyed by node id + one
+    partial-aggregated groupBy; round 1 skips both joins outright —
+    every node is alive, so they would be identity joins on the
+    query's biggest frame) over frames that only carry (id) /
+    (id, long) —
     text-free, narrow, skew-bounded by the max item popularity. The
     per-round stats are 1-row aggregates unioned at the end; the K
     threshold is a 1-row scalar broadcast (the repo's scalar-broadcast
@@ -351,16 +354,28 @@ def kcore_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = nodes
     stats = []
     for r in range(1, _KC_ROUNDS + 1):
-        deg_counts = (
-            edges.join(alive.withColumnRenamed("id", "src"), "src")
-            .join(
-                alive.withColumnRenamed("id", "dst"),
-                "dst",
-                "left_semi",
+        if r == 1:
+            # round 1: every node is alive, so the two alive-set
+            # restrictions are identity joins on the biggest frame of
+            # the whole query — skip them and count raw degrees
+            deg_counts = edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
             )
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
+        else:
+            deg_counts = (
+                edges.join(
+                    alive.withColumnRenamed("id", "src"),
+                    "src",
+                    "left_semi",
+                )
+                .join(
+                    alive.withColumnRenamed("id", "dst"),
+                    "dst",
+                    "left_semi",
+                )
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
         with_deg = (
             alive.join(
                 deg_counts, alive["id"] == deg_counts["src"], "left"
