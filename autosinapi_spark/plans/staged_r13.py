@@ -265,10 +265,27 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         step *= 2
-    dup = cur.groupBy("rank").agg(
-        F.count(F.lit(1)).alias("dup_count")
-    )
+    # TakeOrdered head; consumed twice (dup restriction + final join)
+    # but both reads re-scan only the checkpointed `cur` RDD, so no
+    # upstream recompute — cheaper than checkpointing the 500-row
+    # frame and hiding the TakeOrdered from the plan pin
     top = cur.orderBy("rank", "doc_id", "p").limit(_SFX_TOP)
+    # dup counts only for the head's <= _SFX_TOP distinct ranks: the
+    # broadcast semi-join filters the Θ(n) position frame down BEFORE
+    # aggregating, so the groupBy carries <= 500 map-combined groups
+    # and the full-width shuffle the unrestricted groupBy(rank) needed
+    # (~n distinct ranks — one extra Θ(n)-row exchange) disappears;
+    # at 100 TB that exchange is the difference between the tail stage
+    # being head-sized and corpus-sized
+    dup = (
+        cur.join(
+            F.broadcast(top.select("rank").distinct()),
+            "rank",
+            "left_semi",
+        )
+        .groupBy("rank")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+    )
     return (
         F.broadcast(top)
         .join(dup, "rank")
