@@ -208,13 +208,17 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = pos
     step = _SFX_PACK
+    # round-0 rank bound: one Θ(n) max over the packed codes — the
+    # only corpus-sized bound scan; later rounds derive it from the
+    # NBLK-sized block counts (dense re-rank => max rank == distinct
+    # code count == sum of block counts)
+    maxr = pos.agg(F.max("rank").alias("mr"))
     for rnd in range(_SFX_ROUNDS):
         right = cur.select(
             "doc_id",
             (F.col("p") - step).alias("p"),
             F.col("rank").alias("r2"),
         )
-        maxr = cur.agg(F.max("rank").alias("mr"))
         paired = (
             cur.join(right, ["doc_id", "p"], "left")
             .select(
@@ -236,8 +240,13 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"DIV {_SFX_NBLK})"
             ),
         )
-        counts = blocked.groupBy("blk").agg(
-            F.count(F.lit(1)).alias("c")
+        counts = (
+            blocked.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            # <= NBLK rows, consumed by the offset window AND the
+            # next round's rank bound: materialize once so the bound
+            # never re-executes the Θ(n) distinct behind it
+            .localCheckpoint(eager=False)
         )
         # exclusive prefix over the <= NBLK block frame (bounded by a
         # constant; allowlisted in test_plan_shapes.py)
@@ -264,6 +273,10 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "p", F.col("nr").alias("rank"))
             .localCheckpoint(eager=False)
         )
+        # next round's rank bound from the block counts (<= NBLK rows)
+        # instead of re-scanning the Θ(n) position frame: the re-rank
+        # is dense, so max rank == total distinct codes == sum(c)
+        maxr = counts.agg(F.sum("c").cast("long").alias("mr"))
         step *= 2
     # TakeOrdered head; consumed twice (dup restriction + final join)
     # but both reads re-scan only the checkpointed `cur` RDD, so no
