@@ -133,8 +133,10 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sfx_rank, dup_count, doc_id, local_pos, window_text) for the
     500 lexicographically-first window positions.
 
-    Scale shape per round: one (doc_id, pos)-keyed self-join for the
-    neighbor rank, one distinct over pair codes, one NBLK-bounded
+    Scale shape per round: one doc-partitioned lead() window for the
+    neighbor rank (positions are dense per document, so lead(rank,
+    step) IS the rank at p + step — one exchange, no self-join
+    build), one distinct over pair codes, one NBLK-bounded
     block-count aggregate + exclusive-offset window (<= 4096 rows),
     one block-partitioned row_number, one code-keyed join back —
     every frame carries only (doc_id, long, long) triples; document
@@ -214,18 +216,24 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code count == sum of block counts)
     maxr = pos.agg(F.max("rank").alias("mr"))
     for rnd in range(_SFX_ROUNDS):
-        right = cur.select(
-            "doc_id",
-            (F.col("p") - step).alias("p"),
-            F.col("rank").alias("r2"),
-        )
+        # neighbor rank at p + step via lead() over the doc-local
+        # position order: positions are DENSE per document (sequence
+        # over length), so lead(rank, step) is exactly the rank at
+        # p + step — one doc_id-keyed exchange + a per-doc sort
+        # (bounded by document length) instead of the two Θ(n)
+        # exchanges and hash build of the (doc_id, p) self-join this
+        # replaced; null past the document end = the 0 sentinel
+        # (shorter suffix sorts first, binary collation)
+        w_doc = Window.partitionBy("doc_id").orderBy("p")
         paired = (
-            cur.join(right, ["doc_id", "p"], "left")
-            .select(
+            cur.select(
                 "doc_id",
                 "p",
                 F.col("rank").alias("r1"),
-                F.coalesce("r2", F.lit(0).cast("long")).alias("r2"),
+                F.coalesce(
+                    F.lead("rank", step).over(w_doc),
+                    F.lit(0).cast("long"),
+                ).alias("r2"),
             )
             .crossJoin(F.broadcast(maxr))
             .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
