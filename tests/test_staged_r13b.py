@@ -310,6 +310,49 @@ def test_kcore_onion_matches_python_replay(spark, duck):
         assert a1 == n2 + a2
 
 
+def test_kcore_cascade_and_surviving_core(spark, tmp_path):
+    """The fixture graph fully erodes, so pin the two behaviors it
+    can't exercise: a multi-round CASCADE (a node above threshold
+    dies only after its neighbors leave) and a NONEMPTY surviving
+    core at fixpoint. Graph: parts 1-6 form a clique (orders with
+    each pair), part 7 hangs off 8/9/10 (deg 3), 8/9/10 are pendants
+    (deg 1). N=10, E=36 directed, K = 36//10 = 3: round 1 removes the
+    pendants (7 survives at deg 3), round 2 removes 7 at alive-deg 0,
+    round 3 removes nothing — the clique is the surviving 5-core."""
+    from autosinapi_spark.plans.staged_r13b import kcore_onion_layers
+
+    orders = []
+    ok = 0
+    for a in range(1, 7):
+        for b in range(a + 1, 7):
+            ok += 1
+            orders += [(ok, a), (ok, b)]
+    for pend in (8, 9, 10):
+        ok += 1
+        orders += [(ok, 7), (ok, pend)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(o, 1, p, 1, 1) for o, p in orders],
+        "l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_suppkey long, l_quantity long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    rows = [
+        (
+            r.peel_round,
+            r.k_threshold,
+            r.n_removed,
+            r.sum_alive_deg,
+            r.n_alive_after,
+        )
+        for r in kcore_onion_layers(spark, sf).collect()
+    ]
+    assert rows == [
+        (1, 3, 3, 3, 7),  # pendants 8/9/10 die at deg 1 each
+        (2, 3, 1, 0, 6),  # 7 cascades out at alive-deg 0
+    ]
+
+
 def test_kcore_plan_shape(spark):
     """No data-by-data cartesian: the only nested-loop joins are the
     1-row scalar broadcasts (K threshold per round)."""
