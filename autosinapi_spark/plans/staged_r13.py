@@ -177,7 +177,13 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, row-local.
     guarded = docs.select(
         F.when(
-            F.col("text").rlike(r"^[\x00-\x7f]*$"), F.col("doc_id")
+            # NULL text must PASS the guard (rlike(NULL) is NULL,
+            # which would otherwise fall through to raise_error with
+            # a misleading message) — the length filter below drops
+            # NULL rows the same way it drops empties
+            F.col("text").isNull()
+            | F.col("text").rlike(r"^[\x00-\x7f]*$"),
+            F.col("doc_id"),
         )
         .otherwise(
             F.raise_error(

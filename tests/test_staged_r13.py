@@ -143,15 +143,19 @@ def test_suffix_rank_non_ascii_raises(spark, tmp_path):
         with _pytest.raises(Exception, match="non-ASCII codepoint"):
             suffix_window_rank(spark, sf).collect()
 
-    # pure-ASCII corpus passes the guard and ranks normally
+    # pure-ASCII corpus passes the guard and ranks normally; a NULL
+    # text must pass it too (rlike(NULL) is NULL — without the isNull
+    # arm the when() would fall through to the raise) and be dropped
+    # by the length filter exactly like an empty document
     sf2 = str(tmp_path / "ok")
     spark.createDataFrame(
-        [(1, "cafe", "fr", "src0", 4)],
+        [(1, "cafe", "fr", "src0", 4), (2, None, "fr", "src0", 0)],
         "doc_id long, text string, lang string, source string, "
         "n_chars long",
     ).write.parquet(f"{sf2}/documents.parquet")
     rows = suffix_window_rank(spark, sf2).collect()
-    assert len(rows) == 4  # one window per position
+    assert len(rows) == 4  # one window per doc-1 position; doc 2 none
+    assert {r.doc_id for r in rows} == {1}
 
 
 # --- prefix-doubling arithmetic: property test over random corpora ---
