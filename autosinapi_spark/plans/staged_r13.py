@@ -1,10 +1,11 @@
-"""Round-13-staged query (NOT registered; candidate for the r13 flip).
+"""Round-13-registered query (built in r11, optimized + staged in
+r12, flipped to ``@register`` at the r13 window rewrite).
 
-Registration budget note (docs/R12_PLAN.md): after the r12 flip lands
-at 198 registered, exactly 2 further registrations keep the staleness
-bound at 4 (it flips to 5 at 201). This module stages ONE high-value
-candidate for one of those slots; the other stays open for whatever
-the r11/r12 verdicts ask for.
+Registration budget note: this flip — together with the two
+``staged_r13b`` rows — takes the registry from 198 to 201, which
+deliberately crosses the ``max(3, ceil(N/50))`` staleness-bound
+threshold: bound 4 -> 5, rotation capacity 200 -> 250, ending the
+zero-margin treadmill (docs/R13_PLAN.md §1, the r12 verdict's ask #1).
 
 ``suffix_window_rank`` — distributed suffix ranking by prefix
 doubling (Manber & Myers 1990), the building block of exact-substring
@@ -29,7 +30,10 @@ Algorithm (all ranks integers, bit-deterministic):
   through n ~ 3e9 positions; past that (the 100 TB regime) the
   re-rank switches to a range-partitioned sort per shard — the
   standard large-scale SA construction — with the same round
-  structure. Round 1 is the tight spot: its r1 values are the packed
+  structure. That ceiling is a RUNTIME check too (r12 ADVICE): each
+  round's 1-row rank-bound frame raises when mr + 1 >
+  floor(sqrt(2^63 - 1)) = 3037000499, so a ~3e9-distinct-rank corpus
+  errors loudly with the remediation named instead of overflowing. Round 1 is the tight spot: its r1 values are the packed
   codes themselves (max 127 * 0x01010101 ~ 2.1e9 on ASCII), so
   round-1 pair codes reach ~4.6e18 — inside int64 with 2x headroom
   on ASCII, but any codepoint past 127 (Spark ``ascii`` returns the
@@ -75,19 +79,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .registry import QuerySpec
+from .registry import register
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: stage a query as an r13 registration candidate."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Kept for import compatibility with round-12 tooling snapshots; the
+# query now registers directly into plans.registry.REGISTRY.
+STAGED: dict = {}
 
 
 _SFX_PACK = 4  # characters packed row-locally into the round-0 rank
@@ -118,7 +114,7 @@ _SFX_SQL = f"""
 """
 
 
-@stage(
+@register(
     "suffix_window_rank",
     _SFX_SQL,
     doc=f"Distributed suffix ranking by prefix doubling (Manber-Myers; "
@@ -136,7 +132,13 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per round: one doc-partitioned lead() window for the
     neighbor rank (positions are dense per document, so lead(rank,
     step) IS the rank at p + step — one exchange, no self-join
-    build), one distinct over pair codes, one NBLK-bounded
+    build; NOTE the skew bound this trades for: partitionBy(doc_id)
+    serializes each document's positions onto ONE task, so round
+    latency is floored by the longest single document — fine for
+    web-scale corpora of ~1e4-1e6-char docs, but a corpus dominated
+    by one multi-GB document should fall back to the (doc_id, p)
+    self-join form this replaced, which hash-partitions positions
+    across tasks), one distinct over pair codes, one NBLK-bounded
     block-count aggregate + exclusive-offset window (<= 4096 rows),
     one block-partitioned row_number, one code-keyed join back —
     every frame carries only (doc_id, long, long) triples; document
@@ -216,11 +218,48 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = pos
     step = _SFX_PACK
+
+    # pair-space guard (r12 ADVICE): every round encodes pairs as
+    # r1 * (mr + 1) + r2 with r1, r2 <= mr, so the code space tops
+    # out at (mr + 1)^2 - 1 — int64-safe only while
+    # mr + 1 <= floor(sqrt(2^63 - 1)) = 3037000499. Round 1's mr is
+    # ASCII-bounded (~2.1e9, covered by the codepoint guard above),
+    # but rounds 2-3 re-derive mr as the DISTINCT-rank count, which a
+    # ~3e9-position corpus — reachable well below 100 TB — can push
+    # past the ceiling with no compile-time signal. Check it on the
+    # 1-row bound frame itself (O(1) per round): overflow then raises
+    # loudly with the remediation (range-partitioned sort re-rank)
+    # instead of wrapping (non-ANSI) or erroring opaquely (ANSI).
+    def _guard_mr(bound: DataFrame) -> DataFrame:
+        return bound.select(
+            F.when(
+                F.col("mr") + 1 <= F.lit(3037000499),
+                F.col("mr"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "suffix_window_rank: distinct-rank count "
+                            "mr + 1 > 3037000499 — the (mr + 1)^2 "
+                            "pair space overflows int64; switch the "
+                            "dense re-rank to the range-partitioned "
+                            "sort form for corpora past ~3e9 "
+                            "positions (mr = "
+                        ),
+                        F.col("mr").cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            )
+            .alias("mr")
+        )
+
     # round-0 rank bound: one Θ(n) max over the packed codes — the
     # only corpus-sized bound scan; later rounds derive it from the
     # NBLK-sized block counts (dense re-rank => max rank == distinct
     # code count == sum of block counts)
-    maxr = pos.agg(F.max("rank").alias("mr"))
+    maxr = _guard_mr(pos.agg(F.max("rank").alias("mr")))
     for rnd in range(_SFX_ROUNDS):
         # neighbor rank at p + step via lead() over the doc-local
         # position order: positions are DENSE per document (sequence
@@ -290,7 +329,7 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # next round's rank bound from the block counts (<= NBLK rows)
         # instead of re-scanning the Θ(n) position frame: the re-rank
         # is dense, so max rank == total distinct codes == sum(c)
-        maxr = counts.agg(F.sum("c").cast("long").alias("mr"))
+        maxr = _guard_mr(counts.agg(F.sum("c").cast("long").alias("mr")))
         step *= 2
     # TakeOrdered head; consumed twice (dup restriction + final join)
     # but both reads re-scan only the checkpointed `cur` RDD, so no

@@ -1,9 +1,9 @@
-"""Round-13 registration candidates, second module (staged in round
-12; NOT registered until the r13 window rewrite — docs/R13_PLAN.md
-commits to registering these two plus ``staged_r13.suffix_window_rank``
-to cross 201 registered, flipping the rotation staleness bound from 4
-to 5 and ending the zero-margin window treadmill the r9–r11 verdicts
-flagged).
+"""Round-13-registered queries, second module (built and staged in
+round 12; flipped to ``@register`` at the r13 window rewrite —
+docs/R13_PLAN.md §1. Together with ``staged_r13.suffix_window_rank``
+this crosses 201 registered, flipping the rotation staleness bound
+from 4 to 5 and ending the zero-margin window treadmill the r9–r11
+verdicts flagged).
 
 - ``hilbert_layout_keys`` — Hilbert-curve layout keys over
   (l_partkey, l_suppkey): the locality CONTRAST row to the registered
@@ -65,11 +65,11 @@ flagged).
   r11 pagerank oracle) so the data-dependent erosion profile itself
   is oracle-checked.
 
-Each entry carries a full DuckDB oracle; tests/test_staged_r13b.py
-runs the Spark-vs-oracle compare pre-registration (the duplicate-
-compare convention every staged cohort uses before its flip) plus
-pure-Python replays (the Hilbert state machine with the unit-step
-adjacency property; the peel loop on plain dicts).
+Each entry carries a full DuckDB oracle; since the r13 flip the
+registry compare in tests/test_correctness.py owns the oracle check
+(a duplicate compare ran in tests/test_staged_r13b.py while staged);
+the pure-Python replays stay there (the Hilbert state machine with
+the unit-step adjacency property; the peel loop on plain dicts).
 
 Reference parity note: the reference engine (a single-process pandas
 ETL, /root/reference/autosinapi/) has no layout or graph operators —
@@ -82,19 +82,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .registry import QuerySpec
+from .registry import register
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: stage a query as an r13 registration candidate."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Kept for import compatibility with round-12 tooling snapshots; the
+# cohort now registers directly into plans.registry.REGISTRY.
+STAGED: dict = {}
 
 
 # --- Hilbert-curve layout keys ---------------------------------------
@@ -182,7 +174,7 @@ def _hb_sql(table: str, idiv: str) -> str:
     """
 
 
-@stage(
+@register(
     "hilbert_layout_keys",
     _hb_sql("lineitem", "//"),
     doc=f"Hilbert-curve layout keys over (l_partkey, l_suppkey): each "
@@ -283,7 +275,7 @@ def _kc_sql(idiv: str) -> str:
     """
 
 
-@stage(
+@register(
     "kcore_onion_layers",
     _kc_sql("//"),
     doc=f"Onion decomposition (Hebert-Dufresne et al. 2016; Seidman "

@@ -68,7 +68,8 @@ def main() -> int:
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
-            runs[name] = 1
+            # query_runs counts SUCCESSFUL runs; zero succeeded here
+            runs[name] = 0
             continue
         best = time.perf_counter() - t0
         # Repeat budget (retuned late r9): min-of-3 only for sub-2s

@@ -1,47 +1,25 @@
-"""Round-13-staged queries, second module (plans/staged_r13b.py):
-the full Spark-vs-DuckDB oracle compare (the duplicate-compare
-convention every staged cohort uses before its registration flip —
-once these register at r13, tests/test_correctness.py takes this
-over) plus independent pure-Python replays of the novel arithmetic
-(the Hilbert xy2d state machine with its unit-step adjacency
-property; the peel loop on plain dicts) and plan-shape pins."""
+"""Round-13-registered queries, second module (plans/staged_r13b.py):
+Python replays + structural invariants.
+
+The Spark-vs-DuckDB oracle compare for this cohort lives in
+tests/test_correctness.py since the r13 flip registered them (a
+duplicate compare ran here while they were staged in r12); what
+stays is what the registry compare can't express — independent
+pure-Python replays of the novel arithmetic (the Hilbert xy2d state
+machine with its unit-step adjacency property; the peel loop on
+plain dicts) and plan-shape pins."""
 
 from __future__ import annotations
 
 from collections import defaultdict
-
-import pytest
 
 from autosinapi_spark.plans.staged_r13b import (
     _HB_BITS,
     _HB_FILES,
     _HB_N,
     _KC_ROUNDS,
-    STAGED,
 )
 from tests.conftest import SF_SMOKE
-from tests.test_correctness import _canon_rows
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, duck, name):
-    spec = STAGED[name]
-    sdf = spec.fn(spark, SF_SMOKE)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
-
-    ocur = duck.execute(spec.oracle)
-    ocols = [d[0] for d in ocur.description]
-    orows = [tuple(r) for r in ocur.fetchall()]
-
-    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
-    assert len(srows) == len(orows), (
-        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
-    )
-    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
-        f"{name}: value mismatch"
-    )
 
 
 # --- Hilbert xy2d: the public reference state machine ----------------
