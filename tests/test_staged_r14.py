@@ -1,0 +1,299 @@
+"""Round-14-staged queries (plans/staged_r14.py): the full
+Spark-vs-DuckDB oracle compare (the duplicate-compare convention
+every staged cohort uses before its registration flip — once these
+register at r14, tests/test_correctness.py takes this over) plus
+independent pure-Python replays (equal-count rank/file/envelope
+arithmetic from raw rows; butterfly counts from a brute 4-cycle
+enumeration on a planted fixture) and plan-shape pins."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from itertools import combinations
+
+import pytest
+
+from autosinapi_spark.plans.staged_r14 import (
+    _LSK_BLKW,
+    _LSK_FILES,
+    STAGED,
+)
+from tests.conftest import SF_SMOKE
+from tests.test_correctness import _canon_rows
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = STAGED[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
+
+    ocur = duck.execute(spec.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = [tuple(r) for r in ocur.fetchall()]
+
+    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
+    )
+    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
+        f"{name}: value mismatch"
+    )
+
+
+# --- equal-count layout skipping: full Python replay -----------------
+
+def _py_hb_xy2d(n: int, x: int, y: int) -> int:
+    """Wikipedia's public-domain xy2d (same reference as the r13b
+    replay test) — the ground truth the packed-table automaton in
+    the Spark/DuckDB expression must equal."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _py_norm(v: int, lo: int, hi: int, bits: int) -> int:
+    top = (1 << bits) - 1
+    return 0 if hi == lo else ((v - lo) * top) // (hi - lo)
+
+
+def _py_morton(px: int, sx: int, bits: int) -> int:
+    # _z_expr('px', 'sx') convention: x (partkey) takes the EVEN
+    # bits, y (suppkey) the odd bits
+    z = 0
+    for i in range(bits):
+        z |= ((px >> i) & 1) << (2 * i)
+        z |= ((sx >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_layout_skipping_matches_python_replay(spark, duck):
+    """Re-derive the WHOLE stats table from raw lineitem rows in
+    Python: curve values (reference xy2d / reference Morton), exact
+    rank by (val, 4-key tiebreak), equal-count file cuts, per-file
+    envelopes, ppm arithmetic — and compare every emitted cell."""
+    from autosinapi_spark.plans.staged_r13b import _HB_N
+    from autosinapi_spark.plans.staged_r14 import (
+        layout_skipping_equalcount,
+    )
+
+    rows = duck.execute(
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey "
+        "FROM lineitem"
+    ).fetchall()
+    n = len(rows)
+    pks = [r[2] for r in rows]
+    sks = [r[3] for r in rows]
+    pmin, pmax, smin, smax = min(pks), max(pks), min(sks), max(sks)
+    bits = 16
+
+    def curve_rows(layout):
+        out = []
+        for ok, ln, pk, sk in rows:
+            if layout == "hilbert":
+                v = _py_hb_xy2d(
+                    _HB_N,
+                    _py_norm(pk, pmin, pmax, bits),
+                    _py_norm(sk, smin, smax, bits),
+                )
+            else:
+                v = _py_morton(
+                    _py_norm(pk, pmin, pmax, bits),
+                    _py_norm(sk, smin, smax, bits),
+                    bits,
+                )
+            out.append((v, ok, ln, pk, sk))
+        return out
+
+    files: dict[tuple[str, int], list[tuple[int, int]]] = defaultdict(
+        list
+    )
+    for layout in ("hilbert", "zorder"):
+        ranked = sorted(curve_rows(layout))
+        for rnk0, (_, _, _, pk, sk) in enumerate(ranked):
+            files[(layout, rnk0 * _LSK_FILES // n)].append((pk, sk))
+    for ok, ln, pk, sk in rows:
+        files[("hash", ok % _LSK_FILES)].append((pk, sk))
+
+    pk_hi = pmin + (pmax - pmin) // 4
+    sk_hi = smin + (smax - smin) // 4
+    expect = {}
+    for layout in ("hash", "hilbert", "zorder"):
+        fl = {
+            fid: v for (la, fid), v in files.items() if la == layout
+        }
+        nf = len(fl)
+        pk_ext = sum(
+            max(p for p, _ in v) - min(p for p, _ in v)
+            for v in fl.values()
+        )
+        sk_ext = sum(
+            max(s for _, s in v) - min(s for _, s in v)
+            for v in fl.values()
+        )
+        skip_pk = [
+            v for v in fl.values() if min(p for p, _ in v) > pk_hi
+        ]
+        skip_sk = [
+            v for v in fl.values() if min(s for _, s in v) > sk_hi
+        ]
+        total = sum(len(v) for v in fl.values())
+        scanned_pk = total - sum(len(v) for v in skip_pk)
+        scanned_sk = total - sum(len(v) for v in skip_sk)
+        expect[layout] = (
+            nf,
+            pk_ext * 1_000_000 // (nf * (pmax - pmin)),
+            sk_ext * 1_000_000 // (nf * (smax - smin)),
+            len(skip_pk),
+            len(skip_sk),
+            scanned_pk * 1_000_000 // total,
+            scanned_sk * 1_000_000 // total,
+        )
+
+    got = {
+        r.layout: (
+            r.n_files,
+            r.pk_extent_ppm,
+            r.sk_extent_ppm,
+            r.n_skip_pk,
+            r.n_skip_sk,
+            r.pk_scan_ppm,
+            r.sk_scan_ppm,
+        )
+        for r in layout_skipping_equalcount(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the row that justifies the query: equal-count Hilbert envelopes
+    # strictly tighter than Morton's on at least one key, both far
+    # tighter than hash
+    assert got["hilbert"][1] < got["zorder"][1]
+    assert got["zorder"][1] < got["hash"][1] // 3
+
+
+def test_layout_skipping_rank_blocks_are_order_preserving():
+    """The distributed rank's invariant: block id = val DIV width is
+    monotone in val, so (block offset + intra-block row_number) IS
+    the global rank — checked on an adversarial value multiset with
+    duplicates, empty blocks, and block-boundary values."""
+    vals = [0, 1, _LSK_BLKW - 1, _LSK_BLKW, _LSK_BLKW, _LSK_BLKW + 1,
+            5 * _LSK_BLKW, 5 * _LSK_BLKW, (1 << 32) - 1]
+    blocks: dict[int, list[int]] = defaultdict(list)
+    for v in vals:
+        blocks[v // _LSK_BLKW].append(v)
+    # offsets + intra row_numbers reproduce 1..n over the sorted order
+    reconstructed = []
+    off = 0
+    for b in sorted(blocks):
+        for i, v in enumerate(sorted(blocks[b]), start=1):
+            reconstructed.append((off + i, v))
+        off += len(blocks[b])
+    assert [v for _, v in sorted(reconstructed)] == sorted(vals)
+    assert [r for r, _ in sorted(reconstructed)] == list(
+        range(1, len(vals) + 1)
+    )
+
+
+# --- butterflies: brute-force 4-cycle ground truth -------------------
+
+def test_butterfly_matches_bruteforce_on_planted_fixture(
+    spark, tmp_path
+):
+    """Plant a bipartite graph with known butterfly structure and
+    compare against literal K2,2 enumeration (every order pair x
+    item pair closing a rectangle)."""
+    from autosinapi_spark.plans.staged_r14 import (
+        butterfly_item_bipartite,
+    )
+
+    # orders 1..4 over items: a clique-ish core {10, 11, 12} shared
+    # by orders 1-3 (many butterflies), a pendant item 13 in one
+    # order (no butterflies), and a duplicate (order, item) row that
+    # the DISTINCT/collect_set must collapse
+    edges = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11), (2, 12),
+        (3, 10), (3, 11),
+        (4, 13), (4, 10),
+        (1, 10),  # duplicate row
+    ]
+    spark.createDataFrame(
+        [(o, 1, p, 1) for o, p in edges],
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_suppkey long",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    dedup = sorted(set(edges))
+    by_order: dict[int, set[int]] = defaultdict(set)
+    for o, p in dedup:
+        by_order[o].add(p)
+    # brute force: butterflies per item = # of (order pair, partner
+    # item) combos where both orders contain both items
+    bfly: dict[int, int] = defaultdict(int)
+    wedge: dict[int, int] = defaultdict(int)
+    orders = sorted(by_order)
+    items = sorted({p for _, p in dedup})
+    for i, j in combinations(items, 2):
+        c = sum(
+            1 for o in orders if i in by_order[o] and j in by_order[o]
+        )
+        if c:
+            wedge[i] += c
+            wedge[j] += c
+            b = c * (c - 1) // 2
+            bfly[i] += b
+            bfly[j] += b
+
+    got = {
+        r.part_id: (r.n_copair_orders, r.n_butterflies)
+        for r in butterfly_item_bipartite(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {p: (wedge[p], bfly[p]) for p in wedge}
+    assert got == expect
+    assert got[10][1] >= 3, "core item must close multiple butterflies"
+    assert got[13] == (1, 0), "pendant item: one wedge, no butterfly"
+
+
+def test_butterfly_head_is_take_ordered(spark):
+    from autosinapi_spark.plans.staged_r14 import (
+        butterfly_item_bipartite,
+    )
+
+    plan = (
+        butterfly_item_bipartite(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_layout_skipping_no_cartesian_and_no_global_sort(spark):
+    """The stats plan may broadcast 1-row bounds (BNLJ) but must
+    never cartesian data-by-data, and the fact table must never be
+    globally sorted (the rank comes from the block machinery)."""
+    from autosinapi_spark.plans.staged_r14 import (
+        layout_skipping_equalcount,
+    )
+
+    df = layout_skipping_equalcount(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only range exchange allowed is the final 3-row ORDER BY; a
+    # second one would mean the fact table is being globally sorted
+    # (the rank must come from the block machinery instead)
+    assert plan.lower().count("rangepartitioning") <= 1

@@ -147,6 +147,9 @@ QUERIES = [
     "suffix_window_rank",  # prefix-doubling ranks; Θ(n)-row round shuffles
     "hilbert_layout_keys",  # min/max-normalized Hilbert keys, row-local
     "kcore_onion_layers",  # mean-degree peel rounds over the identical graph
+    # round-13 staged-for-r14 additions (plans/staged_r14.py)
+    "layout_skipping_equalcount",  # block-rank file cuts; file-grain stats
+    "butterfly_item_bipartite",  # basket-bounded pair counts; top-k head
 ]
 
 
@@ -300,8 +303,16 @@ def main() -> int:
     from autosinapi_spark.plans.staged_r12 import STAGED as STAGED_R12
     from autosinapi_spark.plans.staged_r13 import STAGED as STAGED_R13
     from autosinapi_spark.plans.staged_r13b import STAGED as STAGED_R13B
+    from autosinapi_spark.plans.staged_r14 import STAGED as STAGED_R14
 
-    for staged in (STAGED_R9, STAGED_R11, STAGED_R12, STAGED_R13, STAGED_R13B):
+    for staged in (
+        STAGED_R9,
+        STAGED_R11,
+        STAGED_R12,
+        STAGED_R13,
+        STAGED_R13B,
+        STAGED_R14,
+    ):
         qs.update({n: spec.fn for n, spec in staged.items() if n not in qs})
     # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
     # row backs the IMI-vs-flat scale story in README even though no
