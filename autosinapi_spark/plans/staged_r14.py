@@ -2,9 +2,9 @@
 NOT registered until the r14 window rewrite).
 
 Registration budget note: the r13 flip took the registry to 201
-(bound 5, capacity 250, ~49 slots of lifetime slack). Staging TWO
-more here keeps the post-flip registry at 203 — far inside the bound
-— while the r14 window still fits its mandatory set (2 never-green +
+(bound 5, capacity 250, ~49 slots of lifetime slack). Staging THREE
+more here keeps the post-flip registry at 204 — far inside the bound
+— while the r14 window still fits its mandatory set (3 never-green +
 the 4 leftover r9 rows + the r10 cohort as fill; docs/R14_PLAN.md).
 
 - ``layout_skipping_equalcount`` — the file-skipping payoff of
@@ -44,6 +44,18 @@ the 4 leftover r9 rows + the r10 cohort as fill; docs/R14_PLAN.md).
   ``item_cooccurrence_*`` shape: bounded by max basket size, never a
   data-by-data join); everything downstream is integer aggregation.
 
+- ``streaming_dedup_replay`` — the batch replay (the
+  ``streaming_window_late_data`` / ``streaming_session_replay``
+  convention) of streaming watermark dedup: the oracle row for
+  ``streaming/incremental.dedup_events_stream``
+  (``dropDuplicatesWithinWatermark``), whose real streaming form is
+  unit-tested but had no per-round oracle check. A deterministic
+  at-least-once stream (every 7th event re-delivered inside the
+  1-hour horizon, every 13th after state expiry) is pushed through
+  the exact keyed-state drop rule; the emitted kept/dropped/LEAKED
+  counts pin both the dedup and the watermark's documented
+  false-negative trade.
+
 Each entry carries a full DuckDB oracle; tests/test_staged_r14.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
 compare convention every staged cohort uses before its flip) plus
@@ -58,10 +70,10 @@ both are extensions for the 100 TB curation target.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, row_count
+from ..catalog import load
 from .olap_queries import _z_expr, _z_norm
 from .registry import QuerySpec
 from .staged_r13b import _hb_expr, _hb_norm
@@ -373,4 +385,154 @@ def butterfly_item_bipartite(
         )
         .orderBy(F.desc("n_butterflies"), F.asc("part_id"))
         .limit(_BF_TOP)
+    )
+
+
+# --- streaming watermark-dedup replay ---------------------------------
+
+_SDD_DELAY_US = 3_600_000_000  # 1-hour watermark horizon, in micros
+_SDD_FAST = 7  # event_id % 7 == 0: re-delivered +30 min (in horizon)
+_SDD_SLOW = 13  # event_id % 13 == 0: re-delivered +3 h (state expired)
+_SDD_FAST_US = 1_800_000_000
+_SDD_SLOW_US = 10_800_000_000
+
+
+def _sdd_sql() -> str:
+    return f"""
+    WITH arrivals AS (
+      SELECT event_id, event_type, epoch_us(ts) AS a
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, epoch_us(ts) + {_SDD_FAST_US}
+      FROM events WHERE event_id % {_SDD_FAST} = 0
+      UNION ALL
+      SELECT event_id, event_type, epoch_us(ts) + {_SDD_SLOW_US}
+      FROM events WHERE event_id % {_SDD_SLOW} = 0
+    ),
+    seq AS (
+      SELECT event_id, event_type, a,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY a)
+               AS rn,
+             lag(a, 1) OVER (PARTITION BY event_id ORDER BY a) AS a1,
+             lag(a, 2) OVER (PARTITION BY event_id ORDER BY a) AS a2
+      FROM arrivals
+    ),
+    judged AS (
+      SELECT event_id, event_type, rn,
+             CASE
+               WHEN rn = 1 THEN TRUE
+               WHEN rn = 2 THEN a - a1 > {_SDD_DELAY_US}
+               WHEN a1 - a2 > {_SDD_DELAY_US}
+                 THEN a - a1 > {_SDD_DELAY_US}
+               ELSE a - a2 > {_SDD_DELAY_US}
+             END AS kept
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dupes_dropped,
+           CAST(SUM(CASE WHEN kept AND rn > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dupes_leaked
+    FROM judged
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@stage(
+    "streaming_dedup_replay",
+    _sdd_sql(),
+    doc="Batch replay of streaming watermark dedup "
+    "(dropDuplicatesWithinWatermark / streaming.dedup_events_stream) "
+    "over a deterministic at-least-once stream: every 7th event "
+    "re-delivered 30 min later (inside the 1-hour horizon, keyed "
+    "state drops it) and every 13th 3 h later (state expired, the "
+    "duplicate LEAKS — the documented watermark-dedup trade); emits "
+    "per-type kept/dropped/leaked counts (extension; the "
+    "effectively-once ingest repair for event streams).",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_kept, n_dupes_dropped, n_dupes_leaked), one row
+    per type.
+
+    Scale shape: the synthetic at-least-once stream is three
+    row-local projections unioned (no join builds duplicates); the
+    state emulation is ONE event_id-keyed window pass (the exchange
+    the streaming engine's state store shuffle performs) — an arrival
+    is dropped iff its gap from the last RETAINED same-key arrival is
+    within the horizon, state re-arming on every retained arrival
+    (chain depth <= 3 by construction of the replay stream, so two
+    lag() frames close the recurrence without iteration); the rollup
+    is a map-side-combined groupBy over |event_type| groups.
+
+    Semantics note (why the gap rule is sound here): the real
+    engine's state expiry is GLOBAL-watermark-driven — a key inserted
+    at ts expires when the watermark passes ts + delay, and in an
+    event-time-ordered stream the watermark itself lags max event
+    time by delay, so the effective per-key drop horizon sits between
+    delay and 2*delay depending on batch cuts. The replay's synthetic
+    gaps are chosen OUTSIDE that ambiguity band (+30 min < delay:
+    dropped under every reading; +3 h > 2*delay: expired under every
+    reading), so the emitted counts pin semantics the real operator
+    satisfies regardless of batching. The REAL streaming operator
+    (streaming/incremental.dedup_events_stream) is additionally
+    unit-tested live in tests/test_streaming.py. All outputs are
+    integers.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("a")
+    )
+    arrivals = ev.unionByName(
+        ev.where(F.col("event_id") % _SDD_FAST == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("a") + _SDD_FAST_US).alias("a"),
+        )
+    ).unionByName(
+        ev.where(F.col("event_id") % _SDD_SLOW == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("a") + _SDD_SLOW_US).alias("a"),
+        )
+    )
+    w = Window.partitionBy("event_id").orderBy("a")
+    seq = arrivals.select(
+        "event_id",
+        "event_type",
+        "a",
+        F.row_number().over(w).alias("rn"),
+        F.lag("a", 1).over(w).alias("a1"),
+        F.lag("a", 2).over(w).alias("a2"),
+    )
+    d = F.lit(_SDD_DELAY_US)
+    kept = (
+        F.when(F.col("rn") == 1, F.lit(True))
+        .when(F.col("rn") == 2, F.col("a") - F.col("a1") > d)
+        .when(
+            F.col("a1") - F.col("a2") > d,
+            F.col("a") - F.col("a1") > d,
+        )
+        .otherwise(F.col("a") - F.col("a2") > d)
+    )
+    judged = seq.select("event_type", "rn", kept.alias("kept"))
+    return (
+        judged.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dupes_dropped"),
+            F.sum(
+                F.when(F.col("kept") & (F.col("rn") > 1), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_dupes_leaked"),
+        )
+        .orderBy("event_type")
     )

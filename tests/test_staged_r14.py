@@ -297,3 +297,82 @@ def test_layout_skipping_no_cartesian_and_no_global_sort(spark):
     # second one would mean the fact table is being globally sorted
     # (the rank must come from the block machinery instead)
     assert plan.lower().count("rangepartitioning") <= 1
+
+
+# --- streaming dedup replay: keyed-state-machine ground truth ---------
+
+def test_streaming_dedup_replay_matches_state_machine(spark, duck):
+    """Re-simulate the keyed state machine in pure Python over the
+    same synthetic arrival stream (insert on first arrival, drop
+    while armed, re-arm on every retained arrival) and compare every
+    per-type count."""
+    from collections import defaultdict
+
+    from autosinapi_spark.plans.staged_r14 import (
+        _SDD_DELAY_US,
+        _SDD_FAST,
+        _SDD_FAST_US,
+        _SDD_SLOW,
+        _SDD_SLOW_US,
+        streaming_dedup_replay,
+    )
+
+    rows = duck.execute(
+        "SELECT event_id, event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    arrivals = []
+    for eid, etype, us in rows:
+        arrivals.append((eid, etype, us))
+        if eid % _SDD_FAST == 0:
+            arrivals.append((eid, etype, us + _SDD_FAST_US))
+        if eid % _SDD_SLOW == 0:
+            arrivals.append((eid, etype, us + _SDD_SLOW_US))
+
+    last_kept: dict[int, int] = {}
+    seen: dict[int, int] = defaultdict(int)
+    kept = defaultdict(int)
+    dropped = defaultdict(int)
+    leaked = defaultdict(int)
+    # per-key arrival order (the window's ORDER BY a)
+    by_key: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for eid, etype, us in arrivals:
+        by_key[eid].append((us, etype))
+    for eid, seq in by_key.items():
+        for i, (us, etype) in enumerate(sorted(seq)):
+            if eid not in last_kept:
+                last_kept[eid] = us
+                kept[etype] += 1
+            elif us - last_kept[eid] <= _SDD_DELAY_US:
+                dropped[etype] += 1
+            else:
+                last_kept[eid] = us
+                kept[etype] += 1
+                leaked[etype] += 1
+            seen[eid] += 1
+
+    got = {
+        r.event_type: (r.n_kept, r.n_dupes_dropped, r.n_dupes_leaked)
+        for r in streaming_dedup_replay(spark, SF_SMOKE).collect()
+    }
+    expect = {
+        t: (kept[t], dropped[t], leaked[t]) for t in kept
+    }
+    assert got == expect
+    assert sum(v[1] for v in got.values()) > 0, "no duplicate dropped"
+    assert sum(v[2] for v in got.values()) > 0, "no duplicate leaked"
+
+
+def test_streaming_dedup_gaps_sit_outside_the_ambiguity_band():
+    """The replay's gap rule equals the engine's global-watermark
+    expiry only because the synthetic gaps avoid the [delay, 2*delay]
+    band where batching decides the outcome (see the query's
+    semantics note) — pin that construction so a future gap retune
+    can't silently enter the band."""
+    from autosinapi_spark.plans.staged_r14 import (
+        _SDD_DELAY_US,
+        _SDD_FAST_US,
+        _SDD_SLOW_US,
+    )
+
+    assert _SDD_FAST_US < _SDD_DELAY_US
+    assert _SDD_SLOW_US > 2 * _SDD_DELAY_US

@@ -150,6 +150,7 @@ QUERIES = [
     # round-13 staged-for-r14 additions (plans/staged_r14.py)
     "layout_skipping_equalcount",  # block-rank file cuts; file-grain stats
     "butterfly_item_bipartite",  # basket-bounded pair counts; top-k head
+    "streaming_dedup_replay",  # one keyed window pass; type-grain rollup
 ]
 
 
