@@ -150,20 +150,30 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # round 0: pack the first _SFX_PACK chars at every position into
-    # one base-256 code, row-local (ascii(substring past end) = 0, so
-    # a suffix shorter than the pack sorts first, = binary collation)
-    # each digit is cast to BIGINT BEFORE the place-value multiply:
-    # ascii() returns int32, and under ANSI mode 128 * 256^3 == 2^31
-    # already overflows the int multiply — so codepoints >= 128 in
-    # the leading slot would error spuriously (and the Latin-1 guard
-    # below could never produce its message)
+    # one base-256 code, row-local (a code slot past the document end
+    # reads 0, so a suffix shorter than the pack sorts first,
+    # = binary collation). Each digit is cast to BIGINT BEFORE the
+    # place-value multiply: ascii() returns int32, and under ANSI
+    # mode 128 * 256^3 == 2^31 already overflows the int multiply —
+    # so codepoints >= 128 in the leading slot would error spuriously
+    # (and the Latin-1 guard below could never produce its message).
+    # The codepoints come from a MATERIALIZED array column, indexed
+    # O(1) per position: the former substring(text, i, 1) per pack
+    # slot was O(i) on UTF8String (char->byte seek from the string
+    # head), making round 0 O(len^2) per document — measured 7.4s of
+    # the 16.3s sf0.1 wall; this form builds positions in 0.8s,
+    # bit-identical (r13 re-measure). The localCheckpoint on `codes`
+    # is ALSO the projection barrier that stops CollapseProject from
+    # inlining the O(n) split+transform into the per-position lambda
+    # (which would re-run it per element — the documented
+    # per-element re-evaluation trap).
     pack = " + ".join(
-        f"CAST(ascii(substring(text, i + {j + 1}, 1)) AS BIGINT) * "
-        f"{256 ** (_SFX_PACK - 1 - j)}"
+        f"COALESCE(try_element_at(ca, i + {j + 1}), "
+        f"CAST(0 AS BIGINT)) * {256 ** (_SFX_PACK - 1 - j)}"
         for j in range(_SFX_PACK)
     )
     chars = F.expr(
-        "transform(sequence(0, length(text) - 1), "
+        "transform(sequence(0, size(ca) - 1), "
         f"i -> struct(i AS p, CAST({pack} AS BIGINT) AS r))"
     )
     # codepoint guard (runtime, not just docstring — r11 ADVICE): the
@@ -203,12 +213,22 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "text",
     )
-    pos = (
-        # length guard: Spark's sequence(0, length - 1) on an EMPTY
-        # text yields the DESCENDING [0, -1] (verified on 4.1), i.e.
-        # two phantom positions — the oracle's range(0, 0) is empty
+    codes = (
+        # length guard: Spark's sequence(0, n - 1) on an EMPTY text
+        # yields the DESCENDING [0, -1] (verified on 4.1), i.e. two
+        # phantom positions — the oracle's range(0, 0) is empty
         guarded.where(F.length("text") > 0)
-        .select("doc_id", F.explode(chars).alias("c"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(split(text, ''), "
+                "ch -> CAST(ascii(ch) AS BIGINT))"
+            ).alias("ca"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = (
+        codes.select("doc_id", F.explode(chars).alias("c"))
         .select(
             "doc_id",
             F.col("c.p").cast("long").alias("p"),
