@@ -1388,8 +1388,11 @@ def semdedup_embeddings(
     # join's b side, and the final join-back — and Spark inlines CTEs,
     # so without a materialization point each consumer would re-run
     # the whole chain (ReusedExchange only dedups the two cid-keyed
-    # consumers; the r13 re-measure clocked the un-split form at
-    # ~10.1s warm vs ~4s split). localCheckpoint(eager=False) pins
+    # consumers; measured on the assignment subplan: ~10.1s warm
+    # un-split vs ~4s split — count()-pruned frames, so the delta is
+    # the chain replication itself, not the full-query wall, which is
+    # execution-neutral vs the old Column form; README round-13
+    # corrected record). localCheckpoint(eager=False) pins
     # `cells` after its first action; at 100 TB this materializes one
     # corpus-width frame that is then read three times — strictly
     # cheaper than re-running two broadcast-assignment passes over
