@@ -376,3 +376,108 @@ def test_streaming_dedup_gaps_sit_outside_the_ambiguity_band():
 
     assert _SDD_FAST_US < _SDD_DELAY_US
     assert _SDD_SLOW_US > 2 * _SDD_DELAY_US
+
+
+# --- hypothesis properties (pure Python, no Spark) --------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(10, 16)),
+            max_size=30,
+        )
+    )
+    def test_butterfly_closed_form_equals_rectangle_enumeration(edges):
+        """The per-pair C(c, 2) closed form the query aggregates must
+        equal literal K2,2 enumeration (choose 2 orders x 2 items,
+        all four edges present) on ANY bipartite graph — duplicate
+        edges collapse first, exactly like the query's DISTINCT."""
+        dedup = set(edges)
+        by_order: dict[int, set[int]] = defaultdict(set)
+        for o, p in dedup:
+            by_order[o].add(p)
+        items = sorted({p for _, p in dedup})
+        orders = sorted(by_order)
+
+        closed: dict[int, int] = defaultdict(int)
+        for i, j in combinations(items, 2):
+            c = sum(
+                1
+                for o in orders
+                if i in by_order[o] and j in by_order[o]
+            )
+            b = c * (c - 1) // 2
+            closed[i] += b
+            closed[j] += b
+
+        brute: dict[int, int] = defaultdict(int)
+        for o1, o2 in combinations(orders, 2):
+            for i, j in combinations(items, 2):
+                if (
+                    i in by_order[o1]
+                    and j in by_order[o1]
+                    and i in by_order[o2]
+                    and j in by_order[o2]
+                ):
+                    brute[i] += 1
+                    brute[j] += 1
+
+        assert {k: v for k, v in closed.items() if v} == {
+            k: v for k, v in brute.items() if v
+        }
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(1, 4 * 3_600_000_000), min_size=0, max_size=2
+        ),
+        delay=st.integers(1, 2 * 3_600_000_000),
+    )
+    def test_dedup_lag_closure_equals_generic_state_machine(
+        gaps, delay
+    ):
+        """The query's two-lag CASE closure (rn <= 3) must equal the
+        generic keyed state machine (drop while armed, re-arm on
+        every retained arrival) for ANY gap values and delay — the
+        depth bound is structural (<= 3 arrivals per key by
+        construction), the gap values are not."""
+        a0 = 0
+        arrivals = [a0]
+        for g in gaps:
+            arrivals.append(arrivals[-1] + g)
+        arrivals.sort()
+
+        # generic state machine
+        last_kept = None
+        kept_sm = []
+        for a in arrivals:
+            if last_kept is None or a - last_kept > delay:
+                last_kept = a
+                kept_sm.append(True)
+            else:
+                kept_sm.append(False)
+
+        # the query's closure: rn=1 kept; rn=2 by gap to a1; rn=3 by
+        # whether rn=2 was kept (a1 - a2 > delay re-reads that gap)
+        kept_cl = []
+        for idx, a in enumerate(arrivals):
+            rn = idx + 1
+            a1 = arrivals[idx - 1] if idx >= 1 else None
+            a2 = arrivals[idx - 2] if idx >= 2 else None
+            if rn == 1:
+                kept_cl.append(True)
+            elif rn == 2:
+                kept_cl.append(a - a1 > delay)
+            elif a1 - a2 > delay:
+                kept_cl.append(a - a1 > delay)
+            else:
+                kept_cl.append(a - a2 > delay)
+
+        assert kept_cl == kept_sm
+
+except ImportError:  # pragma: no cover - hypothesis ships in the image
+    pass
