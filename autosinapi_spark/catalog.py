@@ -120,11 +120,15 @@ def row_count(sf_dir: str, name: str) -> int:
     (ANALYZE TABLE / Delta & Iceberg snapshot metadata), so parameter
     derivation is a metadata lookup by design, not a data pass.
 
-    Parameters that instead shape VALUES inside one plan (e.g.
-    semdedup's k4) are derived in-plan from a 1-row count aggregate —
-    this helper is only for parameters that decide plan STRUCTURE
-    (how many plane literals / probe masks are generated), which must
-    be Python ints before the plan exists.
+    Callers split two ways. Plan-STRUCTURE parameters (how many
+    plane literals / probe masks / generated SQL expressions exist —
+    LSH bits, IMI codebook sizes, semdedup's k4) must be Python ints
+    before the plan exists, so they come from here. Parameters that
+    only shape VALUES inside one plan can instead ride a 1-row count
+    aggregate cross-joined onto the corpus; no current caller needs
+    that form. Either way the DuckDB oracle re-derives the same
+    number from an in-SQL COUNT(*) CTE — exact-footer equivalence:
+    parquet footer counts are exact, so the two always agree.
     """
     import pyarrow.parquet as pq
 

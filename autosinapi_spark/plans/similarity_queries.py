@@ -1292,19 +1292,20 @@ def semdedup_embeddings(
     LINEAR in N (the r9 sweep measured the previous pinned-K=32
     full-space codebook at 13.3x wall for 10x data; this derivation
     replaces it). Since r13 (the r12 verdict's weak-row fix, R13_PLAN
-    §3) the WHOLE query is ONE generated Spark-SQL statement: k4 is
-    derived IN-PLAN from a 1-row count aggregate cross-joined onto
-    the corpus (no plan-time count() job — one lazy DAG, and at
-    100 TB no second corpus pass; the oracle's k4 CTE, replayed
-    literally), the per-quarter assignment expressions are parsed
+    §3) the query is TWO generated Spark-SQL statements split at the
+    localCheckpoint boundary on the cell map (the assignment chain
+    feeds three consumers — see the inline note at ``cells``): k4 is
+    a Python literal interpolated into both statements from parquet
+    footer metadata (``catalog.row_count`` — no plan-time count()
+    job, so at 100 TB no second corpus pass; table statistics at
+    deployment; the oracle re-derives the IDENTICAL value from its
+    own in-SQL COUNT(*) CTE, exact because footer counts are exact),
+    the per-quarter assignment expressions are parsed
     JVM-side in one call instead of ~1000 py4j Column round trips,
     and the Lloyd step is a FIXED-WIDTH aggregate — 16 decimal-mean
     columns per (q, cid) group instead of the former posexplode to
     (q, cid, dim, val) rows, so the combine shuffle carries 16x fewer
-    rows and the second reassembly groupBy disappears. k4 itself
-    comes from parquet footer metadata (``catalog.row_count``; table
-    statistics at deployment — the oracle's in-SQL COUNT(*) CTE
-    derives the identical value because footer counts are exact).
+    rows and the second reassembly groupBy disappears.
     The keep-min-id representative is a MIN(struct) hash aggregate
     over the pair stream (map-side partial combine) instead of the
     former per-id_b row_number window — (id_a, cos) structs compare

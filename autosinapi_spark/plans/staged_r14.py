@@ -1,11 +1,11 @@
-"""Round-14 registration candidates (built and staged in round 13;
-NOT registered until the r14 window rewrite).
+"""Round-14-registered queries (built and staged in round 13,
+flipped to ``@register`` at the r14 window rewrite per
+docs/R14_PLAN.md §1).
 
-Registration budget note: the r13 flip took the registry to 201
-(bound 5, capacity 250, ~49 slots of lifetime slack). Staging THREE
-more here keeps the post-flip registry at 204 — far inside the bound
-— while the r14 window still fits its mandatory set (3 never-green +
-the 4 leftover r9 rows + the r10 cohort as fill; docs/R14_PLAN.md).
+Registration budget note: this flip takes the registry to 204
+(bound 5 — it next moves at 251; capacity 250, ~46 slots of
+lifetime slack). The r14 window fits the mandatory set (3
+never-green + the 4 leftover r9 rows + the r10 cohort as fill).
 
 - ``layout_skipping_equalcount`` — the file-skipping payoff of
   EQUAL-COUNT file cuts along the Hilbert curve vs the Morton
@@ -56,12 +56,15 @@ the 4 leftover r9 rows + the r10 cohort as fill; docs/R14_PLAN.md).
   counts pin both the dedup and the watermark's documented
   false-negative trade.
 
-Each entry carries a full DuckDB oracle; tests/test_staged_r14.py
-runs the Spark-vs-oracle compare pre-registration (the duplicate-
-compare convention every staged cohort uses before its flip) plus
-pure-Python replays (the equal-count rank/file assignment and the
-envelope arithmetic on plain dicts; butterfly counts from a brute
-4-cycle enumeration on a small fixture).
+Each entry carries a full DuckDB oracle; the Spark-vs-oracle compare
+lives in tests/test_correctness.py since the r14 flip (a duplicate
+compare ran in tests/test_staged_r14.py while staged, the convention
+every cohort uses). What stays in tests/test_staged_r14.py is what
+the registry compare can't express: pure-Python replays (the
+equal-count rank/file assignment and the envelope arithmetic on
+plain dicts; butterfly counts from a brute 4-cycle enumeration; the
+keyed-state machine for the dedup replay), plan pins, the
+duplicate-event_id guard fixture, and the hypothesis properties.
 
 Reference parity note: the reference engine (a single-process pandas
 ETL, /root/reference/autosinapi/) has no layout or graph operators —
@@ -75,20 +78,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from .olap_queries import _z_expr, _z_norm
-from .registry import QuerySpec
+from .registry import register
 from .staged_r13b import _hb_expr, _hb_norm
 
-STAGED: dict[str, QuerySpec] = {}
-
-
-def stage(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: stage a query as an r14 registration candidate."""
-
-    def wrap(fn):
-        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
-
-    return wrap
+# Kept (empty) so pre-flip imports fail loud rather than silently:
+# since the r14 flip every query here registers directly into
+# plans.registry.REGISTRY.
+STAGED: dict = {}
 
 
 # --- equal-count layout skipping stats -------------------------------
@@ -202,12 +198,14 @@ def _lsk_stats_sql(lay: str, table: str, idiv: str) -> str:
     )
     SELECT layout,
            CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(f.pkmax - f.pkmin) * 1000000
-                {idiv} (COUNT(*) * (p.pmax - p.pmin)) AS BIGINT)
-             AS pk_extent_ppm,
-           CAST(SUM(f.skmax - f.skmin) * 1000000
-                {idiv} (COUNT(*) * (p.smax - p.smin)) AS BIGINT)
-             AS sk_extent_ppm,
+           CASE WHEN p.pmax = p.pmin THEN CAST(0 AS BIGINT)
+                ELSE CAST(SUM(f.pkmax - f.pkmin) * 1000000
+                     {idiv} (COUNT(*) * (p.pmax - p.pmin)) AS BIGINT)
+           END AS pk_extent_ppm,
+           CASE WHEN p.smax = p.smin THEN CAST(0 AS BIGINT)
+                ELSE CAST(SUM(f.skmax - f.skmin) * 1000000
+                     {idiv} (COUNT(*) * (p.smax - p.smin)) AS BIGINT)
+           END AS sk_extent_ppm,
            CAST(SUM(CASE WHEN f.pkmin > p.pk_hi THEN 1 ELSE 0 END)
              AS BIGINT) AS n_skip_pk,
            CAST(SUM(CASE WHEN f.skmin > p.sk_hi THEN 1 ELSE 0 END)
@@ -237,7 +235,7 @@ def _lsk_oracle() -> str:
     """
 
 
-@stage(
+@register(
     "layout_skipping_equalcount",
     _lsk_oracle(),
     doc=f"Equal-count {_LSK_FILES}-file cuts along the Hilbert vs "
@@ -317,7 +315,7 @@ def _bf_sql(idiv: str) -> str:
     """
 
 
-@stage(
+@register(
     "butterfly_item_bipartite",
     _bf_sql("//"),
     doc="Butterfly (K2,2) counting over the order-item bipartite "
@@ -441,7 +439,7 @@ def _sdd_sql() -> str:
     """
 
 
-@stage(
+@register(
     "streaming_dedup_replay",
     _sdd_sql(),
     doc="Batch replay of streaming watermark dedup "
@@ -466,6 +464,15 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chain depth <= 3 by construction of the replay stream, so two
     lag() frames close the recurrence without iteration); the rollup
     is a map-side-combined groupBy over |event_type| groups.
+
+    PRECONDITION: the two-lag closure is sound only while chain
+    depth <= 3, which holds iff event_id is unique in the base
+    events table (each key then arrives at most 3 times: original
+    + fast + slow re-delivery). A duplicate event_id would make
+    BOTH engines compute the same wrong keyed-state emulation —
+    parity green, semantics broken, no signal — so the Spark side
+    carries a runtime assert_true(rn <= 3) that fails loud instead
+    (the property test pins the guard on a planted-duplicate frame).
 
     Semantics note (why the gap rule is sound here): the real
     engine's state expiry is GLOBAL-watermark-driven — a key inserted
@@ -505,6 +512,22 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("a", 1).over(w).alias("a1"),
         F.lag("a", 2).over(w).alias("a2"),
+    )
+    # chain-depth guard (docstring PRECONDITION): rn > 3 can only
+    # happen when event_id duplicates in the base table, where the
+    # two-lag closure silently computes the wrong emulation in BOTH
+    # engines — fail loud instead. assert_true returns NULL on
+    # success, so the filter keeps every valid row and the predicate
+    # cannot be pruned away.
+    seq = seq.where(
+        F.assert_true(
+            F.col("rn") <= F.lit(3),
+            F.lit(
+                "streaming_dedup_replay: chain depth > 3 — duplicate "
+                "event_id in the base events table violates the "
+                "two-lag closure precondition"
+            ),
+        ).isNull()
     )
     d = F.lit(_SDD_DELAY_US)
     kept = (

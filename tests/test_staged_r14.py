@@ -1,46 +1,25 @@
-"""Round-14-staged queries (plans/staged_r14.py): the full
-Spark-vs-DuckDB oracle compare (the duplicate-compare convention
-every staged cohort uses before its registration flip — once these
-register at r14, tests/test_correctness.py takes this over) plus
-independent pure-Python replays (equal-count rank/file/envelope
-arithmetic from raw rows; butterfly counts from a brute 4-cycle
-enumeration on a planted fixture) and plan-shape pins."""
+"""Round-14-registered queries (plans/staged_r14.py): Python replays
++ structural invariants.
+
+The Spark-vs-DuckDB oracle compare lives in tests/test_correctness.py
+since the r14 flip registered the cohort (a duplicate compare ran
+here while it was staged in r13); what stays is what the registry
+compare can't express — pure-Python replays (equal-count
+rank/file/envelope arithmetic from raw rows; butterfly counts from a
+brute 4-cycle enumeration; the keyed-state machine for the dedup
+replay), plan-shape pins, the duplicate-event_id guard fixture, and
+the hypothesis properties."""
 
 from __future__ import annotations
 
 from collections import defaultdict
 from itertools import combinations
 
-import pytest
-
 from autosinapi_spark.plans.staged_r14 import (
     _LSK_BLKW,
     _LSK_FILES,
-    STAGED,
 )
 from tests.conftest import SF_SMOKE
-from tests.test_correctness import _canon_rows
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, duck, name):
-    spec = STAGED[name]
-    sdf = spec.fn(spark, SF_SMOKE)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    assert len(srows) > 0, f"{name}: 0 rows trivially matches — invalid"
-
-    ocur = duck.execute(spec.oracle)
-    ocols = [d[0] for d in ocur.description]
-    orows = [tuple(r) for r in ocur.fetchall()]
-
-    assert scols == ocols, f"{name}: column order {scols} != {ocols}"
-    assert len(srows) == len(orows), (
-        f"{name}: rowcount spark={len(srows)} oracle={len(orows)}"
-    )
-    assert _canon_rows(scols, srows) == _canon_rows(ocols, orows), (
-        f"{name}: value mismatch"
-    )
 
 
 # --- equal-count layout skipping: full Python replay -----------------
@@ -360,6 +339,55 @@ def test_streaming_dedup_replay_matches_state_machine(spark, duck):
     assert got == expect
     assert sum(v[1] for v in got.values()) > 0, "no duplicate dropped"
     assert sum(v[2] for v in got.values()) > 0, "no duplicate leaked"
+
+
+def test_streaming_dedup_duplicate_event_id_raises(spark, tmp_path):
+    """The two-lag closure's PRECONDITION (docstring): chain depth
+    <= 3, which holds iff event_id is unique in the base table. A
+    planted duplicate would make Spark AND the oracle compute the
+    same wrong keyed-state emulation — parity green, semantics
+    broken — so the runtime assert_true(rn <= 3) must fail loud
+    instead, and a unique-keyed frame must pass the guard."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from autosinapi_spark.plans.staged_r14 import (
+        _SDD_FAST,
+        streaming_dedup_replay,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # the duplicated key is a multiple of _SDD_FAST so it gains the
+    # fast re-delivery too: 2 base + 2 fast = 4 arrivals > 3
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [
+            (_SDD_FAST, t0, 1, "click", 1.0, "{}"),
+            (_SDD_FAST, t0 + _dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (2, t0, 1, "view", 1.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(f"{bad}/events.parquet")
+    with _pytest.raises(Exception, match="duplicate event_id"):
+        streaming_dedup_replay(spark, bad).collect()
+
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [
+            (_SDD_FAST, t0, 1, "click", 1.0, "{}"),
+            (2, t0, 1, "view", 1.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(f"{ok}/events.parquet")
+    rows = streaming_dedup_replay(spark, ok).collect()
+    # the fast re-delivery of event _SDD_FAST is dropped by state
+    assert {r.event_type: (r.n_kept, r.n_dupes_dropped, r.n_dupes_leaked)
+            for r in rows} == {"click": (1, 1, 0), "view": (1, 0, 0)}
 
 
 def test_streaming_dedup_gaps_sit_outside_the_ambiguity_band():
