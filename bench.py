@@ -112,11 +112,25 @@ def main() -> int:
         # bench_diff.py's query_runs-equal filter must see the budget
         # the measurement actually received (r11 ADVICE).
         runs[name] = len(samples)
-        # drop this query's lingering frame refs so the ContextCleaner
-        # can release any localCheckpoint blocks before the next
-        # measurement (leaked blocks otherwise accumulate for the
-        # whole run and pressure later queries' shuffles)
+        # Release this query's localCheckpoint blocks before the next
+        # measurement. gc.collect() alone is NOT enough: the py4j
+        # detach only queues the JVM-side release, and the
+        # ContextCleaner's weak refs fire only after a JVM GC that a
+        # lightly-allocating driver may not run for minutes —
+        # measured (r14): 4 triangle runs left 8 persistent RDDs /
+        # 781 MB of checkpoint blocks that survived gc.collect(), and
+        # a no-cleanup session stalled a 5s query (and its control)
+        # for 100-200s on the accumulated pressure. Every registered
+        # query is finished once materialized, so explicitly
+        # unpersisting ALL leftover persistent RDDs here is safe
+        # (each run builds fresh checkpoints) and immediate.
         gc.collect()
+        try:
+            jm = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in list(jm.values()):
+                rdd.unpersist(False)
+        except Exception:  # cleanup must never kill the bench
+            pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {

@@ -183,6 +183,16 @@ def main():
             continue
         duck.close()
         duck = fresh_duck()
+        # release the previous query's localCheckpoint blocks — a
+        # 204-query session otherwise accumulates GBs of leaked
+        # persistent RDDs (the bench.py r14 lesson: gc alone is not
+        # enough, the JVM-side release waits on a JVM GC)
+        try:
+            jm = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in list(jm.values()):
+                rdd.unpersist(False)
+        except Exception:
+            pass
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         if lint_only:

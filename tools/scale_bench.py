@@ -362,14 +362,22 @@ def main() -> int:
                 "overwrite"
             ).save()
             best = min(best, time.perf_counter() - t0)
-            # drop lingering frame refs so the ContextCleaner can
-            # release localCheckpoint blocks before the next
+            # Release localCheckpoint blocks before the next
             # measurement (the bench.py lesson): at sf1 the graph
             # queries each pin edge-sized block sets against the 16g
             # local-mode heap, and without the release later rows in
             # one session inflate 3-5x from eviction/spill pressure,
-            # not from their own plans.
+            # not from their own plans. gc.collect() alone is NOT
+            # enough (r14 measurement in bench.py) — the JVM-side
+            # release waits on a JVM GC — so unpersist leftovers
+            # explicitly; every query is finished once materialized.
             gc.collect()
+            try:
+                jm = spark.sparkContext._jsc.getPersistentRDDs()
+                for rdd in list(jm.values()):
+                    rdd.unpersist(False)
+            except Exception:
+                pass
         return best
 
     # warm-up pass at sf0.1 so neither scale pays JVM/codegen cold start
