@@ -1,0 +1,443 @@
+"""Round-15 registration candidates (built and staged in round 14;
+NOT registered until the r15 window rewrite).
+
+Registration budget note: the r14 flip took the registry to 204
+(bound 5, capacity 250, ~46 slots of lifetime slack). Staging TWO
+more here keeps the post-flip registry at 206 — far inside the
+bound — while the r15 window still fits its mandatory set (2
+never-green + changed-code promotions + the 11 r10 leftovers as
+lead fill; docs/R15_PLAN.md).
+
+- ``kneser_ney_bigram_ppm`` — Kneser-Ney smoothed bigram
+  probabilities (Kneser & Ney 1995, "Improved backing-off for
+  m-gram language modeling"; Chen & Goodman 1999's empirical study
+  made absolute discounting with continuation counts the standard
+  n-gram smoother — the model KenLM builds and the CCNet/Gopher
+  quality filters score with). The registered ``doc_bigram_logprob``
+  interpolates raw MLE bigram/unigram estimates; KN differs in BOTH
+  terms: the bigram count is absolute-discounted (c - D, D = 3/4)
+  and the backoff weight redistributes exactly the discounted mass
+  onto the CONTINUATION probability — how many distinct contexts a
+  word follows, not how often it occurs ("San Francisco" makes
+  "Francisco" frequent but nearly single-context, so KN correctly
+  refuses to predict it after novel words). With D = 3/4 every
+  quantity is a ratio of integers, so the probability is emitted as
+  exact integer ppm: p_kn = ((4c - 3) * T + 3 * n1r * n1l) /
+  (4 * cl * T), with cl = c(w1), n1r = N1+(w1 .), n1l = N1+(. w2),
+  T = N1+(..) — engine-identical truncating division (the
+  ols_trend_fit / chi2_independence_ppm convention).
+
+- ``ktruss_peel_trace`` — k-truss peeling (Cohen 2008, "Trusses:
+  cohesive subgraphs for social network analysis"; the parallel
+  peel-all-at-once iteration is the shape of Wang & Cheng 2012 and
+  Sariyuce et al. 2017's nucleus decomposition round): every edge of
+  the order-item co-occurrence graph needs support >= k - 2
+  surviving triangles, edges below the bar are removed
+  simultaneously, and the round repeats on the shrunken graph. The
+  registered ``kcore_item_graph`` / ``kcore_onion_layers`` rows peel
+  on VERTEX degree; the truss is the strictly stronger cohesion
+  notion (every k-truss is a (k-1)-core but not conversely) and is
+  the standard community/boilerplate-cluster primitive. The truss
+  order is CORPUS-ADAPTIVE: k - 2 = round-0's integer-mean edge
+  support (3 * n_triangles DIV n_supported_edges, a 1-row aggregate
+  riding the scalar-broadcast pattern, held fixed across rounds) —
+  a fixed literal k cannot bite across scale factors because the
+  fixture graph's support median swings 42 -> 10 from sf0.001 to
+  sf0.01 (measured). Emits the per-round trace (edges, removals,
+  surviving triangles) over ``_KT_ROUNDS`` fixed rounds — the
+  fixture converges inside the budget at both pytest and driver SFs
+  (asserted in tests), and the trace rows make convergence
+  observable (final round removes 0).
+
+Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
+runs the Spark-vs-oracle compare pre-registration (the duplicate-
+compare convention every staged cohort uses before its flip) plus
+pure-Python replays (the full KN arithmetic from raw texts; the full
+peel trace from raw lineitem rows and on a planted clique fixture)
+and plan-shape pins.
+
+Reference parity note: the reference engine (a single-process pandas
+ETL, /root/reference/autosinapi/) has no LM or graph operators —
+both are extensions for the 100 TB curation target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import tokens
+from .graph_analytics_queries import _basket_edges
+from .registry import QuerySpec
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: stage a query as an r15 registration candidate."""
+
+    def wrap(fn):
+        STAGED[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+# --- Kneser-Ney smoothed bigram probabilities -------------------------
+
+_KN_TOP = 50  # emitted head: most frequent bigrams
+# D = 3/4 (the Chen-Goodman-recommended constant); kept as the exact
+# rational 3/4 so the whole probability is a ratio of integers:
+#   p_kn(cur|prev) = (c - 3/4)/cl + (3/4 * n1r/cl) * (n1l/T)
+#                  = ((4c - 3) * T + 3 * n1r * n1l) / (4 * cl * T)
+# (c >= 1 on every emitted row, so the discount never clips at 0)
+
+
+def _kn_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS ts
+      FROM documents
+    ),
+    inst AS (
+      SELECT u.bgr.prev AS prev, u.bgr.cur AS cur
+      FROM (
+        SELECT list_transform(generate_series(1, len(ts) - 1),
+                              i -> {{prev: ts[i], cur: ts[i+1]}}) AS bgs
+        FROM tok WHERE len(ts) >= 2
+      ) b, LATERAL (SELECT unnest(bgs) AS bgr) u
+    ),
+    big AS (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM inst GROUP BY prev, cur
+    ),
+    lft AS (
+      SELECT prev, CAST(SUM(c2) AS HUGEINT) AS cl,
+             CAST(COUNT(*) AS HUGEINT) AS n1r
+      FROM big GROUP BY prev
+    ),
+    rgt AS (
+      SELECT cur, CAST(COUNT(*) AS HUGEINT) AS n1l
+      FROM big GROUP BY cur
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM big)
+    SELECT b.prev, b.cur, b.c2 AS n_bigram,
+           CAST((((4 * b.c2 - 3) * tot.t + 3 * lft.n1r * rgt.n1l)
+                 * 1000000) // (4 * lft.cl * tot.t) AS BIGINT)
+             AS pkn_ppm,
+           CAST((rgt.n1l * 1000000) // tot.t AS BIGINT) AS cont_ppm
+    FROM big b
+    JOIN lft ON lft.prev = b.prev
+    JOIN rgt ON rgt.cur = b.cur
+    CROSS JOIN tot
+    ORDER BY n_bigram DESC, b.prev, b.cur
+    LIMIT {_KN_TOP}
+    """
+
+
+@stage(
+    "kneser_ney_bigram_ppm",
+    _kn_sql(),
+    doc="Kneser-Ney smoothed bigram probabilities (D = 3/4 absolute "
+    "discount + continuation-count backoff, Kneser & Ney 1995 / "
+    "Chen & Goodman 1999) over the document corpus, emitted as exact "
+    f"integer ppm; top-{_KN_TOP} bigrams by count with their "
+    "continuation probability — the KenLM-style smoother behind "
+    "CCNet-class quality filtering (extension).",
+)
+def kneser_ney_bigram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev, cur, n_bigram, pkn_ppm, cont_ppm), top-50 bigrams by
+    count (prev, cur tiebreak).
+
+    Scale shape: bigram instances build ROW-LOCALLY via shifted-slice
+    zips (never a positional self-join — the doc_bigram_logprob
+    lemma); the bigram-type frame is ONE map-side-combined hash
+    aggregate, and every model statistic derives from THAT frame, not
+    from raw instances — cl/n1r are a groupBy(prev), n1l a
+    groupBy(cur), T a 1-row aggregate riding a scalar-broadcast
+    crossJoin. The two marginal joins hash-partition on prev then cur
+    (vocabulary-sized sides; AQE picks broadcast when they fit — not
+    forced, since a 100 TB corpus's bigram vocabulary can exceed the
+    driver). The head is TakeOrdered ({top} rows), never a global
+    sort. Integer budget: the widest product is 4*c2*T*1e6 — through
+    sf~100 (c2 ~ 1e11, T ~ 1e10) that is ~4e27, inside DECIMAL(38,0)
+    on the Spark side and HUGEINT in the oracle; the emitted QUOTIENT
+    is a ppm <= ~1e6, so the DECIMAL-DIV-to-BIGINT truncation is
+    engine-identical (the ols_trend_fit rule: quotient must fit
+    BIGINT, operands may exceed it).
+    """.replace("{top}", str(_KN_TOP))
+    docs = load(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    inst = (
+        docs.where(n >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    big = inst.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    lft = big.groupBy("prev").agg(
+        F.sum("c2").cast("decimal(38,0)").alias("cl"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n1r"),
+    )
+    rgt = big.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n1l")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+    return (
+        big.join(lft, "prev")
+        .join(rgt, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.col("c2").alias("n_bigram"),
+            F.expr(
+                "CAST((((4 * c2 - 3) * t + 3 * n1r * n1l) * 1000000) "
+                "DIV (4 * cl * t) AS BIGINT)"
+            ).alias("pkn_ppm"),
+            F.expr("CAST((n1l * 1000000) DIV t AS BIGINT)").alias(
+                "cont_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_bigram"), F.asc("prev"), F.asc("cur"))
+        .limit(_KN_TOP)
+    )
+
+
+# --- k-truss peeling trace --------------------------------------------
+
+_KT_ROUNDS = 5  # fixed peel rounds; fixture converges inside them at
+# both the pytest SF (sf0.001: empty by round 3 — the near-regular
+# basket graph has no cohesive core above its mean support) and the
+# driver SF (sf0.01: a 1127-edge core, stable from round 4)
+
+
+def _kt_tri_sql(e: str) -> str:
+    """Triangles of the id-oriented (u < v) edge set ``e`` via the
+    wedge join (a < b < c exactly once)."""
+    return (
+        f"SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        f"FROM {e} e1 JOIN {e} e2 ON e2.u = e1.v "
+        f"JOIN {e} e3 ON e3.u = e1.u AND e3.v = e2.v"
+    )
+
+
+def _kt_sup_sql(t: str) -> str:
+    """Per-edge support of the triangle set ``t`` (each triangle
+    credits its three edges)."""
+    return (
+        f"SELECT u, v, COUNT(*) AS s FROM ("
+        f"  SELECT a AS u, b AS v FROM {t}"
+        f"  UNION ALL SELECT a, c FROM {t}"
+        f"  UNION ALL SELECT b, c FROM {t}"
+        f") roles GROUP BY u, v"
+    )
+
+
+def _kt_sql() -> str:
+    """Unrolled peel: every CTE is MATERIALIZED (each edge/triangle
+    level is referenced 3+ times — the r11 pagerank-oracle lesson:
+    DuckDB re-expands multi-reference inlined CTEs)."""
+    parts = [
+        "WITH items AS MATERIALIZED (",
+        "  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem",
+        "),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT DISTINCT a.p AS u, b.p AS v",
+        "  FROM items a JOIN items b ON b.o = a.o AND b.p > a.p",
+        "),",
+    ]
+    for r in range(_KT_ROUNDS + 1):
+        parts.append(
+            f"t{r} AS MATERIALIZED ({_kt_tri_sql(f'e{r}')}),"
+        )
+        if r < _KT_ROUNDS:
+            parts.append(
+                f"s{r} AS MATERIALIZED ({_kt_sup_sql(f't{r}')}),"
+            )
+        if r == 0:
+            # corpus-adaptive truss bar: round-0's integer-mean edge
+            # support (SUM(s) = 3 * n_triangles exactly)
+            parts.append(
+                "thr AS MATERIALIZED ("
+                "  SELECT CASE WHEN COUNT(*) = 0 THEN 1"
+                "  ELSE CAST(SUM(s) // COUNT(*) AS BIGINT) END AS thr"
+                "  FROM s0"
+                "),"
+            )
+        if r < _KT_ROUNDS:
+            parts.append(
+                f"e{r + 1} AS MATERIALIZED ("
+                f"  SELECT e.u, e.v FROM e{r} e"
+                f"  JOIN s{r} ON s{r}.u = e.u AND s{r}.v = e.v"
+                f"  CROSS JOIN thr WHERE s{r}.s >= thr.thr"
+                f"),"
+            )
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    selects = []
+    for r in range(_KT_ROUNDS + 1):
+        removed = (
+            "CAST(0 AS BIGINT)"
+            if r == 0
+            else f"CAST((SELECT COUNT(*) FROM e{r - 1}) "
+            f"- (SELECT COUNT(*) FROM e{r}) AS BIGINT)"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS peel_round, "
+            f"CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges, "
+            f"{removed} AS n_removed, "
+            f"CAST((SELECT COUNT(*) FROM t{r}) AS BIGINT) AS n_tri"
+        )
+    return (
+        "\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY peel_round"
+    )
+
+
+@stage(
+    "ktruss_peel_trace",
+    _kt_sql(),
+    doc="k-truss peeling over the order-item co-occurrence graph "
+    "(Cohen 2008): every edge needs support >= k - 2 surviving "
+    "triangles, below-bar edges peel simultaneously over "
+    f"{_KT_ROUNDS} fixed rounds, with k - 2 derived in-plan as "
+    "round-0's integer-mean edge support (a fixed literal cannot "
+    "bite across scale factors); emits the per-round (edges, "
+    "removals, surviving triangles) trace — the edge-cohesion "
+    "analogue of the registered k-core rows and the standard "
+    "community/boilerplate-cluster primitive (extension).",
+)
+def ktruss_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(peel_round, n_edges, n_removed, n_tri), one row per round
+    0..{rounds}.
+
+    Scale shape: edges come from the basket-local pair expansion
+    (``_basket_edges`` — bounded by max basket size, never
+    data-by-data); each round computes per-edge support DIRECTLY as
+    |N(u) ∩ N(v)| over UNDIRECTED adjacency — one symmetrize
+    projection, one groupBy(x) list build, two edge-vs-vertex hash
+    joins, and a row-local intersect SIZE — so no triangle row is
+    ever exploded and no 3-role union aggregate runs (the first cut
+    enumerated triangles per round and cost 27s at sf0.1; this form
+    measures ~3x cheaper with bit-identical output, since every
+    triangle is counted on exactly 3 edges: n_tri = SUM(s) DIV 3,
+    exact). The graph SHRINKS every round, so round 0 dominates the
+    wall. The peel bar (k - 2 = round-0 mean support over supported
+    edges) is a 1-row aggregate, localCheckpointed once and
+    crossJoined into every round's filter as a scalar broadcast —
+    never a driver-side collect, and held fixed so the rounds are
+    comparable. Each round's survivor frame is
+    localCheckpoint-materialized: it feeds the next round's
+    adjacency AND join sides, and without the boundary the lineage
+    re-expands every upstream round per consumer. The trace rows are
+    1-row count aggregates crossJoined (scalar broadcasts), unioned
+    into one {rows}-row frame — one lazy DAG, no driver loop
+    decision. Rounds are FIXED at {rounds} (the registered trace,
+    converging on the fixture at both pytest and driver SFs — final
+    round removes 0, asserted in tests); a true truss DECOMPOSITION
+    needs data-dependent convergence, which at deployment is the
+    bom/graph loop-termination pattern (bounded driver-side count
+    per round) — documented, not silently claimed. At 100 TB the
+    neighbor-list length is bounded by max degree — the skew
+    refinement is the degree-capped adjacency documented on the
+    triangles row (same plan, one extra degree join).
+    """.replace("{rounds}", str(_KT_ROUNDS)).replace(
+        "{rows}", str(_KT_ROUNDS + 1)
+    )
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    cur = _basket_edges(spark, sf_dir, _ck)
+    rows: list[DataFrame] = []
+    prev_cnt: DataFrame | None = None
+    thr: DataFrame | None = None
+    for r in range(_KT_ROUNDS + 1):
+        und = cur.select("u", "v").unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        adj = und.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+        au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+        av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
+        # per-edge support, row-local: |N(u) ∩ N(v)| — every edge
+        # endpoint has >= 1 neighbor, so both joins are inner
+        sup = _ck(
+            cur.join(au, cur["u"] == au["au"])
+            .join(av, cur["v"] == av["av"])
+            .select(
+                "u",
+                "v",
+                F.size(F.array_intersect("nu", "nv")).alias("s"),
+            )
+        )
+        # ONE stats pass per round: edge count and exact triangle
+        # count (each triangle is counted on exactly its 3 edges)
+        # fused into a single 1-row aggregate — separate aggregates
+        # cost a scheduling round trip each, and with 6 rounds x 2
+        # counts that overhead was a visible slice of the wall
+        stats = sup.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.expr(
+                "CAST(COALESCE(SUM(s), 0) DIV 3 AS BIGINT)"
+            ).alias("n_tri"),
+        )
+        removed = (
+            F.lit(0).cast("long")
+            if r == 0
+            else (F.col("prev_edges") - F.col("n_edges")).cast("long")
+        )
+        row = stats
+        if prev_cnt is not None:
+            row = row.crossJoin(
+                prev_cnt.select(F.col("n_edges").alias("prev_edges"))
+            )
+        rows.append(
+            row.select(
+                F.lit(r).cast("long").alias("peel_round"),
+                "n_edges",
+                removed.alias("n_removed"),
+                "n_tri",
+            )
+        )
+        prev_cnt = stats
+        if r < _KT_ROUNDS:
+            if thr is None:
+                # round-0 mean support over SUPPORTED edges (the
+                # oracle's s0 frame excludes zero-support edges, so
+                # the mean divides by COUNT of s > 0); 1-row frame,
+                # checkpointed so 5 consumers don't re-aggregate
+                thr = _ck(
+                    sup.agg(
+                        F.expr(
+                            "CASE WHEN COUNT(CASE WHEN s > 0 THEN 1 "
+                            "END) = 0 THEN 1 "
+                            "ELSE CAST(SUM(s) DIV COUNT(CASE WHEN "
+                            "s > 0 THEN 1 END) AS BIGINT) END"
+                        ).alias("thr")
+                    )
+                )
+            # the survivor frame is a cheap filter over the ALREADY
+            # checkpointed sup — checkpointing it again would write
+            # every survivor row a second time for no lineage gain
+            cur = (
+                sup.crossJoin(F.broadcast(thr))
+                .where(F.col("s") >= F.col("thr"))
+                .select("u", "v")
+            )
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("peel_round")

@@ -165,9 +165,10 @@ def main():
         from autosinapi_spark.plans.staged_r13 import STAGED as _S13
         from autosinapi_spark.plans.staged_r13b import STAGED as _S13B
         from autosinapi_spark.plans.staged_r14 import STAGED as _S14
+        from autosinapi_spark.plans.staged_r15 import STAGED as _S15
 
         staged_all: dict = {}
-        for d in (_S9, _S11, _S12, _S13, _S13B, _S14):
+        for d in (_S9, _S11, _S12, _S13, _S13B, _S14, _S15):
             staged_all.update(d)
         if "--staged" in only:
             only.discard("--staged")

@@ -151,6 +151,9 @@ QUERIES = [
     "layout_skipping_equalcount",  # block-rank file cuts; file-grain stats
     "butterfly_item_bipartite",  # basket-bounded pair counts; top-k head
     "streaming_dedup_replay",  # one keyed window pass; type-grain rollup
+    # round-14 staged-for-r15 additions (plans/staged_r15.py)
+    "kneser_ney_bigram_ppm",  # bigram-type frame + vocab-keyed marginals
+    "ktruss_peel_trace",  # shrinking support rounds; round 0 dominates
 ]
 
 
@@ -305,6 +308,7 @@ def main() -> int:
     from autosinapi_spark.plans.staged_r13 import STAGED as STAGED_R13
     from autosinapi_spark.plans.staged_r13b import STAGED as STAGED_R13B
     from autosinapi_spark.plans.staged_r14 import STAGED as STAGED_R14
+    from autosinapi_spark.plans.staged_r15 import STAGED as STAGED_R15
 
     for staged in (
         STAGED_R9,
@@ -313,6 +317,7 @@ def main() -> int:
         STAGED_R13,
         STAGED_R13B,
         STAGED_R14,
+        STAGED_R15,
     ):
         qs.update({n: spec.fn for n, spec in staged.items() if n not in qs})
     # deregistered contrast rows stay measurable: the flat-IVF O(N^1.5)
