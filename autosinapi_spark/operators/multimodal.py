@@ -293,3 +293,88 @@ def resize_images(
     return df.select(
         "media_id", src_width_col, src_height_col, "payload"
     ).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("b0", T.LongType(), False),
+        T.StructField("b1", T.LongType(), False),
+        T.StructField("b2", T.LongType(), False),
+        T.StructField("b3", T.LongType(), False),
+    ]
+)
+
+_AHASH_BITS = 64  # perceptual-hash width
+_AHASH_STRIDE = 5  # fake-decode strip: stride-5 prefix window
+_AHASH_BANDS = 4  # 4 x 16-bit bands (the Hamming-LSH pigeonhole keys)
+
+
+def ahash_bands(df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) of each payload, emitted as 4 x 16-bit
+    bands — the banded form Hamming-distance LSH joins on.
+
+    The real-media analogue: decode, grayscale, resize to 8x8, and
+    set bit_i = pixel_i > mean(pixels) — THE standard perceptual
+    near-dup hash for images. The codec-free fake decode here takes
+    the 64-sample stride-5 prefix strip of the payload bytes
+    as the 'bitmap' (positions min(stride*i, n-1) — PREFIX-anchored,
+    not length-normalized, because an insertion in a length-normalized
+    sampling shifts every downstream sample and no near-dup pair
+    survives; a real image resize is spatially stable, which the
+    prefix strip emulates for byte streams). Everything downstream of
+    the fake bitmap is the real algorithm: exact integer mean
+    threshold (64 * sample > sum — no float), 16-bit band packing,
+    and the caller's band-keyed candidate join + bit_count verify.
+    Band k takes the INTERLEAVED bit positions {k, k+4, ..., k+60},
+    not a contiguous 16-bit run: strip positions are spatially
+    correlated (for these fixtures, late positions land in common
+    corpus phrases; for real images, any contiguous image region can
+    be flat), and a band made of correlated positions collapses to a
+    few hot bucket values — measured on the sf0.1 fixture: the
+    contiguous bands' squared-bucket-occupancy sums read 23k / 159k /
+    1.4M / 4.3M (the candidate join's cost law) vs 58-77k for all
+    four interleaved bands, a 55x cut of the worst band at identical
+    pigeonhole recall (the 4 bands still partition all 64 bits).
+    Null/empty payloads produce no row (a real decoder would skip
+    undecodable media the same way).
+    """
+
+    def _ahash(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            ids, rows = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                b = np.frombuffer(p, dtype=np.uint8)
+                idx = np.minimum(
+                    _AHASH_STRIDE * np.arange(_AHASH_BITS), len(b) - 1
+                )
+                sm = b[idx].astype(np.int64)
+                tot = int(sm.sum())
+                bits = (_AHASH_BITS * sm > tot).astype(np.int64)
+                ids.append(mid)
+                rows.append(
+                    [
+                        int((bits[k::_AHASH_BANDS] << shifts).sum())
+                        for k in range(_AHASH_BANDS)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "b0": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "b1": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "b2": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "b3": pd.Series([r[3] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        _ahash, schema=AHASH_SCHEMA
+    )

@@ -2,9 +2,9 @@
 NOT registered until the r15 window rewrite).
 
 Registration budget note: the r14 flip took the registry to 204
-(bound 5, capacity 250, ~46 slots of lifetime slack). Staging TWO
-more here keeps the post-flip registry at 206 — far inside the
-bound — while the r15 window still fits its mandatory set (2
+(bound 5, capacity 250, ~46 slots of lifetime slack). Staging THREE
+more here keeps the post-flip registry at 207 — far inside the
+bound — while the r15 window still fits its mandatory set (3
 never-green + changed-code promotions + the 11 r10 leftovers as
 lead fill; docs/R15_PLAN.md).
 
@@ -49,16 +49,33 @@ lead fill; docs/R15_PLAN.md).
   (asserted in tests), and the trace rows make convergence
   observable (final round removes 0).
 
+- ``media_ahash_near_dup`` — perceptual-hash near-duplicate
+  detection over the media catalog: the 64-bit average hash (aHash —
+  resize to 8x8, bit = pixel > mean; the standard image-dedup hash)
+  computed per payload by the Arrow-batched multimodal operator
+  (``operators/multimodal.ahash_bands``; codec-free fake decode =
+  a stride-5 prefix strip of the payload bytes, everything past the
+  fake bitmap real), banded into 4 x 16-bit keys for
+  Hamming-distance LSH: any pair within Hamming 3 of 64 bits MUST
+  share at least one exact band (pigeonhole — 100% recall by
+  construction, asserted against brute force in tests), candidates
+  verified with exact bit_count. Length-normalized sampling was
+  measured first and rejected: a single insertion shifts every
+  downstream sample (min fixture Hamming 5, zero pairs within the
+  bar); the prefix strip emulates the spatial stability a real
+  image resize has (30 pairs at sf0.01, 44 at sf0.001 — measured).
+
 Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
 compare convention every staged cohort uses before its flip) plus
 pure-Python replays (the full KN arithmetic from raw texts; the full
-peel trace from raw lineitem rows and on a planted clique fixture)
-and plan-shape pins.
+peel trace from raw lineitem rows and on a planted clique fixture;
+the full aHash banding + brute-force recall check) and plan-shape
+pins.
 
 Reference parity note: the reference engine (a single-process pandas
-ETL, /root/reference/autosinapi/) has no LM or graph operators —
-both are extensions for the 100 TB curation target.
+ETL, /root/reference/autosinapi/) has no LM, graph, or media
+operators — all three are extensions for the 100 TB curation target.
 """
 
 from __future__ import annotations
@@ -441,3 +458,137 @@ def ktruss_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out.orderBy("peel_round")
+
+
+# --- perceptual-hash (aHash) media near-dup ---------------------------
+
+_PH_MAX_HAM = 3  # verify bar; matches the 4-band pigeonhole guarantee
+
+
+def _ph_sql() -> str:
+    bands = ",\n      ".join(
+        f"CAST(list_sum(list_transform(range(0, 16), j -> "
+        f"CASE WHEN 64 * sm[{k} + 4 * j + 1] > tot "
+        f"THEN (1 << j) ELSE 0 END)) AS BIGINT) AS b{k}"
+        for k in range(4)
+    )
+    cands = "\n      UNION ALL ".join(
+        f"SELECT a.media_id AS ma, c.media_id AS mb FROM bands a "
+        f"JOIN bands c ON a.b{k} = c.b{k} AND a.media_id < c.media_id"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(4))
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    s AS (
+      SELECT media_id, list_transform(range(0, 64),
+        i -> ord(substr(text, 1 + CAST(least(5 * i, n - 1) AS INT), 1)))
+        AS sm
+      FROM m
+    ),
+    h AS (SELECT media_id, sm, list_sum(sm) AS tot FROM s),
+    bands AS (
+      SELECT media_id,
+      {bands}
+      FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT ma, mb FROM (
+      {cands}
+      ) u
+    ),
+    ver AS (
+      SELECT cand.ma, cand.mb, CAST({ham} AS BIGINT) AS hamming
+      FROM cand JOIN bands x ON x.media_id = cand.ma
+                JOIN bands y ON y.media_id = cand.mb
+    )
+    SELECT ma AS media_id_a, mb AS media_id_b, hamming
+    FROM ver WHERE hamming <= {_PH_MAX_HAM}
+    ORDER BY media_id_a, media_id_b
+    """
+
+
+@stage(
+    "media_ahash_near_dup",
+    _ph_sql(),
+    doc="Perceptual-hash near-duplicate detection over the media "
+    "catalog: 64-bit average hash (aHash) per payload via the "
+    "Arrow-batched multimodal operator, banded into 4 x 16-bit keys "
+    "for Hamming-distance LSH (pigeonhole: any pair within Hamming "
+    f"{_PH_MAX_HAM} shares >= 1 exact band), exact bit_count verify "
+    "— the standard image-dedup shape, codec-free fake decode, real "
+    "everything-else (multimodal extension).",
+)
+def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id_a, media_id_b, hamming), every pair within Hamming
+    distance {ham} of each other, ordered.
+
+    Scale shape: the hash is ONE Arrow-batched mapInPandas pass
+    (``operators/multimodal.ahash_bands`` — payload bytes are read
+    and projected away in the same stage, never shuffled; the fake
+    decode is the only faked step, see the operator docstring); the
+    checkpointed 5-column band frame is all that ever joins.
+    Candidates come from 4 band-keyed equi self-joins (the
+    minhash-LSH banding shape: a pair within Hamming {ham} of 64
+    bits MUST agree exactly on >= 1 of the 4 16-bit bands —
+    pigeonhole, so recall is 100% by construction, asserted against
+    brute force in tests) unioned + DISTINCT, then ONE exact verify
+    join computes bit_count(b XOR b) over the 4 bands and filters
+    > {ham}. Nothing is ever all-pairs: cost is sum of squared
+    band-bucket occupancies. Skew/selectivity note: 16-bit bands
+    give 65k buckets — selective for real image hashes; on THIS
+    text-derived fixture the shared document prefixes collide ~18%
+    of all pairs into candidates (measured), which the verify join
+    prunes exactly; at deployment scale the band width is the
+    cost/recall knob exactly as in the MinHash family
+    (``lsh_band_tuning_costs``), widening bands or multi-probing as
+    N grows. All outputs integers.
+    """.replace("{ham}", str(_PH_MAX_HAM))
+    from ..operators.multimodal import (
+        ahash_bands,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(load(spark, sf_dir, "documents"))
+    bands = ahash_bands(media).localCheckpoint(eager=False)
+    a = bands.select(
+        F.col("media_id").alias("ma"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    c = bands.select(
+        F.col("media_id").alias("mb"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    cand = None
+    for k in range(4):
+        pairs_k = a.join(
+            c, (F.col(f"a{k}") == F.col(f"c{k}")) & (F.col("ma") < F.col("mb"))
+        ).select("ma", "mb")
+        cand = pairs_k if cand is None else cand.unionAll(pairs_k)
+    cand = cand.distinct()
+    x = bands.select(
+        F.col("media_id").alias("ma"),
+        *[F.col(f"b{k}").alias(f"x{k}") for k in range(4)],
+    )
+    y = bands.select(
+        F.col("media_id").alias("mb"),
+        *[F.col(f"b{k}").alias(f"y{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(x{k} ^ y{k})") for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(x, "ma")
+        .join(y, "mb")
+        .select(
+            F.col("ma").alias("media_id_a"),
+            F.col("mb").alias("media_id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _PH_MAX_HAM)
+        .orderBy("media_id_a", "media_id_b")
+    )

@@ -291,3 +291,102 @@ def test_ktruss_plan_shape(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# --- media aHash near-dup: replay + brute-force recall ----------------
+
+def _py_ahash_bands(texts: dict[int, str]) -> dict[int, tuple]:
+    """The exact aHash arithmetic from raw texts: stride-5 prefix
+    samples, integer mean threshold, 4 x 16-bit INTERLEAVED band
+    packing (band k = bit positions {k, k+4, ..., k+60})."""
+    out = {}
+    for mid, t in texts.items():
+        b = t.encode("utf-8")
+        if not b:
+            continue
+        sm = [b[min(5 * i, len(b) - 1)] for i in range(64)]
+        tot = sum(sm)
+        bits = [1 if 64 * s > tot else 0 for s in sm]
+        out[mid] = tuple(
+            sum(bits[k + 4 * j] << j for j in range(16))
+            for k in range(4)
+        )
+    return out
+
+
+def test_media_ahash_matches_python_replay_and_recall(spark, duck):
+    """Replay the full pipeline in Python AND check the pigeonhole
+    recall claim: banded candidates must contain EVERY brute-force
+    pair within the Hamming bar (100% recall by construction)."""
+    from autosinapi_spark.plans.staged_r15 import (
+        _PH_MAX_HAM,
+        media_ahash_near_dup,
+    )
+
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    bands = _py_ahash_bands(texts)
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    ids = sorted(bands)
+    brute = sorted(
+        (a, b, ham(bands[a], bands[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(bands[a], bands[b]) <= _PH_MAX_HAM
+    )
+    got = [
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in media_ahash_near_dup(spark, SF_SMOKE).collect()
+    ]
+    assert got == brute
+    assert len(brute) > 0, "fixture produced no near-dup pairs"
+    # every brute pair must share >= 1 exact band (the pigeonhole
+    # fact the candidate join relies on)
+    for a, b, _ in brute:
+        assert any(
+            bands[a][k] == bands[b][k] for k in range(4)
+        ), (a, b)
+
+
+def test_media_ahash_planted_twins(spark, tmp_path):
+    """Two payloads differing in ONE byte inside the sampled strip
+    are Hamming-1 twins; an unrelated payload pairs with neither."""
+    from autosinapi_spark.plans.staged_r15 import media_ahash_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    twin = base[:100] + ("Z" if base[100] != "Z" else "Q") + base[101:]
+    other = "".join(
+        chr(65 + (i * 7) % 26) if i % 3 else " " for i in range(400)
+    )
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, twin, "en", "s", len(twin)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = [
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in media_ahash_near_dup(spark, str(tmp_path)).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+    assert got[0][2] <= 1
+
+
+def test_media_ahash_plan_shape(spark):
+    """No cartesian: every candidate join is a band-keyed equi-join
+    plus the id inequality, and the verify joins are id-keyed."""
+    from autosinapi_spark.plans.staged_r15 import media_ahash_near_dup
+
+    plan = (
+        media_ahash_near_dup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -154,6 +154,7 @@ QUERIES = [
     # round-14 staged-for-r15 additions (plans/staged_r15.py)
     "kneser_ney_bigram_ppm",  # bigram-type frame + vocab-keyed marginals
     "ktruss_peel_trace",  # shrinking support rounds; round 0 dominates
+    "media_ahash_near_dup",  # one Arrow hash pass; band-keyed LSH joins
 ]
 
 
