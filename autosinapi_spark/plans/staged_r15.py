@@ -2,9 +2,9 @@
 NOT registered until the r15 window rewrite).
 
 Registration budget note: the r14 flip took the registry to 204
-(bound 5, capacity 250, ~46 slots of lifetime slack). Staging THREE
-more here keeps the post-flip registry at 207 — far inside the
-bound — while the r15 window still fits its mandatory set (3
+(bound 5, capacity 250, ~46 slots of lifetime slack). Staging FOUR
+more here keeps the post-flip registry at 208 — far inside the
+bound — while the r15 window still fits its mandatory set (4
 never-green + changed-code promotions + the 11 r10 leftovers as
 lead fill; docs/R15_PLAN.md).
 
@@ -64,6 +64,19 @@ lead fill; docs/R15_PLAN.md).
   downstream sample (min fixture Hamming 5, zero pairs within the
   bar); the prefix strip emulates the spatial stability a real
   image resize has (30 pairs at sf0.01, 44 at sf0.001 — measured).
+
+- ``hll_distinct_union`` — HyperLogLog distinct-count sketch (m=64
+  registers, Flajolet et al. 2007) per order status PLUS the
+  register-wise-max merged union sketch — the mergeability that
+  makes HLL the deployment cardinality sketch (per-partition
+  64-byte states combine without rescan; the statuses' customer
+  sets overlap, so union != sum, which the merged registers handle
+  for free). Rank = trailing-zeros + 1 of the seeded-md5 hash (the
+  Flajolet-Martin rank, identical geometric law, exact cross-engine
+  because log2(w & -w) is a power of two); the estimate is ONE
+  integer DECIMAL division with the alpha constant as a ppm
+  rational. Completes the sketch family: KMV/theta (set algebra),
+  CMS (frequency), Bloom (membership), HLL (cardinality merge).
 
 Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
@@ -591,4 +604,192 @@ def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= _PH_MAX_HAM)
         .orderBy("media_id_a", "media_id_b")
+    )
+
+
+# --- HyperLogLog distinct sketch with register-merge union ------------
+
+_HLL_M = 64  # registers (p = 6); sigma = 1.04/sqrt(64) = 13%
+_HLL_CAP = 55  # rho for w = 0 (w has 54 payload bits, so rho <= 54 else)
+# alpha_64 = 0.7213/(1 + 1.079/64) = 0.709379..., carried as the ppm
+# rational 709379/1e6 so the estimate is one exact integer division:
+#   E = alpha * m^2 / sum_j 2^-M_j
+#     = (709379 * m^2 * 2^CAP) // (1e6 * sum_j 2^(CAP - M_j))
+_HLL_ALPHA_NUM = 709379 * _HLL_M * _HLL_M * (1 << _HLL_CAP)
+_HLL_BOUND_PPM = 390_000  # 3 sigma for m = 64
+
+
+def _hll_sql() -> str:
+    m, cap = _HLL_M, _HLL_CAP
+    return f"""
+    WITH b AS (
+      SELECT o_orderstatus AS set_key, o_custkey,
+             CAST('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT set_key, h % {m} AS reg,
+             CASE WHEN (h // {m}) = 0 THEN {cap}
+                  ELSE CAST(log2((h // {m}) & -(h // {m})) AS INT) + 1
+             END AS rho
+      FROM b
+    ),
+    regs AS (SELECT set_key, reg, MAX(rho) AS m_j FROM r GROUP BY 1, 2),
+    au AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT 'ALL' AS set_key, reg, MAX(m_j) AS m_j FROM regs GROUP BY 2
+    ),
+    sk AS (
+      SELECT set_key,
+             CAST({m} - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << ({cap} - m_j))
+                  + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {cap})
+                  AS BIGINT) AS s
+      FROM au GROUP BY 1
+    ),
+    ex AS (
+      SELECT set_key, COUNT(DISTINCT o_custkey) AS n_exact FROM b GROUP BY 1
+      UNION ALL SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM b
+    ),
+    est AS (
+      SELECT sk.set_key, v_zero, CAST(ex.n_exact AS BIGINT) AS n_exact,
+             CAST({_HLL_ALPHA_NUM}::HUGEINT
+                  // (s::HUGEINT * 1000000) AS BIGINT) AS n_est
+      FROM sk JOIN ex USING (set_key)
+    )
+    SELECT set_key, v_zero, n_exact, n_est,
+           CAST(abs(n_est - n_exact)::HUGEINT * 1000000 // n_exact
+                AS BIGINT) AS err_ppm,
+           CAST(abs(n_est - n_exact)::HUGEINT * 1000000 // n_exact
+                <= {_HLL_BOUND_PPM} AS BOOLEAN) AS within_bound
+    FROM est ORDER BY set_key
+    """
+
+
+@stage(
+    "hll_distinct_union",
+    _hll_sql(),
+    doc=f"HyperLogLog distinct-count sketch (m = {_HLL_M} registers) "
+    "per order status PLUS the register-wise-max merged union sketch "
+    "— the mergeability that makes HLL the 100 TB cardinality tool "
+    "(partition sketches combine without rescan; Flajolet et al. "
+    "2007). Exact integer estimate via the ppm-rational alpha, "
+    "exact companion + error check (extension).",
+)
+def hll_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(set_key, v_zero, n_exact, n_est, err_ppm, within_bound) per
+    order status plus the 'ALL' union row.
+
+    The sketch: h = 60 uniform bits from the seeded-md5 convention
+    (the KMV family's engine-replayable hash), register = h mod m,
+    rank rho = trailing-zero count of the remaining 54 bits + 1 (the
+    Flajolet-Martin rank; identical geometric law P(rho >= k) =
+    2^(1-k) as HLL's leading-zero form, and exact cross-engine:
+    log2(w & -w) is a power of two, so the double is the integer).
+    Register state M_j = max(rho). The UNION row is register-wise
+    MAX over the per-status sketches — mergeability is the point:
+    at 100 TB, per-partition 64-byte sketches combine without
+    re-scanning (and the statuses' customer sets overlap, so the
+    union estimate is NOT the sum — the merged registers handle
+    that for free). The estimate is exact integer arithmetic on
+    both engines: S = sum 2^(CAP - M_j) (<= m * 2^CAP < 2^63, no
+    overflow), E = alpha_num DIV (1e6 * S) as one DECIMAL(38,0)
+    division whose quotient is BIGINT-bounded by construction.
+    Small-range note: the linear-counting arm (Flajolet's V > 0
+    correction) is deliberately omitted — v_zero is emitted so the
+    regime is observable, and the raw estimator is the
+    cross-engine-exact contract being tested (at sf0.001, v_zero =
+    8-9 and the raw estimate still lands within 3.5%; at sf0.01+
+    every register is hit).
+
+    Scale shape: one scan -> map-side-combinable MAX into m rows
+    per set (the whole shuffle is <= 4 * 64 rows); the exact
+    companion is a separate distinct pass that disappears at
+    deployment (eval-only). No window, no join bigger than 4 rows.
+    """
+    m, cap = _HLL_M, _HLL_CAP
+    orders = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = orders.select(
+        F.col("o_orderstatus").alias("set_key"), "o_custkey", h.alias("h")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(cap)).otherwise(
+        F.log2(F.expr("w & -w")).cast("int") + 1
+    )
+    regs = (
+        base.select(
+            "set_key",
+            F.pmod("h", F.lit(m)).alias("reg"),
+            F.shiftright("h", 6).alias("w"),
+        )
+        .select("set_key", "reg", rho.alias("rho"))
+        .groupBy("set_key", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("ALL").alias("set_key"), "reg", "m_j")
+    )
+    sk = (
+        regs.unionByName(merged)
+        .groupBy("set_key")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {cap} - m_j)")
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("nreg"),
+        )
+        .select(
+            "set_key",
+            (F.lit(m) - F.col("nreg")).cast("long").alias("v_zero"),
+            (
+                F.col("s_present")
+                + (F.lit(m) - F.col("nreg")) * F.lit(1 << cap)
+            ).alias("s"),
+        )
+    )
+    est = sk.withColumn(
+        "n_est",
+        F.expr(
+            f"CAST(CAST({_HLL_ALPHA_NUM} AS DECIMAL(38,0)) "
+            f"DIV (CAST(s AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ),
+    )
+    exact = (
+        base.select("set_key", "o_custkey")
+        .distinct()
+        .groupBy("set_key")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .unionByName(
+            base.select("o_custkey")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .select(F.lit("ALL").alias("set_key"), "n_exact")
+        )
+    )
+    return (
+        est.join(exact, "set_key")
+        .select(
+            "set_key",
+            "v_zero",
+            "n_exact",
+            "n_est",
+            F.expr(
+                "CAST(CAST(abs(n_est - n_exact) AS DECIMAL(38,0)) "
+                "* 1000000 DIV n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .withColumn("within_bound", F.col("err_ppm") <= _HLL_BOUND_PPM)
+        .orderBy("set_key")
     )

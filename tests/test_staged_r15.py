@@ -4,7 +4,9 @@ every staged cohort uses before its registration flip — once these
 register at r15, tests/test_correctness.py takes this over) plus
 independent pure-Python replays (the complete Kneser-Ney arithmetic
 from raw texts; the complete k-truss peel trace from raw lineitem
-rows and on a planted clique fixture) and plan-shape pins."""
+rows and on a planted clique fixture; the full aHash banding with a
+brute-force recall check; the complete HLL register/estimate
+arithmetic including the merged-union row) and plan-shape pins."""
 
 from __future__ import annotations
 
@@ -385,6 +387,93 @@ def test_media_ahash_plan_shape(spark):
 
     plan = (
         media_ahash_near_dup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+# --- HLL distinct union: replay + merge property ----------------------
+
+def _py_hll_rows(pairs: list[tuple[str, int]]) -> list[tuple]:
+    """The exact HLL arithmetic from raw (status, custkey) pairs:
+    seeded-md5 60-bit hash, reg = h mod 64, rho = tz + 1 of the
+    54-bit payload, register max, the ALL row as register-wise max,
+    and the one-integer-division estimate."""
+    import hashlib
+
+    from autosinapi_spark.plans.staged_r15 import (
+        _HLL_ALPHA_NUM,
+        _HLL_BOUND_PPM,
+        _HLL_CAP,
+        _HLL_M,
+    )
+
+    regs: dict[str, dict[int, int]] = defaultdict(dict)
+    exact: dict[str, set] = defaultdict(set)
+    for flag, ck in pairs:
+        h = int(
+            hashlib.md5(f"hll:{ck}".encode()).hexdigest()[:15], 16
+        )
+        reg, w = h % _HLL_M, h >> 6
+        rho = _HLL_CAP if w == 0 else (w & -w).bit_length()
+        regs[flag][reg] = max(regs[flag].get(reg, 0), rho)
+        exact[flag].add(ck)
+        exact["ALL"].add(ck)
+    merged: dict[int, int] = {}
+    for flag in list(regs):
+        for reg, m_j in regs[flag].items():
+            merged[reg] = max(merged.get(reg, 0), m_j)
+    regs["ALL"] = merged
+    rows = []
+    for flag in sorted(regs):
+        rs = regs[flag]
+        s = sum(1 << (_HLL_CAP - m_j) for m_j in rs.values()) + (
+            _HLL_M - len(rs)
+        ) * (1 << _HLL_CAP)
+        n_est = _HLL_ALPHA_NUM // (s * 1_000_000)
+        n_ex = len(exact[flag])
+        err = abs(n_est - n_ex) * 1_000_000 // n_ex
+        rows.append(
+            (flag, _HLL_M - len(rs), n_ex, n_est, err,
+             err <= _HLL_BOUND_PPM)
+        )
+    return rows
+
+
+def test_hll_matches_python_replay(spark, duck):
+    """Replay the complete sketch in Python (hashlib md5, pure-int
+    register/estimate arithmetic) and require bit-identical rows —
+    including the merged ALL row, whose registers must equal the
+    element-wise max of the per-status registers (mergeability)."""
+    from autosinapi_spark.plans.staged_r15 import hll_distinct_union
+
+    pairs = duck.execute(
+        "SELECT o_orderstatus, o_custkey FROM orders"
+    ).fetchall()
+    expect = _py_hll_rows(pairs)
+    got = [
+        tuple(r) for r in hll_distinct_union(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # the union is a real union, not a sum: overlapping customer
+    # sets make sum(per-status exact) strictly exceed the ALL exact
+    per_status = {r[0]: r[2] for r in expect}
+    assert sum(v for k, v in per_status.items() if k != "ALL") > (
+        per_status["ALL"]
+    )
+    assert all(r[5] for r in expect), "estimate outside 3-sigma"
+
+
+def test_hll_plan_shape(spark):
+    """The sketch shuffle is bounded: MAX per (set, reg) is
+    map-side combinable and no join side exceeds the 4-row
+    estimate/exact frames — no cartesian anywhere."""
+    from autosinapi_spark.plans.staged_r15 import hll_distinct_union
+
+    plan = (
+        hll_distinct_union(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

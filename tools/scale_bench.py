@@ -155,6 +155,7 @@ QUERIES = [
     "kneser_ney_bigram_ppm",  # bigram-type frame + vocab-keyed marginals
     "ktruss_peel_trace",  # shrinking support rounds; round 0 dominates
     "media_ahash_near_dup",  # one Arrow hash pass; band-keyed LSH joins
+    "hll_distinct_union",  # map-side-combinable register max; 4x64-row shuffle
 ]
 
 
