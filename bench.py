@@ -125,6 +125,12 @@ def main() -> int:
         # unpersisting ALL leftover persistent RDDs here is safe
         # (each run builds fresh checkpoints) and immediate.
         gc.collect()
+        # NOTE: the async release can race a straggler task completion
+        # from the just-finished query (DAGScheduler logs a benign
+        # accessNonExistentAccumulator ERROR stack to stderr when the task
+        # reports into an already-unregistered accumulator). Cosmetic only:
+        # results, timings, and exit codes are unaffected -- the task already
+        # delivered its data; only its metric update has nowhere to land.
         try:
             jm = spark.sparkContext._jsc.getPersistentRDDs()
             for rdd in list(jm.values()):

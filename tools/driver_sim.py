@@ -188,6 +188,12 @@ def main():
         # 204-query session otherwise accumulates GBs of leaked
         # persistent RDDs (the bench.py r14 lesson: gc alone is not
         # enough, the JVM-side release waits on a JVM GC)
+        # NOTE: the async release can race a straggler task completion
+        # from the just-finished query (DAGScheduler logs a benign
+        # accessNonExistentAccumulator ERROR stack to stderr when the task
+        # reports into an already-unregistered accumulator). Cosmetic only:
+        # results, timings, and exit codes are unaffected -- the task already
+        # delivered its data; only its metric update has nowhere to land.
         try:
             jm = spark.sparkContext._jsc.getPersistentRDDs()
             for rdd in list(jm.values()):

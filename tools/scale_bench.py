@@ -379,6 +379,12 @@ def main() -> int:
             # release waits on a JVM GC — so unpersist leftovers
             # explicitly; every query is finished once materialized.
             gc.collect()
+            # NOTE: the async release can race a straggler task completion
+            # from the just-finished query (DAGScheduler logs a benign
+            # accessNonExistentAccumulator ERROR stack to stderr when the task
+            # reports into an already-unregistered accumulator). Cosmetic only:
+            # results, timings, and exit codes are unaffected -- the task already
+            # delivered its data; only its metric update has nowhere to land.
             try:
                 jm = spark.sparkContext._jsc.getPersistentRDDs()
                 for rdd in list(jm.values()):
