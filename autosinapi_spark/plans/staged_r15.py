@@ -65,18 +65,19 @@ lead fill; docs/R15_PLAN.md).
   bar); the prefix strip emulates the spatial stability a real
   image resize has (30 pairs at sf0.01, 44 at sf0.001 — measured).
 
-- ``hll_distinct_union`` — HyperLogLog distinct-count sketch (m=64
-  registers, Flajolet et al. 2007) per order status PLUS the
-  register-wise-max merged union sketch — the mergeability that
-  makes HLL the deployment cardinality sketch (per-partition
-  64-byte states combine without rescan; the statuses' customer
-  sets overlap, so union != sum, which the merged registers handle
-  for free). Rank = trailing-zeros + 1 of the seeded-md5 hash (the
-  Flajolet-Martin rank, identical geometric law, exact cross-engine
-  because log2(w & -w) is a power of two); the estimate is ONE
-  integer DECIMAL division with the alpha constant as a ppm
-  rational. Completes the sketch family: KMV/theta (set algebra),
-  CMS (frequency), Bloom (membership), HLL (cardinality merge).
+- ``hll_distinct_union`` — the register-MERGE (union) companion to
+  the registered single-set ``hll_distinct_flags`` (r9), exactly as
+  ``kmv_set_overlap`` is the set-algebra companion to
+  ``distinct_kmv_orders``: per-status sketches over OVERLAPPING
+  customer sets plus the register-wise-max merged union row — the
+  operation the r9 row's docstring only asserts (per-partition
+  states combine by elementwise MAX without rescan) demonstrated
+  and oracle-checked across sets, with union != sum because the
+  sets overlap. Distinct machinery too: trailing-zeros rank (the
+  Flajolet-Martin form; exact cross-engine because log2(w & -w) is
+  a power of two — vs r9's bitlen-string leading-zero form) and a
+  PURE-INTEGER estimate (one DECIMAL(38,0) division with alpha as
+  a ppm rational — vs r9's IEEE division of identical integers).
 
 Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
@@ -671,16 +672,26 @@ def _hll_sql() -> str:
 @stage(
     "hll_distinct_union",
     _hll_sql(),
-    doc=f"HyperLogLog distinct-count sketch (m = {_HLL_M} registers) "
-    "per order status PLUS the register-wise-max merged union sketch "
-    "— the mergeability that makes HLL the 100 TB cardinality tool "
-    "(partition sketches combine without rescan; Flajolet et al. "
-    "2007). Exact integer estimate via the ppm-rational alpha, "
-    "exact companion + error check (extension).",
+    doc=f"HyperLogLog register-MERGE union (m = {_HLL_M}): per-status "
+    "sketches over overlapping customer sets plus the register-wise-"
+    "max merged row — the union companion to the single-set "
+    "hll_distinct_flags (r9), as kmv_set_overlap is to "
+    "distinct_kmv_orders; union != sum because the sets overlap. "
+    "Pure-integer estimate via the ppm-rational alpha (Flajolet et "
+    "al. 2007; extension).",
 )
 def hll_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(set_key, v_zero, n_exact, n_est, err_ppm, within_bound) per
     order status plus the 'ALL' union row.
+
+    Family note: this is the register-MERGE (union) companion to the
+    registered single-set ``hll_distinct_flags`` (plans/staged_r9.py,
+    r9) — the same split the KMV family makes between
+    ``distinct_kmv_orders`` (one set) and ``kmv_set_overlap`` (set
+    algebra from sketches). What is new here: the union row computed
+    from per-set registers (the r9 row asserts mergeability in prose;
+    this row exercises and oracle-checks it across overlapping sets),
+    the trailing-zeros rank, and the all-integer estimate below.
 
     The sketch: h = 60 uniform bits from the seeded-md5 convention
     (the KMV family's engine-replayable hash), register = h mod m,
