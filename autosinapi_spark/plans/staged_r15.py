@@ -2,9 +2,9 @@
 NOT registered until the r15 window rewrite).
 
 Registration budget note: the r14 flip took the registry to 204
-(bound 5, capacity 250, ~46 slots of lifetime slack). Staging FOUR
-more here keeps the post-flip registry at 208 — far inside the
-bound — while the r15 window still fits its mandatory set (4
+(bound 5, capacity 250, ~46 slots of lifetime slack). Staging FIVE
+more here keeps the post-flip registry at 209 — far inside the
+bound — while the r15 window still fits its mandatory set (5
 never-green + changed-code promotions + the 11 r10 leftovers as
 lead fill; docs/R15_PLAN.md).
 
@@ -78,6 +78,14 @@ lead fill; docs/R15_PLAN.md).
   a power of two — vs r9's bitlen-string leading-zero form) and a
   PURE-INTEGER estimate (one DECIMAL(38,0) division with alpha as
   a ppm rational — vs r9's IEEE division of identical integers).
+
+- ``hyperball_neighborhood`` — HyperBall / ANF (Palmer et al. 2002;
+  Boldi & Vigna 2013): the neighborhood function N(r) of the item
+  graph from per-VERTEX HLL sketches merged register-wise-MAX along
+  edges — the sketch x graph composition (the centrality/diameter
+  primitive exact BFS cannot afford at scale). Registers ride as m
+  INT columns, so each round is one equi-join + one map-side-
+  combinable grouped MAX — never an E x m explosion.
 
 Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
@@ -804,3 +812,204 @@ def hll_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("within_bound", F.col("err_ppm") <= _HLL_BOUND_PPM)
         .orderBy("set_key")
     )
+
+
+# --- HyperBall / ANF: neighborhood function via per-vertex HLL --------
+
+_HB_M = 16  # registers per vertex (p = 4); per-vertex sigma = 26%
+_HB_CAP = 57  # rho for w = 0 (w has 56 payload bits, rho <= 57 else)
+_HB_ROUNDS = 3  # fixed merge rounds -> N(0..3)
+# alpha_16 = 0.673 (Flajolet et al. 2007, m = 16), as the ppm
+# rational 673000/1e6 -> one exact integer division per vertex:
+#   E_v = (673000 * m^2 * 2^CAP) // (1e6 * sum_j 2^(CAP - M_j))
+_HB_ALPHA_NUM = 673000 * _HB_M * _HB_M * (1 << _HB_CAP)
+_HB_COLS = [f"m{i}" for i in range(_HB_M)]
+
+
+def _hb_sql() -> str:
+    m, cap = _HB_M, _HB_CAP
+    mcase = ",\n             ".join(
+        f"CAST(CASE WHEN h % {m} = {i} THEN "
+        f"CASE WHEN (h // {m}) = 0 THEN {cap} "
+        f"ELSE CAST(log2((h // {m}) & -(h // {m})) AS INT) + 1 END "
+        f"ELSE 0 END AS INT) AS m{i}"
+        for i in range(m)
+    )
+    maxes = ", ".join(f"MAX(m{i}) AS m{i}" for i in range(m))
+    cols = ", ".join(_HB_COLS)
+    ssum = " + ".join(
+        f"(CAST(1 AS BIGINT) << ({cap} - m{i}))" for i in range(m)
+    )
+    esel = (
+        f"CAST({_HB_ALPHA_NUM}::HUGEINT "
+        f"// (({ssum})::HUGEINT * 1000000) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON b.o = a.o AND b.p > a.p
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT u AS vertex FROM und),
+    s0 AS MATERIALIZED (
+      SELECT vertex,
+             {mcase}
+      FROM (
+        SELECT vertex,
+               CAST('0x' || substr(md5('hb:' || CAST(vertex AS VARCHAR)),
+                    1, 15) AS BIGINT) AS h
+        FROM verts) hv
+    ),"""
+    ]
+    for r in range(1, _HB_ROUNDS + 1):
+        parts.append(
+            f"""
+    s{r} AS MATERIALIZED (
+      SELECT vertex, {maxes} FROM (
+        SELECT und.u AS vertex, {cols}
+        FROM und JOIN s{r - 1} ON s{r - 1}.vertex = und.v
+        UNION ALL SELECT vertex, {cols} FROM s{r - 1}
+      ) z GROUP BY vertex
+    ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS radius, "
+        f"CAST(SUM(ev) AS BIGINT) AS sum_reach_est "
+        f"FROM (SELECT {esel} AS ev FROM s{r}) q{r}"
+        for r in range(_HB_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + sel + "\n    ORDER BY radius"
+
+
+@stage(
+    "hyperball_neighborhood",
+    _hb_sql(),
+    doc=f"HyperBall / ANF neighborhood function over the item "
+    f"co-occurrence graph (Palmer et al. 2002; Boldi & Vigna 2013): "
+    f"each vertex carries an HLL sketch (m = {_HB_M}) of its ball, "
+    f"merged register-wise-MAX along edges for {_HB_ROUNDS} rounds — "
+    f"N(r) = sum of per-vertex ball-size estimates, the "
+    f"centrality/diameter primitive exact BFS cannot afford at scale "
+    f"(extension).",
+)
+def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(radius, sum_reach_est), one row per radius 0..{rounds}: the
+    ANF/HyperBall neighborhood function N(r) = sum over vertices of
+    the estimated |ball(v, r)|.
+
+    The composition this row exists to demonstrate: per-VERTEX HLL
+    register state (the ``hll_distinct_union`` machinery) merged
+    along EDGES (the graph family's bounded-round iteration). Exact
+    BFS needs O(n * reachable-pairs) work; HyperBall keeps {m}
+    registers per vertex and each round is ONE edge-vs-state hash
+    join plus ONE map-side-combinable groupBy(vertex) with {m} MAX
+    aggregates — register state never explodes per edge (the {m}
+    registers travel as {m} INT columns, so a round shuffles at most
+    n * {m} combined cells, not E * {m} rows). Round frames
+    localCheckpoint (each feeds the next round's join AND the trace
+    row — the bom/graph lineage convention); trace rows are 1-row
+    aggregates unioned into one {rows}-row frame, one lazy DAG.
+
+    Exactness contract: every statistic is integer arithmetic shared
+    bit-for-bit with the oracle — the seeded-md5 hash, trailing-zeros
+    rank (log2 of a power of two is exact in doubles), register MAX
+    merge, and the per-vertex estimate as one DECIMAL(38,0) division
+    (quotient <= ~1.6e18, BIGINT-safe; N(r) <= n * max-ball ~ n^2,
+    BIGINT-safe through ~3e9 vertices). Accuracy (asserted in tests
+    vs exact Python BFS at the pytest SF): r >= 1 lands within the
+    summed-sketch error envelope (~5% measured — per-vertex sigma =
+    26% but the n per-vertex errors partially cancel in the sum);
+    the r = 0 row is the raw estimator's documented small-range
+    regime (singleton sets, V = {m} - 1 of {m} registers empty:
+    ~11x high, deterministically — the linear-counting correction is
+    deliberately omitted for cross-engine exactness, same decision
+    as ``hll_distinct_union``), so radius 0 is the calibration row,
+    not an estimate. Rounds are FIXED at {rounds} (the fixture
+    saturates: N(3) = N(2) at the pytest SF, observable in the
+    trace); a diameter sweep runs more rounds with the bom/graph
+    loop-termination pattern at deployment.
+    """.replace("{rounds}", str(_HB_ROUNDS)).replace(
+        "{m}", str(_HB_M)
+    ).replace("{rows}", str(_HB_ROUNDS + 1))
+    m, cap = _HB_M, _HB_CAP
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    edges = _basket_edges(spark, sf_dir, _ck)
+    und = _ck(
+        edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    verts = und.select(F.col("u").alias("vertex")).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hb:"), F.col("vertex").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rho = F.when(F.col("w") == 0, F.lit(cap)).otherwise(
+        F.log2(F.expr("w & -w")).cast("int") + 1
+    )
+    st = _ck(
+        verts.select("vertex", h.alias("h"))
+        .select(
+            "vertex",
+            F.pmod("h", F.lit(m)).alias("reg"),
+            F.shiftright("h", 4).alias("w"),
+        )
+        .select("vertex", "reg", rho.alias("rho"))
+        .select(
+            "vertex",
+            *[
+                F.when(F.col("reg") == i, F.col("rho"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias(f"m{i}")
+                for i in range(m)
+            ],
+        )
+    )
+
+    def est_sum(stdf: DataFrame, r: int) -> DataFrame:
+        s = " + ".join(
+            f"shiftleft(CAST(1 AS BIGINT), {cap} - m{i})" for i in range(m)
+        )
+        e = (
+            f"CAST(CAST({_HB_ALPHA_NUM} AS DECIMAL(38,0)) DIV "
+            f"(CAST(({s}) AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        )
+        return (
+            stdf.select(F.expr(e).alias("ev"))
+            .agg(F.sum("ev").cast("long").alias("sum_reach_est"))
+            .select(
+                F.lit(r).cast("long").alias("radius"), "sum_reach_est"
+            )
+        )
+
+    rows = [est_sum(st, 0)]
+    for r in range(1, _HB_ROUNDS + 1):
+        nb = und.join(st, und["v"] == st["vertex"]).select(
+            und["u"].alias("vertex"), *_HB_COLS
+        )
+        st = _ck(
+            nb.unionByName(st.select("vertex", *_HB_COLS))
+            .groupBy("vertex")
+            .agg(*[F.max(c).alias(c) for c in _HB_COLS])
+        )
+        rows.append(est_sum(st, r))
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("radius")

@@ -6,7 +6,9 @@ independent pure-Python replays (the complete Kneser-Ney arithmetic
 from raw texts; the complete k-truss peel trace from raw lineitem
 rows and on a planted clique fixture; the full aHash banding with a
 brute-force recall check; the complete HLL register/estimate
-arithmetic including the merged-union row) and plan-shape pins."""
+arithmetic including the merged-union row; the complete HyperBall
+register-merge rounds with an exact-BFS accuracy envelope) and
+plan-shape pins."""
 
 from __future__ import annotations
 
@@ -479,3 +481,117 @@ def test_hll_plan_shape(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# --- HyperBall: replay + exact-BFS accuracy ---------------------------
+
+def _py_hyperball_rows(
+    lineitem_pairs: list[tuple[int, int]]
+) -> tuple[list[tuple], list[int]]:
+    """The exact HyperBall arithmetic from raw (orderkey, partkey)
+    rows: basket edges, per-vertex seeded-md5 HLL registers,
+    register-wise-MAX merge rounds, per-vertex integer estimate —
+    plus the exact BFS neighborhood function for the accuracy check."""
+    import hashlib
+
+    from autosinapi_spark.plans.staged_r15 import (
+        _HB_ALPHA_NUM,
+        _HB_CAP,
+        _HB_M,
+        _HB_ROUNDS,
+    )
+
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for o, p in lineitem_pairs:
+        baskets[o].add(p)
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for ps in baskets.values():
+        for a, b in combinations(sorted(ps), 2):
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+
+    def regs_of(v: int) -> list[int]:
+        h = int(
+            hashlib.md5(f"hb:{v}".encode()).hexdigest()[:15], 16
+        )
+        reg, w = h % _HB_M, h >> 4
+        rho = _HB_CAP if w == 0 else (w & -w).bit_length()
+        return [rho if i == reg else 0 for i in range(_HB_M)]
+
+    st = {v: regs_of(v) for v in nbrs}
+
+    def n_of(state: dict[int, list[int]]) -> int:
+        tot = 0
+        for ms in state.values():
+            s = sum(1 << (_HB_CAP - mj) for mj in ms)
+            tot += _HB_ALPHA_NUM // (s * 1_000_000)
+        return tot
+
+    rows = [(0, n_of(st))]
+    for r in range(1, _HB_ROUNDS + 1):
+        st = {
+            v: [
+                max(st[v][i], *(st[u][i] for u in nbrs[v]))
+                for i in range(_HB_M)
+            ]
+            for v in nbrs
+        }
+        rows.append((r, n_of(st)))
+
+    exact = []
+    for r in range(_HB_ROUNDS + 1):
+        tot = 0
+        for v in nbrs:
+            ball = {v}
+            for _ in range(r):
+                ball = ball | {x for y in ball for x in nbrs[y]}
+            tot += len(ball)
+        exact.append(tot)
+    return rows, exact
+
+
+def test_hyperball_matches_python_replay_and_accuracy(spark, duck):
+    """Replay the complete pipeline in Python (hashlib md5, pure-int
+    register merge) and require bit-identical rows; then check the
+    r >= 1 estimates land within the summed-sketch error envelope of
+    the exact BFS neighborhood function (the r = 0 row is the
+    documented raw-estimator small-range regime, excluded)."""
+    from autosinapi_spark.plans.staged_r15 import (
+        _HB_ROUNDS,
+        hyperball_neighborhood,
+    )
+
+    pairs = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    expect, exact = _py_hyperball_rows(pairs)
+    got = [
+        tuple(r)
+        for r in hyperball_neighborhood(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # monotone: balls only grow
+    assert all(
+        got[i][1] <= got[i + 1][1] for i in range(_HB_ROUNDS)
+    )
+    for r in range(1, _HB_ROUNDS + 1):
+        rel = abs(got[r][1] - exact[r]) / exact[r]
+        assert rel < 0.30, (r, got[r][1], exact[r], rel)
+
+
+def test_hyperball_plan_shape(spark):
+    """Each round is one edge-vs-state equi-join plus one grouped
+    MAX — no cartesian, and register state never explodes per edge
+    (the m registers ride as m INT columns)."""
+    from autosinapi_spark.plans.staged_r15 import (
+        hyperball_neighborhood,
+    )
+
+    plan = (
+        hyperball_neighborhood(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" not in plan

@@ -156,6 +156,7 @@ QUERIES = [
     "ktruss_peel_trace",  # shrinking support rounds; round 0 dominates
     "media_ahash_near_dup",  # one Arrow hash pass; band-keyed LSH joins
     "hll_distinct_union",  # map-side-combinable register max; 4x64-row shuffle
+    "hyperball_neighborhood",  # per-vertex HLL merge rounds; n x m cells/round
 ]
 
 
