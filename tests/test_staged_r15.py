@@ -595,3 +595,79 @@ def test_hyperball_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Generate explode" not in plan
+
+
+# --- hypothesis properties (pure Python, no Spark) --------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        c=st.integers(1, 10**9),
+        cl_extra=st.integers(0, 10**9),
+        n1r=st.integers(1, 10**6),
+        n1l=st.integers(1, 10**6),
+        t_extra=st.integers(0, 10**9),
+    )
+    def test_kn_closed_form_equals_textbook_rational(
+        c, cl_extra, n1r, n1l, t_extra
+    ):
+        """The single-division KN closed form the query emits,
+        ((4c - 3)T + 3*n1r*n1l) * 1e6 // (4*cl*T), must equal the
+        floor of the textbook two-term formula
+        (c - D)/cl + D*(n1r/cl)*(n1l/T) at D = 3/4 evaluated in
+        EXACT rational arithmetic — for any consistent counts
+        (cl >= c since the context's total includes this bigram;
+        T >= 1)."""
+        from fractions import Fraction
+
+        cl = c + cl_extra
+        t = max(n1l, 1) + t_extra  # T >= n1l by construction
+        d = Fraction(3, 4)
+        textbook = (Fraction(c) - d) / cl + d * Fraction(
+            n1r, cl
+        ) * Fraction(n1l, t)
+        closed = ((4 * c - 3) * t + 3 * n1r * n1l) * 1_000_000 // (
+            4 * cl * t
+        )
+        assert closed == (textbook * 1_000_000).__floor__()
+        # and the probability is positive and bounded
+        assert 0 < textbook
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        regs=st.lists(
+            st.integers(0, 55), min_size=64, max_size=64
+        )
+    )
+    def test_hll_integer_estimate_equals_rational_formula(regs):
+        """The one-division integer HLL estimate,
+        alpha_num // (1e6 * S) with S = sum 2^(CAP - M_j), must
+        equal the floor of the textbook alpha_m * m^2 / sum 2^-M_j
+        in exact rational arithmetic, for ANY register state —
+        and S must stay inside BIGINT (the no-overflow budget the
+        docstring claims)."""
+        from fractions import Fraction
+
+        from autosinapi_spark.plans.staged_r15 import (
+            _HLL_ALPHA_NUM,
+            _HLL_CAP,
+            _HLL_M,
+        )
+
+        s = sum(1 << (_HLL_CAP - m_j) for m_j in regs)
+        assert s < 2**63
+        est = _HLL_ALPHA_NUM // (s * 1_000_000)
+        alpha = Fraction(709379, 1_000_000)
+        textbook = (
+            alpha
+            * _HLL_M
+            * _HLL_M
+            / sum(Fraction(1, 1 << m_j) for m_j in regs)
+        )
+        assert est == textbook.__floor__()
+
+except ImportError:  # pragma: no cover - hypothesis ships in the image
+    pass
