@@ -2,9 +2,9 @@
 NOT registered until the r15 window rewrite).
 
 Registration budget note: the r14 flip took the registry to 204
-(bound 5, capacity 250, ~46 slots of lifetime slack). Staging FIVE
-more here keeps the post-flip registry at 209 — far inside the
-bound — while the r15 window still fits its mandatory set (5
+(bound 5, capacity 250, ~46 slots of lifetime slack). Staging SIX
+more here keeps the post-flip registry at 210 — far inside the
+bound — while the r15 window still fits its mandatory set (6
 never-green + changed-code promotions + the 11 r10 leftovers as
 lead fill; docs/R15_PLAN.md).
 
@@ -86,6 +86,17 @@ lead fill; docs/R15_PLAN.md).
   primitive exact BFS cannot afford at scale). Registers ride as m
   INT columns, so each round is one equi-join + one map-side-
   combinable grouped MAX — never an E x m explosion.
+
+- ``local_clustering_coeff`` — local clustering coefficients
+  (Watts & Strogatz 1998): per-vertex triangle density
+  2*tri / (deg*(deg-1)) as exact integer ppm — the canonical
+  cohesion metric completing the graph family (triangles count,
+  k-core / k-truss decompose; the coefficient NORMALIZES). Reuses
+  the ktruss round-0 support machinery verbatim plus the identity
+  tri(v) = sum of incident edge supports DIV 2 (property-tested),
+  so the whole reduction past the support frame is one symmetrize
+  + one map-side-combinable vertex aggregate and a TakeOrdered
+  head.
 
 Each entry carries a full DuckDB oracle; tests/test_staged_r15.py
 runs the Spark-vs-oracle compare pre-registration (the duplicate-
@@ -1013,3 +1024,118 @@ def hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rows[1:]:
         out = out.unionByName(fr)
     return out.orderBy("radius")
+
+
+# --- local clustering coefficients ------------------------------------
+
+_CC_TOP = 1000  # emitted head: most clustered vertices
+
+
+def _cc_sql() -> str:
+    return f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON b.o = a.o AND b.p > a.p
+    ),
+    t AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s AS MATERIALIZED (
+      SELECT u, v, COUNT(*) AS s FROM (
+        SELECT a AS u, b AS v FROM t
+        UNION ALL SELECT a, c FROM t
+        UNION ALL SELECT b, c FROM t
+      ) roles GROUP BY u, v
+    ),
+    se AS (
+      SELECT e0.u, e0.v, COALESCE(s.s, 0) AS s
+      FROM e0 LEFT JOIN s ON s.u = e0.u AND s.v = e0.v
+    ),
+    pv AS (
+      SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree,
+             CAST(SUM(s) AS BIGINT) AS ss
+      FROM (SELECT u, s FROM se UNION ALL SELECT v, s FROM se) z
+      GROUP BY u
+    )
+    SELECT vertex, degree, CAST(ss // 2 AS BIGINT) AS n_tri,
+           CAST(ss * 1000000 // (degree * (degree - 1)) AS BIGINT)
+             AS cc_ppm
+    FROM pv WHERE degree >= 2
+    ORDER BY cc_ppm DESC, vertex LIMIT {_CC_TOP}
+    """
+
+
+@stage(
+    "local_clustering_coeff",
+    _cc_sql(),
+    doc="Local clustering coefficients over the item co-occurrence "
+    "graph (Watts & Strogatz 1998): per-vertex triangle density "
+    f"2*tri / (deg*(deg-1)) as exact integer ppm, top-{_CC_TOP} most "
+    "clustered vertices — the canonical cohesion metric completing "
+    "the graph family next to triangles / k-core / k-truss "
+    "(extension).",
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vertex, degree, n_tri, cc_ppm), top-{top} by cc_ppm (vertex
+    tiebreak — a total order, so the head is deterministic).
+
+    Scale shape: the per-edge triangle support s = |N(u) ∩ N(v)| is
+    the ktruss round-0 machinery verbatim — one adjacency build, two
+    vertex-keyed hash joins, a row-local intersect SIZE; no triangle
+    row is ever exploded. Per-vertex triangles then come from the
+    identity tri(v) = (sum of s over edges at v) DIV 2 (each
+    triangle at v contributes to exactly 2 incident edges — the sum
+    is always even; property-tested), so the reduction is ONE
+    symmetrize projection + ONE map-side-combinable groupBy(vertex)
+    carrying (count, sum). cc_ppm = ss * 1e6 DIV (deg * (deg - 1))
+    uses ss = 2 * tri directly — no doubling round trip. The head is
+    TakeOrdered ({top} rows), never a global sort; degree < 2
+    vertices are excluded (undefined denominator). At 100 TB the
+    neighbor-list bound is max degree — the skew refinement is the
+    degree-capped adjacency documented on the triangles row. All
+    outputs BIGINT.
+    """.replace("{top}", str(_CC_TOP))
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    edges = _basket_edges(spark, sf_dir, _ck)
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = und.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
+    sup = _ck(
+        edges.join(au, edges["u"] == au["au"])
+        .join(av, edges["v"] == av["av"])
+        .select(
+            "u", "v", F.size(F.array_intersect("nu", "nv")).alias("s")
+        )
+    )
+    sund = sup.select("u", "s").unionAll(
+        sup.select(F.col("v").alias("u"), "s")
+    )
+    per_v = sund.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    return (
+        per_v.where(F.col("degree") >= 2)
+        .select(
+            F.col("u").alias("vertex"),
+            "degree",
+            F.expr("CAST(ss DIV 2 AS BIGINT)").alias("n_tri"),
+            F.expr(
+                "CAST(ss * 1000000 DIV (degree * (degree - 1)) "
+                "AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.asc("vertex"))
+        .limit(_CC_TOP)
+    )

@@ -669,5 +669,133 @@ try:
         )
         assert est == textbook.__floor__()
 
+    @settings(max_examples=300, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            max_size=40,
+        )
+    )
+    def test_cc_incident_support_identity(edges):
+        """The reduction the clustering query rests on: for every
+        vertex, the sum of per-edge triangle supports over incident
+        edges equals exactly 2x the triangle count at that vertex —
+        on ANY simple graph (self-loops dropped, duplicates
+        collapsed, orientation normalized like the query's edge
+        build)."""
+        es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nbrs: dict[int, set[int]] = defaultdict(set)
+        for u, v in es:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        sup = {
+            (u, v): len(nbrs[u] & nbrs[v]) for u, v in es
+        }
+        for v, ns in nbrs.items():
+            tri = sum(
+                1
+                for x, y in combinations(sorted(ns), 2)
+                if y in nbrs[x]
+            )
+            ss = sum(
+                s
+                for (a, b), s in sup.items()
+                if v in (a, b)
+            )
+            assert ss == 2 * tri, (v, ss, tri)
+
 except ImportError:  # pragma: no cover - hypothesis ships in the image
     pass
+
+
+# --- clustering coefficients: replay + planted fixture ----------------
+
+def test_clustering_coeff_matches_python_brute_force(spark, duck):
+    """Brute-force per-vertex triangle/degree arithmetic from raw
+    lineitem rows must reproduce the emitted head exactly."""
+    from autosinapi_spark.plans.staged_r15 import (
+        _CC_TOP,
+        local_clustering_coeff,
+    )
+
+    rows = duck.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for ps in baskets.values():
+        for a, b in combinations(sorted(ps), 2):
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    expect = []
+    for v, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        tri = sum(
+            1
+            for x, y in combinations(sorted(ns), 2)
+            if y in nbrs[x]
+        )
+        expect.append(
+            (v, d, tri, 2 * tri * 1_000_000 // (d * (d - 1)))
+        )
+    expect.sort(key=lambda r: (-r[3], r[0]))
+    got = [
+        tuple(r)
+        for r in local_clustering_coeff(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect[:_CC_TOP]
+    assert len(got) > 0
+
+
+def test_clustering_coeff_planted(spark, tmp_path):
+    """Hand-enumerable fixture: a 4-clique (cc = 1), a path middle
+    vertex (deg 2, no triangle, cc = 0), and a vertex bridging two
+    disjoint edges (deg 2 via two baskets, cc = 0)."""
+    from autosinapi_spark.plans.staged_r15 import local_clustering_coeff
+
+    baskets = [
+        (1, [1, 2, 3, 4]),  # 4-clique: deg 3, tri 3, cc = 1e6
+        (2, [10, 11]),      # path 10-11-12: vertex 11 deg 2 tri 0
+        (3, [11, 12]),
+    ]
+    rows = [
+        (o, i + 1, p, 1)
+        for o, ps in baskets
+        for i, p in enumerate(ps)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_suppkey long",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = [
+        tuple(r)
+        for r in local_clustering_coeff(spark, str(tmp_path)).collect()
+    ]
+    # clique vertices lead (cc 1e6, vertex-ordered); then vertex 11
+    # (deg 2, 0 triangles); path endpoints have deg 1 -> excluded
+    assert got == [
+        (1, 3, 3, 1_000_000),
+        (2, 3, 3, 1_000_000),
+        (3, 3, 3, 1_000_000),
+        (4, 3, 3, 1_000_000),
+        (11, 2, 0, 0),
+    ]
+
+
+def test_clustering_coeff_plan_shape(spark):
+    from autosinapi_spark.plans.staged_r15 import local_clustering_coeff
+
+    plan = (
+        local_clustering_coeff(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan

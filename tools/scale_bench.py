@@ -157,6 +157,7 @@ QUERIES = [
     "media_ahash_near_dup",  # one Arrow hash pass; band-keyed LSH joins
     "hll_distinct_union",  # map-side-combinable register max; 4x64-row shuffle
     "hyperball_neighborhood",  # per-vertex HLL merge rounds; n x m cells/round
+    "local_clustering_coeff",  # ktruss round-0 support pass + vertex aggregate
 ]
 
 
