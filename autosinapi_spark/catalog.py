@@ -55,6 +55,53 @@ def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
+# Fact/corpus tables whose scan-side compute is dense enough to be
+# worth rebalancing when the file layout cannot feed every core (see
+# _rebalance_scan); value = the hash key for the deterministic
+# repartition. Dimension tables (region..customer, part, supplier)
+# stay as-is: they are broadcast sides or carry trivial per-row work,
+# and an exchange in front of a broadcast build is pure loss.
+_SCAN_REBALANCE_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _rebalance_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Spread a row-group-starved scan across the session's cores.
+
+    Spark parallelizes parquet scans at ROW-GROUP granularity; the
+    bench fixtures are single-file tables with ONE row group, so every
+    scan stage — and all row-local compute above it (md5 shingling,
+    embedding arithmetic, string coercion) — otherwise runs as a
+    single task regardless of ``local[N]`` (guide §2.5 "input skew:
+    one huge unsplittable file … repartition immediately after the
+    read"). The repartition is HASH on the table's stable key (never
+    round-robin: no sort-before-repartition pass, deterministic under
+    task retry) with an explicit partition count so AQE's byte-based
+    coalescing cannot fold the compute-dense-but-byte-small frames
+    back to one task.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    target comes from the session's parallelism, and the footer
+    row-group count makes this a NO-OP at deployment scale, where
+    tables span many files/row groups and the scan already feeds
+    every core. ``SPARK_GRAFT_SCAN_REBALANCE=0`` disables it outright.
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_REBALANCE", "1") == "0":
+        return df
+    key = _SCAN_REBALANCE_KEYS.get(name)
+    if key is None:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _row_group_count(sf_dir, name) >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table (nanos timestamps normalized).
 
@@ -64,6 +111,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to read the fixtures at all — there is no per-read reader option
     for it — and the UTC pin keeps date_format/date_trunc aligned with
     DuckDB's naive-timestamp formatting).
+
+    Fact/corpus tables are rebalanced across the session's cores when
+    the file layout cannot (see ``_rebalance_scan``); Catalyst pushes
+    filters and pruning through the repartition, so PushedFilters /
+    ReadSchema at the scan are unchanged (pinned by
+    tests/test_plan_shapes.py).
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
@@ -71,7 +124,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     df = normalize_ts_columns(df, _TS_COLS.get(name, ()))
-    return df
+    return _rebalance_scan(df, sf_dir, name)
 
 
 def normalize_ts_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -104,6 +157,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in FIXTURE_TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _row_group_count(sf_dir: str, name: str) -> int:
+    """Parquet row-group count from FOOTER metadata (cached: one
+    footer read per (dir, table) per process) — the scan's maximum
+    split parallelism, which ``_rebalance_scan`` compares to the
+    session's cores. O(#files) driver-side metadata, never a scan."""
+    key = (sf_dir, name)
+    hit = _RG_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        try:
+            if os.path.isdir(path):
+                # multi-file table (tests write Spark directory
+                # outputs; deployment tables always look like this):
+                # total split parallelism = row groups across files
+                hit = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                hit = pq.ParquetFile(path).metadata.num_row_groups
+        except OSError:
+            # unreadable footer: assume the scan parallelizes fine
+            # (rebalance off) rather than failing the query
+            hit = 1 << 30
+        _RG_CACHE[key] = hit
+    return hit
+
+
+_RG_CACHE: dict[tuple[str, str], int] = {}
 
 
 def row_count(sf_dir: str, name: str) -> int:

@@ -198,6 +198,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 2,
     threshold: float = 0.6,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs word-ngram Jaccard >= threshold via prefix
     filtering (AllPairs / PPJoin family, Bayardo et al. WWW'07).
@@ -212,11 +213,20 @@ def ngram_jaccard_pairs(
     kills join skew at scale: hot tokens sort to the END of each list
     and drop out of the prefix. Shuffles carry (token, id) pairs and
     the candidate set — never all-pairs.
+
+    ``base`` (optional): a precomputed ``(id, sg)`` shingle frame with
+    the SAME ngram/normalization contract (e.g. a checkpointed
+    ``corpus_signatures`` projection) — callers running both dedup
+    arms over one corpus pass it so the shingle pass is paid once;
+    ``docs`` is then ignored.
     """
-    sg = shingles(F.col(text_col), ngram)
-    base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
-        F.size(F.col("sg")) >= 1
-    )
+    if base is None:
+        sg = shingles(F.col(text_col), ngram)
+        base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
+            F.size(F.col("sg")) >= 1
+        )
+    else:
+        base = base.select("id", "sg")
     toks = base.select("id", F.explode("sg").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # per-doc token list sorted by (global df, token): deterministic

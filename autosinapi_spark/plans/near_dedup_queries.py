@@ -267,8 +267,30 @@ def near_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors reference test strategy of checking derived outputs
     against independently-computed truth (SURVEY.md section 5).
     """
-    truth = near_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    lsh = near_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    # Both arms consume the SAME corpus/shingle space (the oracle's
+    # shared `sh` CTE); pay the shingle+md5 pass ONCE via a shared
+    # eager-checkpointed signature frame instead of once per arm
+    # (r14 optimization: the two query functions each re-shingled the
+    # 2x corpus — ~3s of duplicated scan-side hashing at sf0.1).
+    # Results are identical by construction: the PPJoin arm reads the
+    # (id, sg) projection, the LSH arm the (id, sg, hh) frame, both
+    # exactly what the standalone queries derive from the same text.
+    from ..operators.near_dedup import corpus_signatures
+
+    sigs = corpus_signatures(_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    truth = ngram_jaccard_pairs(
+        None, ngram=3, threshold=_JACCARD_T, base=sigs
+    ).select("id_a", "id_b")
+    lsh = minhash_near_dup_pairs(
+        None,
+        num_hashes=K,
+        bands=BANDS,
+        rows=ROWS,
+        threshold=0.5,
+        signatures=sigs,
+    ).select("id_a", "id_b")
     hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
 
     t = truth.agg(F.count(F.lit(1)).alias("n_true"))

@@ -28,6 +28,20 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing targets max(shuffleBytes / parallelism,
+    # minPartitionSize) per partition (parallelismFirst, default on).
+    # The default 1m floor is a BYTES heuristic; on compute-dense,
+    # byte-small frames (md5 over shingle arrays, embedding vectors —
+    # a few hundred KB that fan out into millions of hash/FLOP calls)
+    # it coalesces post-shuffle stages to 1-2 tasks and starves the
+    # cores. 64kb keeps those stages wide while still folding away
+    # empty partitions; at deployment scale shuffles are GB-sized, the
+    # bytes/parallelism term dominates, and the floor is irrelevant —
+    # i.e. this is scale-adaptive, not a local[32] constant.
+    # Env-overridable like the rest of the scale knobs.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

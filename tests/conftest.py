@@ -52,3 +52,16 @@ def duck(tmp_path_factory):
         )
     yield con
     con.close()
+
+
+@pytest.fixture
+def no_rebalance(monkeypatch):
+    """Disable the fixture-layout scan rebalance for plan-shape pins.
+
+    Plan-pin tests assert the ALGORITHM's exchange structure; the scan
+    rebalance (catalog._rebalance_scan — a local workaround for
+    single-row-group fixture files, a no-op at deployment scale) sits
+    below that structure and is pinned separately in
+    tests/test_scan_rebalance.py.
+    """
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_REBALANCE", "0")

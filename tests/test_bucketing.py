@@ -45,7 +45,7 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables, no_rebalance):
     li_t, part_t = bucketed_tables
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -69,7 +69,7 @@ def test_pii_counts_match_injection_rule(spark):
         assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
 
 
-def test_pii_redaction_is_row_local(spark):
+def test_pii_redaction_is_row_local(spark, no_rebalance):
     plan = _plan(pii_redact_documents(spark, SF_SMOKE))
     assert "Exchange" not in plan  # pure projection, zero shuffles
 
@@ -107,7 +107,7 @@ def test_no_cartesian_anywhere(spark):
         assert "CartesianProduct" not in plan
 
 
-def test_entropy_and_mixed_language_are_row_local(spark):
+def test_entropy_and_mixed_language_are_row_local(spark, no_rebalance):
     from autosinapi_spark.plans.text_queries import doc_char_entropy
     from autosinapi_spark.plans.corpus_queries import doc_mixed_language
 

@@ -100,7 +100,7 @@ def test_packing_invariants(spark):
             assert cum >= (b.bin + 1) * _PACK_BUDGET
 
 
-def test_stratified_sample_rates_and_determinism(spark):
+def test_stratified_sample_rates_and_determinism(spark, no_rebalance):
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     totals = {r.lang: r.c for r in docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("c")).collect()}
@@ -145,7 +145,7 @@ def test_repetition_filter_brute_force(spark):
     assert got == expected
 
 
-def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, no_rebalance):
     """Winnowing's core guarantee (Schleimer et al. 2003): documents
     sharing a token run of length >= w + k - 1 share at least one
     fingerprint. Build synthetic pairs around the fixture corpus."""

@@ -42,7 +42,7 @@ def test_covariance_matches_numpy(spark):
             assert abs(r.corr - 1.0) < 1e-6
 
 
-def test_covariance_single_shuffle_plan(spark):
+def test_covariance_single_shuffle_plan(spark, no_rebalance):
     """The Gramian pattern: exactly one aggregation over the scan —
     no explode/join before the agg, one exchange total."""
     from autosinapi_spark.plans.linalg_queries import embedding_covariance

@@ -186,7 +186,7 @@ def test_inverted_index_postings_state_is_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_zorder_layout_never_shuffles_the_fact_table(spark):
+def test_zorder_layout_never_shuffles_the_fact_table(spark, no_rebalance):
     """The Morton value is row-local after a 1-row min/max scalar is
     broadcast back: the fact table itself must never be exchanged —
     the only allowed exchanges are the scalar aggregate's

@@ -34,7 +34,7 @@ def _q(registry, spark, name):
     return registry[name].fn(spark, SF_SMOKE)
 
 
-def test_pricing_summary_pushdown_and_pruning(registry, spark):
+def test_pricing_summary_pushdown_and_pruning(registry, spark, no_rebalance):
     plan = _plan(_q(registry, spark, "pricing_summary"))
     # the shipdate filter must reach the parquet scan...
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
@@ -56,7 +56,7 @@ def test_cost_lookup_broadcasts_catalog(registry, spark):
     assert "LessThanOrEqual(p_size,10)" in plan.replace(" ", "")
 
 
-def test_union_view_has_no_shuffle(registry, spark):
+def test_union_view_has_no_shuffle(registry, spark, no_rebalance):
     plan = _plan(_q(registry, spark, "union_view_itens"))
     assert "Exchange" not in plan  # pure scan+project union
 
@@ -70,7 +70,7 @@ def test_exact_dedup_shuffles_digest_not_text(registry, spark):
     assert "text" not in exchange
 
 
-def test_latest_event_single_window_shuffle(registry, spark):
+def test_latest_event_single_window_shuffle(registry, spark, no_rebalance):
     plan = _plan(_q(registry, spark, "latest_event_per_user"), "simple")
     assert plan.count("Exchange") == 1  # one hash partitioning for the window
 
@@ -349,7 +349,7 @@ def test_dsir_gumbel_resample_take_ordered(registry, spark):
     assert "CartesianProduct" not in plan
 
 
-def test_kmeans_single_scan_no_shuffle_to_assign(registry, spark):
+def test_kmeans_single_scan_no_shuffle_to_assign(registry, spark, no_rebalance):
     """Final-iteration plan: ONE embeddings scan (prior iterations sit
     behind checkpoints) and no corpus exchange for the argmin — the
     only exchanges belong to the tiny centroid aggregates."""
@@ -514,7 +514,7 @@ def test_lpa_communities_coalesce_and_plan_is_keyed(spark):
     assert "CartesianProduct" not in _plan(df, "simple")
 
 
-def test_asof_nearest_single_shuffle_no_join(registry, spark):
+def test_asof_nearest_single_shuffle_no_join(registry, spark, no_rebalance):
     """Nearest direction keeps the union-window discipline: no join
     node, and BOTH direction windows ride one key exchange — the only
     other hash exchange is the upstream quote dedup's (user_id, ts)

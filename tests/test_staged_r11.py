@@ -118,7 +118,7 @@ def test_band_tuning_costs_shape_and_monotonicity(spark):
         assert r.n_buckets <= r.bands * 2 * 500 * 2  # twin corpus cap
 
 
-def test_staged_plan_shapes(spark):
+def test_staged_plan_shapes(spark, no_rebalance):
     """Pin the cohort's exchange budgets: the scorer is shuffle-free,
     fertility is one language-keyed agg, novelty's flag-then-aggregate
     shape holds at 3 (gram agg, gram join probe, doc agg), and the

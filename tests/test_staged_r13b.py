@@ -131,7 +131,7 @@ def test_hilbert_keys_fill_the_bit_budget(spark):
     assert 0 < mx < (1 << (2 * _HB_BITS))
 
 
-def test_hilbert_plan_never_shuffles_the_fact_table(spark):
+def test_hilbert_plan_never_shuffles_the_fact_table(spark, no_rebalance):
     """Row-local after the 1-row min/max scalar broadcast — identical
     exchange budget to test_zorder_layout_never_shuffles_the_fact_table."""
     from autosinapi_spark.plans.staged_r13b import hilbert_layout_keys

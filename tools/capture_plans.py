@@ -1,0 +1,77 @@
+"""Capture .explain('formatted') for registered queries into plans/r14/.
+
+Usage: python tools/capture_plans.py <suffix> [query ...]
+  suffix: 'before' or 'after' (file name tag)
+  query:  optional subset; default = every registered query.
+
+Writes plans/r14/<query>_<suffix>.txt and prints a one-line red-flag
+summary per query: #Exchange, join strategies, Python-eval nodes,
+cartesian products, and whether the scan shows PushedFilters.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import traceback
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entrymod
+    from autosinapi_spark.session import get_spark
+
+    spark = get_spark(app_name="capture_plans")
+    out_dir = Path(_REPO) / "plans" / "r14"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    qs = entrymod.queries()
+    if names:
+        qs = {n: qs[n] for n in names}
+
+    for name, fn in sorted(qs.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            plan = "PLAN CAPTURE FAILED:\n" + traceback.format_exc()
+        (out_dir / f"{name}_{suffix}.txt").write_text(plan)
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        joins = sorted(
+            set(
+                re.findall(
+                    r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+                    r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+                    plan,
+                )
+            )
+        )
+        pyeval = sorted(
+            set(
+                re.findall(
+                    r"\b(BatchEvalPython|ArrowEvalPython|MapInArrow|"
+                    r"FlatMapGroupsInPandas|MapInPandas)\b",
+                    plan,
+                )
+            )
+        )
+        has_push = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        print(
+            f"{name}: Exchange={n_ex} joins={','.join(joins) or '-'} "
+            f"pyeval={','.join(pyeval) or '-'} pushed={has_push}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
