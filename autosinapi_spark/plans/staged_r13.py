@@ -46,18 +46,21 @@ Algorithm (all ranks integers, bit-deterministic):
   silently corrupting ranks. The fixture-ASCII guard
   (tests/test_multimodal.py) protects the oracle comparison for the
   same reason (codepoint order vs binary collation).
-- the dense re-rank itself never sorts globally: distinct pair codes
-  are cut into <= _SFX_NBLK contiguous VALUE-range blocks (block id =
-  code DIV ceil(code_space / NBLK), order-preserving by
-  construction), each block gets a partition-local row_number, and
-  block offsets come from an exclusive prefix sum over the
-  NBLK-bounded block-count frame — the hierarchical-prefix-sum
-  pattern of ``systematic_weighted_sample``, applied to an order
-  instead of a key line. Value-range blocking assumes the code space
-  is roughly uniformly occupied; a pathologically repetitive corpus
-  concentrates codes in few blocks, degrading a block's row_number
-  window toward a single task — the range-sampled partitioner above
-  is the production answer there too.
+- the dense re-rank itself never sorts globally: pair codes are cut
+  into <= _SFX_NBLK contiguous VALUE-range blocks (block id = code
+  DIV ceil(code_space / NBLK), order-preserving by construction),
+  each block dense_ranks its rows partition-locally (equal codes
+  share a rank, so no pre-distinct is needed), and block offsets
+  come from an exclusive prefix sum over the NBLK-bounded per-block
+  distinct-count frame (max(dense_rank) per block) — the
+  hierarchical-prefix-sum pattern of ``systematic_weighted_sample``,
+  applied to an order instead of a key line. Value-range blocking
+  assumes the code space is roughly uniformly occupied; a
+  pathologically repetitive corpus concentrates codes in few blocks,
+  degrading a block's rank window toward a single task (measured
+  fine at 1.5M positions: tools/stress_repetitive.py) — the
+  range-sampled partitioner above is the production answer there
+  too.
 
 Windows do NOT cross document boundaries (each document is its own
 suffix universe, the semantics a per-document dedup wants); the
@@ -138,10 +141,14 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-scale corpora of ~1e4-1e6-char docs, but a corpus dominated
     by one multi-GB document should fall back to the (doc_id, p)
     self-join form this replaced, which hash-partitions positions
-    across tasks), one distinct over pair codes, one NBLK-bounded
-    block-count aggregate + exclusive-offset window (<= 4096 rows),
-    one block-partitioned row_number, one code-keyed join back —
-    every frame carries only (doc_id, long, long) triples; document
+    across tasks), ONE blk-keyed exchange carrying the whole dense
+    re-rank (block-partitioned dense_rank over the non-distinct
+    position frame + an NBLK-bounded per-block distinct-count
+    aggregate + exclusive-offset window, <= 4096 rows, broadcast
+    back — no distinct pass, no code-keyed join back; r14 cut the
+    former 4-exchange re-rank to this 1-exchange form, 9.5s -> 6.3s
+    solo at sf0.1) — every frame carries only (doc_id, long, long)
+    triples; document
     text is touched exactly twice (the row-local round-0 pack and the
     final 500-row window_text join). Rounds are FIXED (no driver
     action inside the loop), so the whole query is one lazy DAG whose
@@ -290,6 +297,21 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replaced; null past the document end = the 0 sentinel
         # (shorter suffix sorts first, binary collation)
         w_doc = Window.partitionBy("doc_id").orderBy("p")
+        # One blk-keyed exchange carries the WHOLE dense re-rank
+        # (r14 optimization): dense_rank over the NON-distinct
+        # position frame within each value-range block, plus an
+        # exclusive prefix sum of per-block distinct counts, equals
+        # the global dense rank of v bit-for-bit — the former shape
+        # (distinct -> block -> row_number -> join back on v) ran the
+        # same logic through FOUR Θ(n) exchanges per round (distinct
+        # hash, window re-hash, and both join sides); this one runs
+        # through ONE (the blk repartition; the window and the
+        # per-block count both reuse it: HashPartitioning(blk)
+        # satisfies both required distributions). Equal v always
+        # lands in one block (blk = v DIV width), so within-block
+        # dense_rank + cross-block offsets compose to the global
+        # rank; max(dense_rank) per block IS the block's distinct
+        # count, so the offset frame needs no separate distinct.
         paired = (
             cur.select(
                 "doc_id",
@@ -302,23 +324,28 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .crossJoin(F.broadcast(maxr))
             .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
+            .withColumn(
+                "blk",
+                F.expr(
+                    f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
+                    f"DIV {_SFX_NBLK})"
+                ),
+            )
+            .repartition("blk")
         )
-        distinct_codes = paired.select("v").distinct()
-        # contiguous value-range blocks: order-preserving, bounded
-        # count, so the offset window below is <= _SFX_NBLK rows
-        blocked = distinct_codes.crossJoin(F.broadcast(maxr)).withColumn(
+        w_in = Window.partitionBy("blk").orderBy("v")
+        ranked_rows = paired.select(
+            "doc_id",
+            "p",
             "blk",
-            F.expr(
-                f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
-                f"DIV {_SFX_NBLK})"
-            ),
-        )
+            F.dense_rank().over(w_in).cast("long").alias("dr"),
+        ).localCheckpoint(eager=False)
         counts = (
-            blocked.groupBy("blk")
-            .agg(F.count(F.lit(1)).alias("c"))
+            ranked_rows.groupBy("blk")
+            .agg(F.max("dr").alias("c"))
             # <= NBLK rows, consumed by the offset window AND the
             # next round's rank bound: materialize once so the bound
-            # never re-executes the Θ(n) distinct behind it
+            # never re-executes the Θ(n) frame behind it
             .localCheckpoint(eager=False)
         )
         # exclusive prefix over the <= NBLK block frame (bounded by a
@@ -331,20 +358,14 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long"))
             .alias("off"),
         )
-        w_in = Window.partitionBy("blk").orderBy("v")
-        ranked = (
-            blocked.join(F.broadcast(offs), "blk")
-            .select(
-                "v",
-                (F.col("off") + F.row_number().over(w_in))
-                .cast("long")
-                .alias("nr"),
-            )
-        )
-        cur = (
-            paired.join(ranked, "v")
-            .select("doc_id", "p", F.col("nr").alias("rank"))
-            .localCheckpoint(eager=False)
+        # no checkpoint here: cur is a row-local broadcast-offset map
+        # over the CHECKPOINTED ranked_rows, so every consumer re-read
+        # (next round's window; post-loop head + dup counts) re-runs
+        # only that cheap map, never the Θ(n) re-rank behind it
+        cur = ranked_rows.join(F.broadcast(offs), "blk").select(
+            "doc_id",
+            "p",
+            (F.col("off") + F.col("dr")).cast("long").alias("rank"),
         )
         # next round's rank bound from the block counts (<= NBLK rows)
         # instead of re-scanning the Θ(n) position frame: the re-rank
@@ -352,9 +373,10 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxr = _guard_mr(counts.agg(F.sum("c").cast("long").alias("mr")))
         step *= 2
     # TakeOrdered head; consumed twice (dup restriction + final join)
-    # but both reads re-scan only the checkpointed `cur` RDD, so no
-    # upstream recompute — cheaper than checkpointing the 500-row
-    # frame and hiding the TakeOrdered from the plan pin
+    # but both reads re-run only the cheap broadcast-offset map over
+    # the checkpointed final ranked_rows RDD, so no upstream
+    # recompute — cheaper than checkpointing the 500-row frame and
+    # hiding the TakeOrdered from the plan pin
     top = cur.orderBy("rank", "doc_id", "p").limit(_SFX_TOP)
     # dup counts only for the head's <= _SFX_TOP distinct ranks: the
     # broadcast semi-join filters the Θ(n) position frame down BEFORE
