@@ -167,9 +167,19 @@ def item_cooccurrence_pagerank(
     )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     ranks = nodes.select("id", F.lit(_PR_INIT).cast("long").alias("pr"))
+    # Deliberate join strategy (guide §3.1, r14): the unrolled rounds
+    # pipeline into ONE adaptive query stage, so AQE has no stage
+    # boundary at which to convert the planned SortMergeJoins — the
+    # edge frame was being sorted every round. SHUFFLE_HASH on the
+    # node-sized side removes the sorts and is scale-safe where a
+    # broadcast hint is not (per-partition build of a node-count
+    # frame vs whole-frame broadcast).
     for _ in range(_PR_ITERS):
         contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            edges_deg.join(
+                ranks.hint("shuffle_hash"),
+                edges_deg["src"] == ranks["id"],
+            )
             .select(
                 F.col("dst"),
                 F.expr("pr div outdeg").alias("share"),
@@ -178,7 +188,9 @@ def item_cooccurrence_pagerank(
             .agg(F.sum("share").alias("incoming"))
         )
         ranks = nodes.join(
-            contrib, nodes["id"] == contrib["dst"], "left"
+            contrib.hint("shuffle_hash"),
+            nodes["id"] == contrib["dst"],
+            "left",
         ).select(
             "id",
             (

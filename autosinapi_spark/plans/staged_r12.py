@@ -432,9 +432,16 @@ def pagerank_convergence_eps(
     )
     n_iters = _PRC_MAX_IT
 
+    # SHUFFLE_HASH on the node-sized side (guide §3.1, r14): the
+    # batched rounds pipeline into one adaptive query stage, so AQE
+    # cannot convert the planned SortMergeJoins at a stage boundary —
+    # the hint removes the per-round sort of the edge frame and is
+    # scale-safe where a broadcast hint is not.
     def _step(r: DataFrame) -> DataFrame:
         contrib = (
-            edges_deg.join(r, edges_deg["src"] == r["id"])
+            edges_deg.join(
+                r.hint("shuffle_hash"), edges_deg["src"] == r["id"]
+            )
             .select(
                 F.col("dst"),
                 F.expr("pr div outdeg").alias("share"),
@@ -443,7 +450,11 @@ def pagerank_convergence_eps(
             .agg(F.sum("share").alias("incoming"))
         )
         return (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            nodes.join(
+                contrib.hint("shuffle_hash"),
+                nodes["id"] == contrib["dst"],
+                "left",
+            )
             .select(
                 "id",
                 (

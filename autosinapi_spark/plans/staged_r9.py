@@ -386,15 +386,30 @@ def personalized_pagerank_nation(
         .cast("long")
         .alias("pr"),
     )
+    # Deliberate join strategy (guide §3.1): the loop's rounds pipeline
+    # into ONE adaptive query stage (round t's ranks flows into round
+    # t+1's join with no exchange between them), so AQE never gets a
+    # stage boundary at which to convert the planned SortMergeJoins to
+    # broadcast — and the edge frame was being SORTED every round. A
+    # SHUFFLE_HASH hint on the node-sized side builds a per-partition
+    # hash table instead: no sort of either side, and scale-safe where
+    # a broadcast hint is not (the node frame is per-partition small on
+    # any cluster width, but would not FIT as a whole-frame broadcast
+    # at deployment scale).
     for _ in range(_PPR_ITERS):
         contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            edges_deg.join(
+                ranks.hint("shuffle_hash"),
+                edges_deg["src"] == ranks["id"],
+            )
             .select(F.col("dst"), F.expr("pr div outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("incoming"))
         )
         ranks = nodes_seed.join(
-            contrib, nodes_seed["id"] == contrib["dst"], "left"
+            contrib.hint("shuffle_hash"),
+            nodes_seed["id"] == contrib["dst"],
+            "left",
         ).select(
             "id",
             (
