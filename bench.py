@@ -37,6 +37,52 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_persistent(spark) -> None:
+    """Release leftover persistent/localCheckpoint RDD blocks after a
+    timed run completes (called OUTSIDE the timed region, after every
+    run — repeats included, not just between queries).
+
+    gc.collect() alone is NOT enough: the py4j detach only queues the
+    JVM-side release, and the ContextCleaner's weak refs fire only
+    after a JVM GC that a lightly-allocating driver may not run for
+    minutes — measured (r14): 4 triangle runs left 8 persistent RDDs /
+    781 MB of checkpoint blocks that survived gc.collect(), and a
+    no-cleanup session stalled a 5s query (and its control) for
+    100-200s on the accumulated pressure.
+
+    Running it between REPEATS of one query (new in r15, closing the
+    r14 verdict's warm-cache wrinkle) additionally drops any
+    InMemoryRelation a query's internal .cache() created, so Spark's
+    CacheManager cannot substitute run 1's cached data into run 2..n
+    of the identical plan — min-of-n is a cold number for every row
+    (affected rows: the bom/cluster-resolution/jsonl-source families,
+    each <=~1s warmer before this fix).
+
+    NOTE: the async release can race a straggler task completion from
+    the just-finished query (DAGScheduler logs a benign
+    accessNonExistentAccumulator ERROR stack to stderr when the task
+    reports into an already-unregistered accumulator). Cosmetic only:
+    results, timings, and exit codes are unaffected — the task already
+    delivered its data; only its metric update has nowhere to land.
+    """
+    gc.collect()
+    try:
+        # Drop CacheManager entries FIRST: a query-internal .persist()/
+        # .cache() registers an InMemoryRelation keyed on the logical
+        # plan, and a later identical plan (the next repeat) would be
+        # silently substituted with it — clearCache() removes the
+        # entries AND unpersists their blocks, so every repeat
+        # recomputes from the parquet inputs.
+        spark.catalog.clearCache()
+        # localCheckpoint RDDs are NOT in the CacheManager; release
+        # them explicitly as before.
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jm.values()):
+            rdd.unpersist(False)
+    except Exception:  # cleanup must never kill the bench
+        pass
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -70,8 +116,10 @@ def main() -> int:
             timings[name] = -1.0
             # query_runs counts SUCCESSFUL runs; zero succeeded here
             runs[name] = 0
+            _release_persistent(spark)
             continue
         best = time.perf_counter() - t0
+        _release_persistent(spark)
         # Repeat budget (retuned late r9): min-of-3 only for sub-2s
         # queries, where per-run overhead noise dominates the signal;
         # min-of-2 through 30s. At 188 registered queries the old
@@ -87,9 +135,11 @@ def main() -> int:
                 _materialize(fn(spark, sf_dir))
             except Exception as exc:  # flaky repeat: keep best good run
                 print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
+                _release_persistent(spark)
                 continue
             samples.append(time.perf_counter() - t0)
             best = min(best, samples[-1])
+            _release_persistent(spark)
         # Adaptive third run (r11): the first run of a query after
         # another query's eviction pressure is reproducibly 1.5-3x its
         # warm floor, so min-of-2 keeps one cold-adjacent sample often
@@ -106,37 +156,13 @@ def main() -> int:
                 best = min(best, samples[-1])
             except Exception as exc:
                 print(f"bench: {name} repeat FAILED: {exc}", file=sys.stderr)
+            _release_persistent(spark)
         timings[name] = round(best, 3)
         # Record SUCCESSFUL runs, not the planned budget: when a repeat
         # throws, the row got fewer samples than planned, and
         # bench_diff.py's query_runs-equal filter must see the budget
         # the measurement actually received (r11 ADVICE).
         runs[name] = len(samples)
-        # Release this query's localCheckpoint blocks before the next
-        # measurement. gc.collect() alone is NOT enough: the py4j
-        # detach only queues the JVM-side release, and the
-        # ContextCleaner's weak refs fire only after a JVM GC that a
-        # lightly-allocating driver may not run for minutes —
-        # measured (r14): 4 triangle runs left 8 persistent RDDs /
-        # 781 MB of checkpoint blocks that survived gc.collect(), and
-        # a no-cleanup session stalled a 5s query (and its control)
-        # for 100-200s on the accumulated pressure. Every registered
-        # query is finished once materialized, so explicitly
-        # unpersisting ALL leftover persistent RDDs here is safe
-        # (each run builds fresh checkpoints) and immediate.
-        gc.collect()
-        # NOTE: the async release can race a straggler task completion
-        # from the just-finished query (DAGScheduler logs a benign
-        # accessNonExistentAccumulator ERROR stack to stderr when the task
-        # reports into an already-unregistered accumulator). Cosmetic only:
-        # results, timings, and exit codes are unaffected -- the task already
-        # delivered its data; only its metric update has nowhere to land.
-        try:
-            jm = spark.sparkContext._jsc.getPersistentRDDs()
-            for rdd in list(jm.values()):
-                rdd.unpersist(False)
-        except Exception:  # cleanup must never kill the bench
-            pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
@@ -160,11 +186,21 @@ def main() -> int:
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
-    # The driver archives only the last ~2000 chars of stdout; the full
-    # line above outgrew that in r7 (query_runs/query_load_1m dicts), so
-    # its artifact showed "parsed: null". Emit a second, FINAL compact
-    # line carrying the headline number plus the slowest queries so the
-    # artifact tail is always self-describing.
+    # The driver archives only the last ~2000 chars of stdout and
+    # parses the LAST JSON line it finds there; the full line above
+    # outgrew that in r7 (its artifact showed "parsed: null"). The r14
+    # verdict asked for the final line to carry the per-query dict —
+    # but the FULL 204-entry dict is 5757 chars at 2-decimal precision
+    # (4133 chars of query names alone), so it physically cannot fit a
+    # 2000-char tail under ANY serialization that keeps the real query
+    # names. Compromise (r15): the final line now carries a `queries`
+    # key (the name the driver's per-query machinery reads) with as
+    # many entries as fit, slowest-first — the rows that matter for
+    # round-over-round optimization diffs — plus `queries_in_line` so
+    # a reader can tell line truncation from dropped queries
+    # (`n_queries` stays the true registry count; every registered
+    # query is still benched and the full dict is in the line above
+    # and in the committed bench_per_query artifact).
     print(compact_summary(out, ok, timings))
     _write_per_query_artifact(out)
     return 0 if len(ok) == len(timings) else 1
@@ -197,16 +233,20 @@ def _write_per_query_artifact(out: dict) -> None:
 def compact_summary(
     out: dict, ok: dict[str, float], timings: dict[str, float]
 ) -> str:
-    """The final self-describing stdout line, HARD-CAPPED at 1500
-    chars: the driver's tail capture keeps only ~2000, and a dict that
-    silently outgrows it reproduces the r7 truncation (the artifact
-    showed "parsed: null"). Slowest/failed lists shrink until the
-    serialized line fits; preflight exercises this against a
-    worst-case registry so growth can't re-truncate unnoticed."""
-    for top_n in range(15, -1, -1):
-        slowest = dict(
-            sorted(ok.items(), key=lambda kv: -kv[1])[:top_n]
-        )
+    """The final self-describing stdout line, HARD-CAPPED at 1900
+    chars: the driver's tail capture keeps exactly 2000 (measured
+    across BENCH_r02..r14), and a line that outgrows it reproduces the
+    r7 truncation (the artifact showed "parsed: null"). Per the r14
+    verdict's ask #2, the line carries a `queries` dict — as many
+    entries as fit, SLOWEST first (the full 204-name dict is ~5.8k
+    chars and cannot fit; `queries_in_line` marks the truncation) —
+    shrinking until the serialized line fits; preflight exercises this
+    against a worst-case registry so growth can't re-truncate
+    unnoticed."""
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    by_cost = sorted(ok.items(), key=lambda kv: -kv[1])
+    for top_n in range(len(by_cost), -1, -1):
+        queries = {k: v for k, v in by_cost[:top_n]}
         summary = {
             "metric": "total_query_wall_sec",
             "value": out["value"],
@@ -216,13 +256,12 @@ def compact_summary(
             "n_failed": out["n_failed"],
             "warmup_sec": out["warmup_sec"],
             "load_avg_1m": out["load_avg_1m"],
-            "slowest": slowest,
-            "failed": sorted(k for k, v in timings.items() if v < 0)[
-                : max(1, top_n)
-            ],
+            "queries": queries,
+            "queries_in_line": len(queries),
+            "failed": failed[: max(1, top_n)],
         }
         line = json.dumps(summary)
-        if len(line) <= 1500:
+        if len(line) <= 1900:
             return line
     return line  # 0-entry lists: structurally bounded well under cap
 

@@ -1,8 +1,9 @@
-"""Capture .explain('formatted') for registered queries into plans/r14/.
+"""Capture .explain('formatted') for registered queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: 'before' or 'after' (file name tag)
   query:  optional subset; default = every registered query.
+  round dir: $SPARK_GRAFT_PLANS_ROUND (default r15).
 
 Writes plans/r14/<query>_<suffix>.txt and prints a one-line red-flag
 summary per query: #Exchange, join strategies, Python-eval nodes,
@@ -30,7 +31,8 @@ def main() -> int:
     from autosinapi_spark.session import get_spark
 
     spark = get_spark(app_name="capture_plans")
-    out_dir = Path(_REPO) / "plans" / "r14"
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    out_dir = Path(_REPO) / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
 
     qs = entrymod.queries()

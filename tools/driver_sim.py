@@ -195,6 +195,10 @@ def main():
         # results, timings, and exit codes are unaffected -- the task already
         # delivered its data; only its metric update has nowhere to land.
         try:
+            # r15: also clear CacheManager entries — query-internal
+            # .persist()/.cache() frames (graph loops) would otherwise
+            # accumulate across the 204-query sweep
+            spark.catalog.clearCache()
             jm = spark.sparkContext._jsc.getPersistentRDDs()
             for rdd in list(jm.values()):
                 rdd.unpersist(False)

@@ -49,10 +49,14 @@ def _bench_summary_fits() -> None:
         "load_avg_1m": 32.0,
     }
     line = compact_summary(out, ok, timings)
-    assert len(line) <= 1500, f"compact summary {len(line)} chars > 1500"
+    assert len(line) <= 1900, f"compact summary {len(line)} chars > 1900"
     import json
 
-    assert json.loads(line)["n_queries"] == len(timings)
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(timings)
+    # r15 contract: the final line carries a `queries` dict (slowest
+    # first, truncated to fit) and marks how many entries made it in.
+    assert parsed["queries_in_line"] == len(parsed["queries"])
     print(f"== bench-summary cap ok ({len(line)} chars worst-case)")
 
 

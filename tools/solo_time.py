@@ -21,11 +21,30 @@ sys.path.insert(0, _REPO)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --n=N and --n N (the bare-N form used to fall through as a
+    # query name and crash at qs[name] — r14 ADVICE); any other
+    # unknown flag is a hard error instead of a silent no-op
+    argv = sys.argv[1:]
+    args: list[str] = []
     n = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else n
+            if "=" in a:
+                n = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    print("usage: solo_time.py <query> [...] [--n N]")
+                    return 2
+                n = int(argv[i])
+        elif a.startswith("--"):
+            print(f"unknown flag {a!r}; usage: solo_time.py <query> [...] [--n N]")
+            return 2
+        else:
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     import __spark_entry__ as entrymod
@@ -48,11 +67,14 @@ def main() -> int:
             ).save()
             samples.append(time.perf_counter() - t0)
             print(f"  {name}: {samples[-1]:.3f}s (load {load1:.2f})")
-            # mirror bench.py's checkpoint-block cleanup between runs
+            # mirror bench.py's between-run cleanup: clear CacheManager
+            # entries (query-internal .persist()/.cache() must not warm
+            # the next repeat) and release localCheckpoint blocks
             import gc
 
             gc.collect()
             try:
+                spark.catalog.clearCache()
                 jm = spark.sparkContext._jsc.getPersistentRDDs()
                 for rdd in list(jm.values()):
                     rdd.unpersist(False)
