@@ -102,7 +102,9 @@ def _rebalance_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(target, F.col(key))
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
     """Lazy scan of one fixture table (nanos timestamps normalized).
 
     Engine-owned sessions get these two confs from ``session.get_spark``
@@ -117,6 +119,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters and pruning through the repartition, so PushedFilters /
     ReadSchema at the scan are unchanged (pinned by
     tests/test_plan_shapes.py).
+
+    ``rebalance=False`` opts a caller out (r15, the r14 verdict's
+    ask #3): consumers whose scan-side work is trivial — a pure
+    projection/union or a map-side-combining aggregate straight off
+    the scan — gain nothing from the width and pay the inserted
+    full-table exchange (the 7 queries reproducibly >10% slower in
+    both r14 driver runs). At deployment scale the flag is moot:
+    ``_rebalance_scan`` is already a footer-gated no-op there.
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {FIXTURE_TABLES}")
@@ -124,7 +134,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     df = normalize_ts_columns(df, _TS_COLS.get(name, ()))
-    return _rebalance_scan(df, sf_dir, name)
+    return _rebalance_scan(df, sf_dir, name) if rebalance else df
 
 
 def normalize_ts_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -161,36 +171,54 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def _row_group_count(sf_dir: str, name: str) -> int:
     """Parquet row-group count from FOOTER metadata (cached: one
-    footer read per (dir, table) per process) — the scan's maximum
-    split parallelism, which ``_rebalance_scan`` compares to the
-    session's cores. O(#files) driver-side metadata, never a scan."""
-    key = (sf_dir, name)
+    footer read per (dir, table, mtime, size) per process) — the
+    scan's maximum split parallelism, which ``_rebalance_scan``
+    compares to the session's cores. O(#files) driver-side metadata,
+    never a scan."""
+    path = table_path(sf_dir, name)
+    # mtime/size in the key (r14 ADVICE): a table rewritten at the
+    # same path within one process (fixture-regenerating tests) must
+    # not inherit a stale count
+    key = (sf_dir, name, _table_stamp(sf_dir, name))
     hit = _RG_CACHE.get(key)
     if hit is None:
         import pyarrow.parquet as pq
 
-        path = table_path(sf_dir, name)
         try:
             if os.path.isdir(path):
                 # multi-file table (tests write Spark directory
                 # outputs; deployment tables always look like this):
-                # total split parallelism = row groups across files
+                # total split parallelism = row groups across files,
+                # walked RECURSIVELY so partitioned layouts
+                # (part=.../file.parquet) count their leaves
                 hit = sum(
-                    pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
-                    for f in os.listdir(path)
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_row_groups
+                    for root, _dirs, files in os.walk(path)
+                    for f in files
                     if f.endswith(".parquet")
                 )
             else:
                 hit = pq.ParquetFile(path).metadata.num_row_groups
-        except OSError:
-            # unreadable footer: assume the scan parallelizes fine
-            # (rebalance off) rather than failing the query
+        except Exception:
+            # unreadable/corrupt footer (pyarrow raises ArrowInvalid,
+            # not OSError — r14 ADVICE): assume the scan parallelizes
+            # fine (rebalance off) rather than failing the query
             hit = 1 << 30
         _RG_CACHE[key] = hit
     return hit
 
 
-_RG_CACHE: dict[tuple[str, str], int] = {}
+def _table_stamp(sf_dir: str, name: str) -> tuple[int, int]:
+    """(mtime_ns, size) of a table path — the _RG_CACHE invalidation
+    component of the key (also used by tests to address the cache)."""
+    try:
+        st = os.stat(table_path(sf_dir, name))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
+_RG_CACHE: dict[tuple[str, str, tuple[int, int]], int] = {}
 
 
 def row_count(sf_dir: str, name: str) -> int:

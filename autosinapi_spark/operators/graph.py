@@ -57,11 +57,18 @@ def connected_components(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
-    # undirected: propagate both ways
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # undirected: propagate both ways; cached PRE-HASHED on src (r15):
+    # the InMemoryRelation keeps HashPartitioning(src) under AQE
+    # (unlike localCheckpoint — the r8 boundary in
+    # tests/test_plan_shapes.py), so every round's src-keyed label
+    # join reads the cache with NO exchange of the edge frame
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .cache()
     )
-    sym.cache()
 
     labels = verts.select("id", F.col("id").alias("comp"))
     for _ in range(max_iter):

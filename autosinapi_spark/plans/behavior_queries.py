@@ -437,7 +437,10 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    ev = load(spark, sf_dir, "events")
+    # rebalance=False: the first operation is a map-side-combining
+    # groupBy — the scan-rebalance exchange in front of it shuffles
+    # the full table for no width gain (r14 verdict ask #3)
+    ev = load(spark, sf_dir, "events", rebalance=False)
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.unix_micros(F.date_trunc("hour", F.col("ts")))).alias(
             "h_us"

@@ -175,7 +175,9 @@ def item_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(etl_pipeline.py:320).",
 )
 def key_domain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # rebalance=False: pure project+distinct — the scan-rebalance
+    # exchange is pure overhead here (r14 verdict ask #3)
+    li = load(spark, sf_dir, "lineitem", rebalance=False)
     return (
         li.select(F.col("l_partkey").alias("codigo"))
         .union(li.select(F.col("l_suppkey").alias("codigo")))

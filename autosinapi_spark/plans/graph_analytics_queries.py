@@ -151,20 +151,25 @@ def item_cooccurrence_pagerank(
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Attach outdeg ONCE and materialize the checkpoint pre-balanced
-    # on src at the canonical partition width. NOTE (r8 correction,
-    # pinned in tests/test_plan_shapes.py): under AQE localCheckpoint
-    # does NOT retain outputPartitioning (the captured adaptive plan
-    # reports unknown partitioning), so this is NOT a per-iteration
-    # shuffle elision on this engine — the iteration joins still
-    # exchange both sides (or AQE broadcasts the node-sized ranks
-    # frame at runtime); on an AQE-off session the pin removes the
-    # edge-side exchange outright.
-    edges_deg = (
-        edges.join(deg, "src")
-        .repartition("src")
-        .localCheckpoint(eager=False)
-    )
+    # Attach outdeg ONCE and PERSIST the frame pre-hashed on src (r15,
+    # the r14 verdict's ask #1): unlike localCheckpoint — whose
+    # LogicalRDD reports UNKNOWN partitioning under AQE (the r8
+    # boundary pinned in tests/test_plan_shapes.py) — an
+    # InMemoryRelation PRESERVES the repartition's HashPartitioning
+    # (canChangeCachedPlanOutputPartitioning=false, the default), so
+    # every iteration's src-keyed join reads the cached frame with NO
+    # exchange and no re-plan (ensureRequirements elides; pinned in
+    # tests/test_plan_shapes.py::test_persisted_repartition_keeps_
+    # partitioning_under_aqe). MEMORY_AND_DESER spills to disk at
+    # deployment scale — the standard iterative-graph posture (GraphX
+    # persists its edge frame the same way); the engine's bench/sim
+    # harnesses clear the SQL cache between runs, so this is intra-
+    # query reuse only, never a cross-run memo.
+    edges_deg = edges.join(deg, "src").repartition("src").persist()
+    # nodes deliberately NOT persisted (r15 A/B): the hash(id)
+    # repartition+persist variant measured 5.78s vs 4.21s solo — the
+    # node-sized cache build + per-round columnar reads cost more
+    # than the elided exchange saves on a frame this small.
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     ranks = nodes.select("id", F.lit(_PR_INIT).cast("long").alias("pr"))
     # Deliberate join strategy (guide §3.1, r14): the unrolled rounds
@@ -676,8 +681,14 @@ def kcore_item_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
-        # every round re-reads the previous edge set: pin it
-        .localCheckpoint(eager=False)
+        # every round re-reads this edge set: PERSIST it pre-hashed on
+        # src (r15, verdict ask #1) so round 1's degree groupBy(src)
+        # and every round's src-side semi join read it with NO
+        # exchange (InMemoryRelation keeps the partitioning under AQE,
+        # unlike localCheckpoint — the plan-shape pin); cache cleared
+        # between runs by the sim/bench harnesses.
+        .repartition("src")
+        .persist()
     )
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
@@ -775,24 +786,29 @@ def label_propagation_communities(
     pinning) every earlier round's lineage would re-derive per round
     (the 2^rounds recompute trap). The symmetrized edge list reuses
     the checkpointed undirected edges, so the reversal does not run
-    the basket expansion twice, and is materialized pre-balanced on
-    the join key ``v`` at the canonical partition width (the
-    symmetrizing union otherwise doubles the partition count).
-    NOTE (r8, pinned in tests/test_plan_shapes.py): under AQE,
-    localCheckpoint does NOT retain outputPartitioning, so this is a
-    layout/balance win (measured ~5-25% across scales, lower
-    variance), not a per-round shuffle elision; AQE-off sessions do
-    keep the partitioning and skip the per-round edge exchange.
+    the basket expansion twice, and is PERSISTED pre-hashed on the
+    join key ``v`` (r15): InMemoryRelation keeps the repartition's
+    HashPartitioning under AQE — unlike localCheckpoint, the r8
+    boundary pinned in tests/test_plan_shapes.py — so every round's
+    edge-side exchange is elided outright, upgrading the r14
+    layout/balance win to a true per-round shuffle elision.
     """
 
     def _ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False)
 
     und = _basket_edges(spark, sf_dir, _ck)
-    sym = _ck(
+    # persist, not localCheckpoint (r15, verdict ask #1): the cached
+    # symmetric edge frame KEEPS HashPartitioning(v) under AQE, so
+    # every round's label join reads it with NO exchange — see
+    # bfs_khop_distances / the plan-shape pin; cache cleared between
+    # runs by the sim/bench harnesses.
+    sym = (
         und.unionByName(
             und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).repartition("v")
+        )
+        .repartition("v")
+        .persist()
     )
     labels = sym.select(F.col("u").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
@@ -903,26 +919,31 @@ def bfs_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     compile-time constant, so the whole plan is _BFS_HOPS joins —
     no driver-side convergence loop at bench scale; an unbounded
     BFS would check frontier emptiness per round instead. The
-    symmetric edge list is materialized pre-balanced on the join key
-    ``src`` at the canonical partition width (the symmetrizing union
-    otherwise doubles the partition count). NOTE (r8, pinned in
-    tests/test_plan_shapes.py): under AQE, localCheckpoint does NOT
-    retain outputPartitioning, so this is a layout/balance win
-    (interleaved min-of-4 at sf0.1: 7.3s unpinned vs 6.5s pinned,
-    much lower variance), not a per-hop shuffle elision; AQE-off
-    sessions do keep the partitioning and skip the per-hop edge
-    exchange.
+    symmetric edge list is PERSISTED pre-hashed on the join key
+    ``src`` (r15): InMemoryRelation keeps the repartition's
+    HashPartitioning under AQE — unlike localCheckpoint, the r8
+    boundary pinned in tests/test_plan_shapes.py — so every hop's
+    edge-side exchange is elided outright, upgrading the r14
+    layout/balance win to a true per-hop shuffle elision.
     """
 
     def _ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False)
 
     edges = _basket_edges(spark, sf_dir, _ck)
-    sym = _ck(
+    # persist, not localCheckpoint (r15, verdict ask #1): the cached
+    # symmetric edge frame KEEPS HashPartitioning(src) under AQE, so
+    # every hop's frontier-vs-edges join reads it with NO exchange
+    # (the r8 localCheckpoint boundary does not apply to
+    # InMemoryRelation — pinned in tests/test_plan_shapes.py); the
+    # sim/bench harnesses clear the SQL cache between runs.
+    sym = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(
             edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        ).repartition("src")
+        )
+        .repartition("src")
+        .persist()
     )
     nodes = sym.select(F.col("src").alias("x")).distinct()
     seeds = (

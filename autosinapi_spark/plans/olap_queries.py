@@ -847,7 +847,10 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both win. The supplier join input is at most one row per
     supplier — broadcast side under AQE.
     """
-    li = load(spark, sf_dir, "lineitem").where(
+    # rebalance=False: date-pruned scan straight into a map-side-
+    # combining aggregate — the rebalance exchange is pure overhead
+    # (r14 verdict ask #3)
+    li = load(spark, sf_dir, "lineitem", rebalance=False).where(
         (F.col("l_shipdate") >= F.lit(_Q15_FROM).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_Q15_TO).cast("timestamp"))
     )

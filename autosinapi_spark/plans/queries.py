@@ -268,7 +268,9 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="U3 tagged UNION ALL view (database.py:129-132).",
 )
 def union_view_itens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # rebalance=False: streaming projection+union, no shuffle of its
+    # own — the scan-rebalance exchange is pure overhead (r14 ask #3)
+    li = load(spark, sf_dir, "lineitem", rebalance=False)
     a = li.select(
         F.col("l_orderkey").alias("pai_codigo"),
         F.col("l_partkey").alias("item_codigo"),

@@ -330,7 +330,14 @@ def kcore_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint(eager=False)
+        # persist pre-hashed on src (r15, verdict ask #1): every peel
+        # round's src-side semi join and degree groupBy(src) read the
+        # cached frame with NO exchange (InMemoryRelation keeps the
+        # partitioning under AQE, unlike localCheckpoint — the
+        # plan-shape pin); cache cleared between runs by the
+        # sim/bench harnesses.
+        .repartition("src")
+        .persist()
     )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     # K = E DIV N as one 1-row frame (both sides 1 row, trivially

@@ -326,14 +326,14 @@ def personalized_pagerank_nation(
     iterations seeded at one nation's supplied parts.
 
     Scale shape: identical to ``item_cooccurrence_pagerank`` — basket-
-    local k^2 pair expansion (one shuffle), edges+outdeg materialized
-    once, pre-balanced on src (under AQE a layout win, not a shuffle
-    elision — localCheckpoint drops outputPartitioning, the r8
-    boundary pinned in tests/test_plan_shapes.py), each iteration one
-    keyed join + one partial-aggregated groupBy moving only (id, long)
+    local k^2 pair expansion (one shuffle), edges+outdeg PERSISTED
+    once pre-hashed on src (r15: InMemoryRelation keeps the
+    partitioning under AQE, so every iteration's src-keyed join reads
+    it exchange-free — the plan-shape pin), each iteration one keyed
+    join + one partial-aggregated groupBy moving only (id, long)
     frames — plus one broadcast-sized seed semi-structure: the seed
     flag is attached to the node frame ONCE (node-sized left join,
-    reused every round via localCheckpoint), never recomputed. The
+    persisted hash(id), reused every round), never recomputed. The
     head cut is TakeOrdered over (pr, id), not a global rank window.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -355,9 +355,13 @@ def personalized_pagerank_nation(
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
-    )
+    # persist, not localCheckpoint (r15, verdict ask #1): the cached
+    # frame KEEPS HashPartitioning(src) under AQE, so every round's
+    # src-keyed join reads it with no exchange — see
+    # item_cooccurrence_pagerank for the full rationale and the
+    # plan-shape pin; the sim/bench harnesses clear the SQL cache
+    # between runs (intra-query reuse only).
+    edges_deg = edges.join(deg, "src").repartition("src").persist()
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation").where(
         F.col("n_name") == _PPR_NATION
@@ -373,7 +377,11 @@ def personalized_pagerank_nation(
     )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     # seed flag attached once; every iteration and the final output
-    # reuse this node-sized frame
+    # reuse this node-sized frame (localCheckpoint, deliberately NOT
+    # persist — r15 A/B: the hash(id) repartition+persist variant
+    # measured 5.93s vs 5.16s solo; the node-sized cache build plus
+    # per-round columnar reads cost more than the elided exchange
+    # saves on a frame this small)
     nodes_seed = (
         nodes.join(seeds, nodes["id"] == seeds["sid"], "left")
         .select("id", F.col("sid").isNotNull().alias("is_seed"))
@@ -534,7 +542,10 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-companion arm exists only for the bound check and
     disappears in production.
     """
-    ev = load(spark, sf_dir, "events")
+    # rebalance=False: sketch-bounded downstream state — the scan-
+    # rebalance exchange shuffles the full table for no width gain
+    # (r14 verdict ask #3; reproducibly slower in both driver runs)
+    ev = load(spark, sf_dir, "events", rebalance=False)
     in_b1 = (F.col("ts") < F.lit(_SKMV_B1_END).cast("timestamp")) & (
         F.col("event_id") % _SKMV_MOD != 0
     )
@@ -1079,12 +1090,11 @@ def sssp_weighted_distances(
     (never all-pairs) plus one (seed, node) min-combine groupBy,
     both partial-aggregated; the distance frame is node-sized, the
     edge frame is built once (basket-local pair expansion, one
-    shuffle), materialized pre-balanced on the join key ``src`` at
-    the canonical partition width, and reused every round — under
-    AQE this is a layout/balance win, not a per-round shuffle
-    elision, because localCheckpoint does not retain
-    outputPartitioning (r8 engine boundary, pinned in
-    tests/test_plan_shapes.py). localCheckpoint per round caps
+    shuffle) and PERSISTED pre-hashed on the join key ``src`` (r15):
+    InMemoryRelation keeps the repartition's HashPartitioning under
+    AQE — unlike localCheckpoint, the r8 boundary pinned in
+    tests/test_plan_shapes.py — so every relax round's edge-side
+    exchange is elided outright. localCheckpoint per round caps
     lineage exactly like the BFS/k-core loops. The round count is a
     compile-time constant; an unbounded SSSP runs the same loop to a
     driver-side fixed-point check. Weights and distances are pure
@@ -1129,11 +1139,18 @@ def sssp_weighted_distances(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     w = F.expr(f"{_SSSP_SCALE} div cnt").alias("w")
-    wed = _ck(
+    # persist, not localCheckpoint (r15, verdict ask #1): the cached
+    # weighted edge frame KEEPS HashPartitioning(src) under AQE, so
+    # every relax round joins it with NO exchange — see
+    # item_cooccurrence_pagerank / the plan-shape pin; cache cleared
+    # between runs by the sim/bench harnesses.
+    wed = (
         und.select(F.col("u").alias("src"), F.col("v").alias("dst"), w)
         .unionByName(
             und.select(F.col("v").alias("src"), F.col("u").alias("dst"), w)
-        ).repartition("src")
+        )
+        .repartition("src")
+        .persist()
     )
     nodes = wed.select(F.col("src").alias("x")).distinct()
     seeds = nodes.orderBy("x").limit(_SSSP_SEEDS)
@@ -2816,7 +2833,10 @@ def chi2_independence_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity anyway) — cardinality-bounded state either way.
     Truncating division is engine-identical (see ols_trend_fit).
     """
-    o = load(spark, sf_dir, "orders")
+    # rebalance=False: one cardinality-bounded map-side-combining
+    # groupBy off the scan — the rebalance exchange is pure overhead
+    # (r14 verdict ask #3)
+    o = load(spark, sf_dir, "orders", rebalance=False)
     cells = (
         o.groupBy(
             F.col("o_orderpriority").alias("priority"),

@@ -88,7 +88,10 @@ def streaming_window_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, type) running aggregates, which is what lets the
     streaming twin run unbounded.
     """
-    ev = load(spark, sf_dir, "events").select(
+    # rebalance=False: row-local admission predicates + one map-side-
+    # combining aggregate — the scan-rebalance exchange shuffles the
+    # full table for no width gain (r14 verdict ask #3)
+    ev = load(spark, sf_dir, "events", rebalance=False).select(
         "event_id", "ts", "event_type", "value"
     )
     in_b1 = (F.col("ts") < F.lit(_B1_END).cast("timestamp")) & (

@@ -301,6 +301,48 @@ def test_localcheckpoint_partitioning_survives_only_without_aqe(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
+def test_persisted_repartition_keeps_partitioning_under_aqe(spark):
+    """Engine boundary (r15, the persist-elision optimization): unlike
+    ``localCheckpoint`` (whose LogicalRDD reports UNKNOWN partitioning
+    under AQE — the r8 boundary pinned above), an InMemoryRelation
+    over ``repartition(key)`` PRESERVES the HashPartitioning
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    defaults to false), so a downstream join on that key exchanges
+    ONLY the probe side. This is what makes the iterative graph
+    queries' per-round edge joins exchange-free after the r15 switch
+    from ``.repartition(k).localCheckpoint()`` to
+    ``.repartition(k).persist()`` — if an engine upgrade breaks this,
+    every loop silently regains one exchange per round."""
+    from pyspark.sql import functions as F
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    edges = (
+        spark.range(0, 1000)
+        .select(
+            (F.col("id") % 97).alias("src"),
+            (F.col("id") % 89).alias("dst"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    try:
+        frontier = spark.range(0, 10).select(F.col("id").alias("node"))
+        df = frontier.join(edges, frontier["node"] == edges["src"])
+        df.write.format("noop").mode("overwrite").save()
+        plan = _plan(df)
+        # one ENSURE_REQUIREMENTS exchange (the probe side); the
+        # cached side must read straight from InMemoryTableScan. The
+        # REPARTITION_BY_COL exchange inside the InMemoryRelation's
+        # pictured build plan doesn't count — strip the picture.
+        runtime = plan.split("InMemoryRelation")[0]
+        assert runtime.count("Exchange hashpartitioning") == 1, plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        edges.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_association_rules_reuses_exchanges_at_runtime(spark):
     """association_rules_2item deliberately does NOT checkpoint its
     basket/pair frames: the checkpointed variant measured 36% slower

@@ -70,7 +70,7 @@ def test_rebalance_noop_when_row_groups_cover_cores(spark, monkeypatch):
 
     monkeypatch.setitem(
         cat._RG_CACHE,
-        (SF_SMOKE, "lineitem"),
+        (SF_SMOKE, "lineitem", cat._table_stamp(SF_SMOKE, "lineitem")),
         spark.sparkContext.defaultParallelism,
     )
     plan = _plan(load(spark, SF_SMOKE, "lineitem"))
@@ -79,10 +79,15 @@ def test_rebalance_noop_when_row_groups_cover_cores(spark, monkeypatch):
 
 def test_row_group_count_reads_footer(spark):
     assert _row_group_count(SF_SMOKE, "lineitem") >= 1
-    # cached: second call must hit the dict, not re-read
+    # cached: second call must hit the dict, not re-read (key carries
+    # the (mtime, size) stamp so a rewritten fixture invalidates)
     import autosinapi_spark.catalog as cat
 
-    assert (SF_SMOKE, "lineitem") in cat._RG_CACHE
+    assert (
+        SF_SMOKE,
+        "lineitem",
+        cat._table_stamp(SF_SMOKE, "lineitem"),
+    ) in cat._RG_CACHE
 
 
 def test_rebalanced_scan_results_unchanged(spark, monkeypatch):
