@@ -193,7 +193,7 @@ def simhash_from_hashes(hh: Column, bits: int = 16) -> Column:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 2,
@@ -225,6 +225,13 @@ def ngram_jaccard_pairs(
         base = docs.select(F.col(id_col).alias("id"), sg.alias("sg")).where(
             F.size(F.col("sg")) >= 1
         )
+        # materialize the shingle pass ONCE (r15): this frame feeds
+        # the token explode AND both verify-side rejoins, so without a
+        # checkpoint the scan+normalize+shingle pass re-executes ~3x
+        # per query. Eager for the same reason as banded_minhash: the
+        # a/b prefix stages run concurrently under AQE and a lazy
+        # checkpoint makes them race to compute the same partitions.
+        base = base.localCheckpoint(eager=True)
     else:
         base = base.select("id", "sg")
     toks = base.select("id", F.explode("sg").alias("tok"))
@@ -377,7 +384,7 @@ def banded_minhash(
 
 
 def minhash_near_dup_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 12,
@@ -431,8 +438,8 @@ def minhash_near_dup_pairs(
 
 
 def minhash_incremental_matches(
-    old_docs: DataFrame,
-    new_docs: DataFrame,
+    old_docs: DataFrame | None,
+    new_docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 12,
