@@ -19,10 +19,18 @@ dedup pass consumes.
 
 Algorithm (all ranks integers, bit-deterministic):
 
-- round 0 is FREE: the first 4 characters pack row-locally into one
-  BIGINT code (base-256 ascii, zero-padded past the document end so a
-  shorter suffix sorts first, matching binary string collation);
-- 3 doubling rounds (4 -> 8 -> 16 -> 32): each round joins every
+- round 0: the first 8 characters pack row-locally into one BIGINT
+  code (base-256 ascii, zero-padded past the document end so a
+  shorter suffix sorts first, matching binary string collation;
+  0x7F7F7F7F7F7F7F7F ~ 9.19e18 — inside int64 on ASCII only), then
+  one dense re-rank compresses the codes to <= n before any pairing
+  (r15: the pack was 4 chars + 3 doubling rounds; widening to 8
+  trades one doc-keyed lead() pass for a pairing-free round-0
+  re-rank — measured 5.66 -> 5.06 s solo at sf0.1/8 cores, ~nil at
+  32 cores where the loop is re-rank-bound, and it retires the old
+  round-1 tight spot where pair codes reached ~4.6e18 with only 2x
+  headroom);
+- 2 doubling rounds (8 -> 16 -> 32): each round joins every
   position with its ``p + step`` neighbor IN THE SAME DOCUMENT
   (missing neighbor = rank 0), then DENSELY re-ranks the (r1, r2)
   pairs so rank values stay <= n and the next round's pair encoding
@@ -31,19 +39,17 @@ Algorithm (all ranks integers, bit-deterministic):
   re-rank switches to a range-partitioned sort per shard — the
   standard large-scale SA construction — with the same round
   structure. That ceiling is a RUNTIME check too (r12 ADVICE): each
-  round's 1-row rank-bound frame raises when mr + 1 >
+  pairing round's 1-row rank-bound frame raises when mr + 1 >
   floor(sqrt(2^63 - 1)) = 3037000499, so a ~3e9-distinct-rank corpus
-  errors loudly with the remediation named instead of overflowing. Round 1 is the tight spot: its r1 values are the packed
-  codes themselves (max 127 * 0x01010101 ~ 2.1e9 on ASCII), so
-  round-1 pair codes reach ~4.6e18 — inside int64 with 2x headroom
-  on ASCII, but any codepoint past 127 (Spark ``ascii`` returns the
-  full codepoint — even Latin-1's 255 puts mr at ~4.3e9, whose
-  square exceeds 2^63) would overflow the pair space: such a corpus
-  must pack fewer characters or byte-normalize first. This is now a
-  RUNTIME guard, not just a docstring hazard (r11 ADVICE): the query
-  raises via ``raise_error`` on the first codepoint > 127, so a
-  non-ASCII corpus errors loudly instead of overflowing (ANSI) or
-  silently corrupting ranks. The fixture-ASCII guard
+  errors loudly with the remediation named instead of overflowing;
+  with the round-0 re-rank every pairing round's mr is a dense-rank
+  count <= n, so that ONE guard covers them uniformly. Any codepoint
+  past 127 (Spark ``ascii`` returns the full codepoint) would
+  overflow the 8-char pack itself (128 * 256^7 == 2^63): a RUNTIME
+  guard (r11 ADVICE) raises via ``raise_error`` on the first
+  codepoint > 127, so a non-ASCII corpus errors loudly instead of
+  overflowing (ANSI) or silently corrupting ranks — such a corpus
+  must byte-normalize first. The fixture-ASCII guard
   (tests/test_multimodal.py) protects the oracle comparison for the
   same reason (codepoint order vs binary collation).
 - the dense re-rank itself never sorts globally: pair codes are cut
@@ -89,8 +95,8 @@ from .registry import register
 STAGED: dict = {}
 
 
-_SFX_PACK = 4  # characters packed row-locally into the round-0 rank
-_SFX_ROUNDS = 3  # doubling rounds: 4 -> 8 -> 16 -> 32
+_SFX_PACK = 8  # characters packed row-locally into the round-0 code
+_SFX_ROUNDS = 2  # doubling rounds: 8 -> 16 -> 32
 _SFX_WINDOW = _SFX_PACK * (2 ** _SFX_ROUNDS)  # = 32
 _SFX_NBLK = 4096  # contiguous value-range blocks per dense re-rank
 _SFX_TOP = 500  # emitted lexicographic head
@@ -122,7 +128,8 @@ _SFX_SQL = f"""
     _SFX_SQL,
     doc=f"Distributed suffix ranking by prefix doubling (Manber-Myers; "
     f"the Lee-et-al exact-substring-dedup index): dense rank of every "
-    f"position's {_SFX_WINDOW}-char window via a packed 4-char round 0 "
+    f"position's {_SFX_WINDOW}-char window via a packed {_SFX_PACK}-"
+    f"char densely re-ranked round 0 "
     f"plus {_SFX_ROUNDS} dense-re-rank doubling rounds (hierarchical "
     "value-range blocking, never a global sort); emits the "
     f"top-{_SFX_TOP} lexicographic head with duplicate-window counts "
@@ -184,16 +191,15 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i AS p, CAST({pack} AS BIGINT) AS r))"
     )
     # codepoint guard (runtime, not just docstring — r11 ADVICE): the
-    # int64 budget for round-1 pair codes r1*(mr+1)+r2 only holds for
-    # ASCII — packed codes reach (cp_max * 0x01010101), so cp_max 127
-    # gives mr ~2.1e9 and pair codes ~4.6e18 (2x headroom), while
-    # even Latin-1 (cp_max 255, mr ~4.3e9) squares to ~1.8e19 > 2^63.
-    # Wider codepoints additionally break the one-digit base-256
-    # ordering. Raise loudly on the first codepoint > 127 instead of
-    # overflowing (ANSI) or silently corrupting ranks (non-ANSI). The
-    # check is embedded in the USED doc_id projection (a bare
-    # withColumn would be pruned by Catalyst); one rlike pass per
-    # row, row-local.
+    # 8-char base-256 pack only fits int64 for ASCII — cp_max 127
+    # tops out at 0x7F7F7F7F7F7F7F7F ~ 9.19e18, while a single
+    # codepoint >= 128 in the leading slot already reaches
+    # 128 * 256^7 == 2^63. Wider codepoints additionally break the
+    # one-digit base-256 ordering. Raise loudly on the first
+    # codepoint > 127 instead of overflowing (ANSI) or silently
+    # corrupting ranks (non-ANSI). The check is embedded in the USED
+    # doc_id projection (a bare withColumn would be pruned by
+    # Catalyst); one rlike pass per row, row-local.
     guarded = docs.select(
         F.when(
             # NULL text must PASS the guard (rlike(NULL) is NULL,
@@ -209,8 +215,8 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(
                     F.lit(
                         "suffix_window_rank: non-ASCII codepoint "
-                        "(packed codes past ascii 127 overflow the "
-                        "int64 round-1 pair space; byte-normalize "
+                        "(codepoints past ascii 127 overflow the "
+                        "int64 8-char round-0 pack; byte-normalize "
                         "or reduce _SFX_PACK first) in doc "
                     ),
                     F.col("doc_id").cast("string"),
@@ -282,59 +288,16 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mr")
         )
 
-    # round-0 rank bound: one Θ(n) max over the packed codes — the
-    # only corpus-sized bound scan; later rounds derive it from the
-    # NBLK-sized block counts (dense re-rank => max rank == distinct
-    # code count == sum of block counts)
-    maxr = _guard_mr(pos.agg(F.max("rank").alias("mr")))
-    for rnd in range(_SFX_ROUNDS):
-        # neighbor rank at p + step via lead() over the doc-local
-        # position order: positions are DENSE per document (sequence
-        # over length), so lead(rank, step) is exactly the rank at
-        # p + step — one doc_id-keyed exchange + a per-doc sort
-        # (bounded by document length) instead of the two Θ(n)
-        # exchanges and hash build of the (doc_id, p) self-join this
-        # replaced; null past the document end = the 0 sentinel
-        # (shorter suffix sorts first, binary collation)
-        w_doc = Window.partitionBy("doc_id").orderBy("p")
-        # One blk-keyed exchange carries the WHOLE dense re-rank
-        # (r14 optimization): dense_rank over the NON-distinct
-        # position frame within each value-range block, plus an
-        # exclusive prefix sum of per-block distinct counts, equals
-        # the global dense rank of v bit-for-bit — the former shape
-        # (distinct -> block -> row_number -> join back on v) ran the
-        # same logic through FOUR Θ(n) exchanges per round (distinct
-        # hash, window re-hash, and both join sides); this one runs
-        # through ONE (the blk repartition; the window and the
-        # per-block count both reuse it: HashPartitioning(blk)
-        # satisfies both required distributions). Equal v always
-        # lands in one block (blk = v DIV width), so within-block
-        # dense_rank + cross-block offsets compose to the global
-        # rank; max(dense_rank) per block IS the block's distinct
-        # count, so the offset frame needs no separate distinct.
-        paired = (
-            cur.select(
-                "doc_id",
-                "p",
-                F.col("rank").alias("r1"),
-                F.coalesce(
-                    F.lead("rank", step).over(w_doc),
-                    F.lit(0).cast("long"),
-                ).alias("r2"),
-            )
-            .crossJoin(F.broadcast(maxr))
-            .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
-            .withColumn(
-                "blk",
-                F.expr(
-                    f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
-                    f"DIV {_SFX_NBLK})"
-                ),
-            )
-            .repartition("blk")
-        )
+    # One blk-keyed exchange carries each dense re-rank (r14 shape):
+    # dense_rank over the NON-distinct frame within value-range
+    # blocks + an exclusive prefix sum of per-block max(dense_rank)
+    # (== the block's distinct count) composes to the global dense
+    # rank bit-for-bit; the window and the per-block count both reuse
+    # the one HashPartitioning(blk) exchange. Shared by round 0 and
+    # the doubling rounds (r15 refactor).
+    def _rerank(blocked: DataFrame) -> tuple[DataFrame, DataFrame]:
         w_in = Window.partitionBy("blk").orderBy("v")
-        ranked_rows = paired.select(
+        ranked_rows = blocked.select(
             "doc_id",
             "p",
             "blk",
@@ -358,15 +321,78 @@ def suffix_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("c").over(w_off), F.lit(0).cast("long"))
             .alias("off"),
         )
-        # no checkpoint here: cur is a row-local broadcast-offset map
-        # over the CHECKPOINTED ranked_rows, so every consumer re-read
-        # (next round's window; post-loop head + dup counts) re-runs
-        # only that cheap map, never the Θ(n) re-rank behind it
-        cur = ranked_rows.join(F.broadcast(offs), "blk").select(
+        # no checkpoint on the result: it is a row-local
+        # broadcast-offset map over the CHECKPOINTED ranked_rows, so
+        # every consumer re-read re-runs only that cheap map, never
+        # the Θ(n) re-rank behind it
+        ranked = ranked_rows.join(F.broadcast(offs), "blk").select(
             "doc_id",
             "p",
             (F.col("off") + F.col("dr")).cast("long").alias("rank"),
         )
+        return ranked, counts
+
+    # round 0.5 (r15, the pack-widening): 8-char packed codes
+    # (<= 0x7F7F..7F ~ 9.19e18) no longer fit the r1*(mr+1)+r2 pair
+    # encoding, so they are densely re-ranked ONCE before the first
+    # pairing round — the same 1-exchange machinery, minus the lead()
+    # pairing. The code-space bound is one Θ(n) max over the packed
+    # codes (the only corpus-sized bound scan; later rounds derive
+    # theirs from the NBLK-sized block counts). No _guard_mr here:
+    # the packed-code magnitude is pack-bounded (ASCII guard above),
+    # and these codes never enter a pair encoding.
+    sp0 = pos.agg((F.max("rank") + F.lit(1).cast("long")).alias("sp"))
+    blocked0 = (
+        pos.select("doc_id", "p", F.col("rank").alias("v"))
+        .crossJoin(F.broadcast(sp0))
+        .withColumn(
+            "blk",
+            F.expr(f"v DIV ((sp + {_SFX_NBLK - 1}) DIV {_SFX_NBLK})"),
+        )
+        .repartition("blk")
+    )
+    cur, counts = _rerank(blocked0)
+    # pairing-round rank bound: dense re-rank => max rank == distinct
+    # code count == sum of block counts — uniformly <= n, so every
+    # pairing round (round 1 included, unlike the 4-char shape whose
+    # round-1 mr was the raw packed-code magnitude) sits under the
+    # one 3037000499 pair-space guard
+    maxr = _guard_mr(counts.agg(F.sum("c").cast("long").alias("mr")))
+    for rnd in range(_SFX_ROUNDS):
+        # neighbor rank at p + step via lead() over the doc-local
+        # position order: positions are DENSE per document (sequence
+        # over length), so lead(rank, step) is exactly the rank at
+        # p + step — one doc_id-keyed exchange + a per-doc sort
+        # (bounded by document length) instead of the two Θ(n)
+        # exchanges and hash build of the (doc_id, p) self-join this
+        # replaced; null past the document end = the 0 sentinel
+        # (shorter suffix sorts first, binary collation)
+        w_doc = Window.partitionBy("doc_id").orderBy("p")
+        # Pair codes v = r1 * (mr + 1) + r2 (both <= mr) order exactly
+        # like the (r1, r2) tuples, so the shared _rerank over v IS
+        # the dense re-rank of the doubled windows.
+        paired = (
+            cur.select(
+                "doc_id",
+                "p",
+                F.col("rank").alias("r1"),
+                F.coalesce(
+                    F.lead("rank", step).over(w_doc),
+                    F.lit(0).cast("long"),
+                ).alias("r2"),
+            )
+            .crossJoin(F.broadcast(maxr))
+            .withColumn("v", F.expr("r1 * (mr + 1) + r2"))
+            .withColumn(
+                "blk",
+                F.expr(
+                    f"v DIV (((mr + 1) * (mr + 1) + {_SFX_NBLK - 1}) "
+                    f"DIV {_SFX_NBLK})"
+                ),
+            )
+            .repartition("blk")
+        )
+        cur, counts = _rerank(paired)
         # next round's rank bound from the block counts (<= NBLK rows)
         # instead of re-scanning the Θ(n) position frame: the re-rank
         # is dense, so max rank == total distinct codes == sum(c)

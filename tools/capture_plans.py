@@ -1,7 +1,13 @@
 """Capture .explain('formatted') for registered queries into plans/<round>/.
 
-Usage: python tools/capture_plans.py <suffix> [query ...]
+Usage: python tools/capture_plans.py <suffix> [--exec] [query ...]
   suffix: 'before' or 'after' (file name tag)
+  --exec: materialize through the noop sink FIRST, so the captured
+          AdaptiveSparkPlan is the runtime-final one
+          (isFinalPlan=true). Without it the initial AQE plan is
+          captured, which still shows ENSURE_REQUIREMENTS exchanges
+          that AQE elides at runtime (e.g. above a cached frame whose
+          partitioning is only known once the cache is built).
   query:  optional subset; default = every registered query.
   round dir: $SPARK_GRAFT_PLANS_ROUND (default r15).
 
@@ -25,6 +31,8 @@ sys.path.insert(0, _REPO)
 def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
+    do_exec = "--exec" in names
+    names = [n for n in names if n != "--exec"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     import __spark_entry__ as entrymod
@@ -42,9 +50,22 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             df = fn(spark, sf_dir)
+            if do_exec:
+                df.write.format("noop").mode("overwrite").save()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
+            if do_exec:
+                # mirror the bench's between-query cleanup so one
+                # query's persisted frames don't linger into the next
+                import gc
+
+                gc.collect()
+                spark.catalog.clearCache()
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist(False)
         except Exception:
             plan = "PLAN CAPTURE FAILED:\n" + traceback.format_exc()
         (out_dir / f"{name}_{suffix}.txt").write_text(plan)
