@@ -43,6 +43,19 @@ _DEFAULTS = {
         "SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"
     ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # shuffle/spill codec (guide §2.3/§6): zstd compresses markedly
+    # better than lz4 for a bit more CPU — a bandwidth-vs-CPU trade
+    # that favors zstd on network-bound clusters and lz4 on a
+    # single-box local[] where "network" is memcpy. A/B'd at sf0.1 on
+    # the 6 most shuffle-heavy rows (OPTIMIZATION_r15.md): a wash
+    # locally (zstd -1.3% total, per-query mixed within +-8% noise;
+    # shuffles here are KB-MB sized so codec CPU ~ codec win). The
+    # LOCAL default therefore stays Spark's lz4 — keeping the
+    # driver's bench comparable — and network-bound deployments opt
+    # into zstd via this env (DEPLOY.md).
+    "spark.io.compression.codec": os.environ.get(
+        "SPARK_GRAFT_IO_CODEC", "lz4"
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # fixture parquet carries INT64 TIMESTAMP(NANOS); see catalog.load
