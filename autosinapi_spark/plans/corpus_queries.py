@@ -2169,7 +2169,7 @@ def _rrf_arms(
     ``hybrid_search_rrf`` (fusion) and ``hybrid_pooled_recall_eval``
     (arm-vs-fusion quality harness), so the two queries evaluate the
     IDENTICAL retrieval systems."""
-    from ..functions.vectors import as_double, dot_fixed, norm
+    from ..functions.vectors import as_double, sql_dot
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
@@ -2233,10 +2233,13 @@ def _rrf_arms(
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(
-                dot_fixed(F.col("qv"), F.col("v"), 64)
-                / (norm(F.col("qv")) * norm(F.col("v"))),
-                6,
+            # one parsed SQL string, not ~190 py4j Column round trips
+            # (r15); sqrt(straight-line self-dot) == the HOF norm
+            # fold bit-for-bit — see functions.vectors.sql_dot
+            F.expr(
+                f"round({sql_dot('qv', 'v', 64)} / "
+                f"(sqrt({sql_dot('qv', 'qv', 64)}) * "
+                f"sqrt({sql_dot('v', 'v', 64)})), 6)"
             ).alias("cos"),
         )
     )

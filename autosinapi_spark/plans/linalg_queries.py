@@ -225,35 +225,43 @@ def _dominant_eigvec(spark: SparkSession, mframe: DataFrame) -> DataFrame:
     the same ascending order and left-association as the oracle's
     scalar chains (0.0 + x == x bitwise), so the eigenvector is
     bit-identical — pinned by the sim compare and the numpy tests.
+
+    r15: the matrix is COLLECTED once (bounded — D x D = 4096
+    doubles) and the squarings run in pure PYTHON on the driver; the
+    eigenvector returns as a SQL array literal. The former shape
+    eagerly localCheckpoint-ed every squaring (~0.13 s of driver-side
+    planning per step, x7 per eigenvector, x2 eigenvectors in the
+    top-2 query — ~2 s of that query's 2.15 s wall was plan
+    construction + 1-row jobs); a lazy chain is no alternative (the
+    analyzer re-analyzes the whole subquery tree per step — measured
+    10.7 s). Bit-parity holds EXACTLY, not approximately: Python
+    floats are IEEE doubles with the same semantics as the JVM's;
+    ``sum()`` seeds at int 0 and folds left-associated (0 + x == x
+    and 0.0 + x == x exactly), matching the SQL
+    ``aggregate(..., 0.0D, acc + ...)`` folds' order term for term;
+    ``math.sqrt`` is correctly rounded like java.lang.Math.sqrt; and
+    the literal round trip is exact (collect yields IEEE doubles,
+    repr() is shortest-round-trip, the D literal parses correctly
+    rounded). NOT numpy — BLAS reassociates sums. Verified exceptAll
+    == 0 both ways at sf0.01 AND sf0.1, plus the pinned numpy tests.
     """
-    d1 = _D - 1
-    sq = f"""
-        SELECT transform(mm, row -> transform(sequence(0, {d1}), j ->
-                 aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
-                           (acc, k) -> acc + row[k] * mm[k][j]) / tr))
-               AS m
-        FROM (SELECT m AS mm,
-                     aggregate(sequence(0, {d1}), CAST(0.0 AS DOUBLE),
-                       (acc, i) -> acc + aggregate(sequence(0, {d1}),
-                         CAST(0.0 AS DOUBLE),
-                         (a2, k) -> a2 + m[i][k] * m[k][i])) AS tr
-              FROM {{a}})
-        """
-    a = mframe
+    import math
+
+    rng = range(_D)
+    m = [list(r) for r in mframe.select("m").collect()[0]["m"]]
     for _ in range(_PI_SQUARINGS):
-        a = spark.sql(sq, a=a).localCheckpoint(eager=True)
+        # same event order as the SQL folds: tr from mm, then every
+        # product cell divided by tr
+        tr = sum(sum(m[i][k] * m[k][i] for k in rng) for i in rng)
+        m = [
+            [sum(m[i][k] * m[k][j] for k in rng) / tr for j in rng]
+            for i in rng
+        ]
+    w = [sum(m[i][j] for j in rng) for i in rng]
+    nrm = math.sqrt(sum(x * x for x in w))
+    ev = [x / nrm for x in w]
     return spark.sql(
-        f"""
-        SELECT transform(w, wi -> wi / SQRT(nrm)) AS ev
-        FROM (SELECT w, aggregate(w, CAST(0.0 AS DOUBLE),
-                                  (acc, x) -> acc + x * x) AS nrm
-              FROM (SELECT transform(sequence(0, {d1}), i ->
-                      aggregate(sequence(0, {d1}),
-                                CAST(0.0 AS DOUBLE),
-                                (acc, j) -> acc + m[i][j])) AS w
-                    FROM {{a}}))
-        """,
-        a=a,
+        "SELECT array(" + ",".join(f"{x!r}D" for x in ev) + ") AS ev"
     )
 
 

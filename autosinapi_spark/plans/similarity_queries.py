@@ -27,6 +27,8 @@ from ..functions.vectors import (
     norm,
     rademacher_planes,
     sq_dist_fixed,
+    sql_dot,
+    sql_sqdist,
 )
 from .registry import davg, dsum, register
 
@@ -833,20 +835,12 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
         "__nv", norm(F.col("v"))
     ).crossJoin(broadcast(cents)).select(
         *cols,
-        F.array_sort(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    (
-                        -F.round(
-                            dot_fixed(F.col("v"), c["cv"], _DIM)
-                            / (F.col("__nv") * c["cn"]),
-                            6,
-                        )
-                    ).alias("ncos"),
-                    c["cid"].alias("cid"),
-                ),
-            )
+        # one parsed SQL string (r15); named_struct field order
+        # matches the former struct — bit-identical sort and result
+        F.expr(
+            "array_sort(transform(cents, c -> named_struct('ncos', "
+            f"-round({sql_dot('v', 'c.cv', _DIM)} / (__nv * c.cn), 6), "
+            "'cid', c.cid)))"
         ).alias("ranked"),
     )
 
@@ -1229,20 +1223,16 @@ def _sem_oracle() -> str:
 
 
 def _sem_sql_dot(a: str, b: str, dim: int) -> str:
-    """Straight-line left-associated dot product as a Spark-SQL
-    fragment — the SQL twin of ``dot_fixed`` (same accumulation order
-    as DuckDB's list_dot_product, so results are bit-identical). For
-    self-dots this also equals the HOF ``norm`` fold bit-for-bit:
-    the fold's 0.0 seed is absorbed exactly because every x*x term
-    is >= +0.0 (IEEE 0.0 + t == t for any non-negative t)."""
-    return (
-        "("
-        + " + ".join(
-            f"element_at({a}, {i}) * element_at({b}, {i})"
-            for i in range(1, dim + 1)
-        )
-        + ")"
-    )
+    """Module-local alias of :func:`functions.vectors.sql_dot` (the
+    fragment generator was promoted there in r15 so other plan
+    modules share it)."""
+    return sql_dot(a, b, dim)
+
+
+def _sql_sqdist(a: str, b: str, dim: int) -> str:
+    """Module-local alias of :func:`functions.vectors.sql_sqdist`
+    (promoted in r15; see sql_dot for the convention)."""
+    return sql_sqdist(a, b, dim)
 
 
 def _sem_cell_sql(q: int) -> str:
@@ -1563,19 +1553,12 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     cents = codebook.groupBy("m").agg(
         F.collect_list(F.struct("cid", "cv")).alias("cents")
     )
-    best = F.element_at(
-        F.array_sort(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    F.round(_pq_sub_dist(F.col("sv"), c["cv"]), 6).alias(
-                        "dist6"
-                    ),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
+    # one parsed SQL string (r15); named_struct field order matches
+    # the former struct — bit-identical argmin
+    best = F.expr(
+        "element_at(array_sort(transform(cents, c -> named_struct("
+        f"'dist6', round({sql_sqdist('sv', 'c.cv', _PQ_DS)}, 6), "
+        "'cid', c.cid))), 1)"
     )
     return subs.join(broadcast(cents), "m").select(
         "vec_id",
@@ -2018,32 +2001,43 @@ def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
 
-    def assign(cents: DataFrame, keep_v: bool) -> DataFrame:
-        one = cents.agg(
-            F.collect_list(F.struct("cid", "cv")).alias("cents")
-        )
-        best = F.element_at(
-            F.array_sort(
-                F.transform(
-                    "cents",
-                    lambda c: F.struct(
-                        F.round(
-                            sq_dist_fixed(F.col("v"), c["cv"], _DIM), 6
-                        ).alias("dist6"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            ),
-            1,
+    # r15 restructure (2.97 -> measured below, solo sf0.1): the former
+    # shape kept centroids in checkpointed frames riding a broadcast;
+    # profiling showed ~90% of the query was DRIVER time — ~1.2 s of
+    # py4j Column construction in three sq_dist_fixed transform
+    # lambdas plus ~1.6 s of localCheckpoint planning over the
+    # deepening lineage. Centroids are now COLLECTED per Lloyd
+    # iteration (K x dim doubles — the bounded class; pyspark.ml's
+    # KMeans collects its centroids every iteration the same way) and
+    # inlined as a SQL literal in the next assignment, so each
+    # iteration is one shallow plan and the argmin is ONE parsed SQL
+    # string. Bit-parity: collect yields IEEE doubles, repr() is
+    # shortest-round-trip, the D literal parses correctly rounded,
+    # and named_struct field order (dist6, cid) preserves the
+    # array_sort tie-break — verified exceptAll == 0 both ways at
+    # sf0.01 AND sf0.1 against the former shape.
+    def assign_lit(
+        cents: list[tuple[int, list[float]]], keep_v: bool
+    ) -> DataFrame:
+        arr = "array(" + ",".join(
+            f"named_struct('cid', {cid}L, 'cv', array("
+            + ",".join(f"{x!r}D" for x in cv)
+            + "))"
+            for cid, cv in cents
+        ) + ")"
+        best = F.expr(
+            f"element_at(array_sort(transform({arr}, c -> named_struct("
+            f"'dist6', round({_sql_sqdist('v', 'c.cv', _DIM)}, 6), "
+            "'cid', c.cid))), 1)"
         )
         cols = ["vec_id"] + (["v"] if keep_v else [])
-        return e.crossJoin(broadcast(one)).select(
+        return e.select(
             *cols,
             best["cid"].alias("cid"),
             best["dist6"].alias("dist6"),
         )
 
-    def recompute(assigned: DataFrame) -> DataFrame:
+    def recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
         cmean = (
             assigned.select(
                 "cid", F.posexplode("v").alias("dim0", "val")
@@ -2051,22 +2045,25 @@ def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", (F.col("dim0") + 1).alias("dim"), "val")
             .groupBy("cid", "dim")
             .agg(davg(F.col("val"), "val", 8))
+            .collect()
         )
-        return cmean.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "val"))),
-                lambda s: s["val"],
-            ).alias("cv")
-        # K x dim tiny, but its lineage replays the full prior
-        # iteration per consumer: materialize once (PQ cb precedent)
-        ).localCheckpoint(eager=False)
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in cmean:
+            by_cid.setdefault(r["cid"], []).append((r["dim"], r["val"]))
+        return [
+            (cid, [v for _, v in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
 
-    c0 = e.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    cb1 = recompute(assign(c0, keep_v=True))
-    cb2 = recompute(assign(cb1, keep_v=True))
-    return assign(cb2, keep_v=False).select(
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.where(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cb1 = recompute(assign_lit(c0, keep_v=True))
+    cb2 = recompute(assign_lit(cb1, keep_v=True))
+    return assign_lit(cb2, keep_v=False).select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
         F.col("dist6").alias("dist"),
@@ -2453,21 +2450,15 @@ def _imi_scored(emb: DataFrame, n: int) -> DataFrame:
 
     def ranked_half(vcol: str, ccol: str, ncol: str):
         # per-half centroid ranking, row-local over the broadcast
-        # codebook array: (-cos6, cid) structs sorted best-first
-        return F.array_sort(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    (
-                        -F.round(
-                            dot_fixed(F.col(vcol), c[ccol], _IMI_HALF)
-                            / (F.col(f"__n{vcol}") * c[ncol]),
-                            6,
-                        )
-                    ).alias("ncos"),
-                    c["cid"].alias("cid"),
-                ),
-            )
+        # codebook array: (-cos6, cid) structs sorted best-first —
+        # ONE parsed SQL string (r15, the big-uniform-plan
+        # construction trap); named_struct field order matches the
+        # former struct, so the sort and result are bit-identical
+        return F.expr(
+            "array_sort(transform(cents, c -> named_struct('ncos', "
+            f"-round({sql_dot(vcol, 'c.' + ccol, _IMI_HALF)} / "
+            f"(__n{vcol} * c.{ncol}), 6), "
+            "'cid', c.cid)))"
         )
 
     return (
@@ -2836,14 +2827,37 @@ def mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row query vector, row-local cosine) and localCheckpoint-pinned;
     each of the K bounded rounds is one distributed argmax —
     ``orderBy().limit(1)`` compiles to TakeOrderedAndProject, a
-    per-partition top-1 merged on the driver — over the corpus with
-    the <= K selected vectors riding a one-row broadcast (max-sim is
-    an array_max over at most K row-local cosines; norms precomputed
-    per corpus row, never per selected element). Nothing is
-    collected: the selected set stays a 1-row DataFrame of arrays and
-    each round's winner is localCheckpoint-pinned so round lineage
-    does not re-derive earlier argmaxes.
+    per-partition top-1 merged on the driver — over the corpus, with
+    the <= K selected vectors inlined as LITERALS in the round's
+    score expression (max-sim is an array_max over at most K
+    row-local cosines). The greedy selection is inherently
+    driver-synchronized per round (each winner must be known before
+    the next argmax), so each round's 1-row winner is collect()-ed —
+    the bounded-probe class (K rows x dim doubles total, same as the
+    epsilon-pagerank convergence probes). r15, two stacked fixes
+    (4.04 -> 1.82 s solo at sf0.1): (a) the former shape kept winners
+    in 1-row checkpointed frames and re-broadcast the selected set
+    each round — ~3 Spark jobs per round (checkpoint materialization
+    + broadcast build + argmax) for the same driver-side data
+    movement, since a BroadcastExchange collects to the driver too;
+    now one argmax job per round. (b) plan CONSTRUCTION alone was
+    2.7 s: dot_fixed/norm built ~190 py4j Column objects per call
+    (once in base, once per round inside the transform lambda) — the
+    documented big-uniform-plan trap; every similarity expression is
+    now ONE parsed SQL string. Literal round trip is exact: collect
+    yields IEEE doubles, repr() is shortest-round-trip, and the SQL
+    ``...D`` literal parses correctly rounded, so scores are
+    bit-identical (verified exceptAll == 0 both ways vs the former
+    shape at sf0.01 AND sf0.1).
     """
+    # every similarity expression is ONE parsed SQL string via
+    # _sem_sql_dot, not a dot_fixed/norm Column tree (~190 py4j round
+    # trips per call — the documented big-uniform-plan trap; plan
+    # CONSTRUCTION alone was 2.7 s of the 4.2 s wall); bit-identical
+    # per _sem_sql_dot's accumulation-order note.
+    def _dot_sql(a: str, b: str) -> str:
+        return _sem_sql_dot(a, b, _DIM)
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -2856,67 +2870,63 @@ def mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "v",
-            norm(F.col("v")).alias("nv"),
-            F.round(
-                dot_fixed(F.col("v"), F.col("qv"), _DIM)
-                / (norm(F.col("v")) * F.col("nq")),
-                6,
+            F.expr(f"sqrt({_dot_sql('v', 'v')})").alias("nv"),
+            F.expr(
+                f"round(({_dot_sql('v', 'qv')}) / "
+                f"(sqrt({_dot_sql('v', 'v')}) * nq), 6)"
             ).alias("rel"),
         )
         .localCheckpoint(eager=False)
     )
     lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
-    picked: list[DataFrame] = []
-    sel_rows: DataFrame | None = None
+    out_rows: list[tuple[int, int, float]] = []
+    sel_ids: list[int] = []
+    sel_vecs: list[list[float]] = []
     for i in range(1, _MMR_K + 1):
-        if sel_rows is None:
+        if not sel_ids:
             scored = base.select(
                 "vec_id", "v", (F.lit(lam) * F.col("rel")).alias("score")
             )
         else:
-            sel = sel_rows.agg(
-                F.collect_list("vec_id").alias("sids"),
-                F.collect_list("v").alias("svs"),
+            # selected vectors as a SQL array literal inside the one
+            # parsed maxsim expression (repr() is shortest-round-trip
+            # and the D literal parses correctly rounded — exact);
+            # norm(s) stays inside the lambda exactly as before so
+            # the arithmetic event order is unchanged
+            svs = "array(" + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+                for vec in sel_vecs
+            ) + ")"
+            maxsim = (
+                f"array_max(transform({svs}, s -> "
+                f"round(({_dot_sql('v', 's')}) / "
+                f"(nv * sqrt({_dot_sql('s', 's')})), 6)))"
             )
-            maxsim = F.array_max(
-                F.transform(
-                    "svs",
-                    lambda s: F.round(
-                        dot_fixed(F.col("v"), s, _DIM)
-                        / (F.col("nv") * norm(s)),
-                        6,
-                    ),
-                )
-            )
-            scored = (
-                base.crossJoin(broadcast(sel))
-                .where(~F.array_contains(F.col("sids"), F.col("vec_id")))
-                .select(
-                    "vec_id",
-                    "v",
-                    (F.lit(lam) * F.col("rel") - F.lit(mu) * maxsim).alias(
-                        "score"
-                    ),
-                )
-            )
-        cur = (
-            scored.orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        picked.append(
-            cur.select(
-                F.lit(i).cast("bigint").alias("sample_rank"),
+            scored = base.where(
+                ~F.col("vec_id").isin(sel_ids)
+            ).select(
                 "vec_id",
+                "v",
+                F.expr(f"{lam}D * rel - {mu}D * {maxsim}").alias("score"),
+            )
+        win = (
+            scored.select(
+                "vec_id",
+                "v",
+                "score",
+                # round in Spark, not Python (banker's rounding)
                 F.round("score", 6).alias("mmr_score"),
             )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
         )
-        piece = cur.select("vec_id", "v")
-        sel_rows = piece if sel_rows is None else sel_rows.unionByName(piece)
-    out = picked[0]
-    for p in picked[1:]:
-        out = out.unionByName(p)
-    return out
+        out_rows.append((i, win["vec_id"], win["mmr_score"]))
+        sel_ids.append(win["vec_id"])
+        sel_vecs.append(list(win["v"]))
+    return spark.createDataFrame(
+        out_rows, "sample_rank BIGINT, vec_id BIGINT, mmr_score DOUBLE"
+    )
 
 
 # --- SQ8 scalar-quantized ANN (8-bit codes + exact rerank) -----------
@@ -3054,18 +3064,20 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    # per-dim range stats as TWO parsed SQL aggregates, not 2*dim
+    # py4j-built Columns (r15 — the big-uniform-plan construction
+    # trap; same aggregates, same values)
     st = emb.agg(
-        *[
-            F.min(F.element_at("v", i)).alias(f"mn{i}")
-            for i in range(1, _DIM + 1)
-        ],
-        *[
-            F.max(F.element_at("v", i)).alias(f"mx{i}")
-            for i in range(1, _DIM + 1)
-        ],
-    ).select(
-        F.array(*[f"mn{i}" for i in range(1, _DIM + 1)]).alias("mn"),
-        F.array(*[f"mx{i}" for i in range(1, _DIM + 1)]).alias("mx"),
+        F.expr(
+            "array("
+            + ",".join(f"min(element_at(v, {i}))" for i in range(1, _DIM + 1))
+            + ")"
+        ).alias("mn"),
+        F.expr(
+            "array("
+            + ",".join(f"max(element_at(v, {i}))" for i in range(1, _DIM + 1))
+            + ")"
+        ).alias("mx"),
     )
     dq = (
         emb.crossJoin(broadcast(st))
@@ -3080,7 +3092,9 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(dot_fixed(F.col("qd"), F.col("d"), _DIM), 6).alias(
+        # one parsed SQL string (bit-identical to dot_fixed — see
+        # _sem_sql_dot), not ~190 py4j Column round trips
+        F.expr(f"round({_sem_sql_dot('qd', 'd', _DIM)}, 6)").alias(
             "approx"
         ),
     )
@@ -3102,10 +3116,12 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
-                dot_fixed(F.col("qv"), F.col("cv"), _DIM)
-                / (norm(F.col("qv")) * norm(F.col("cv"))),
-                6,
+            # parsed SQL; sqrt(straight-line self-dot) == the HOF
+            # norm fold bit-for-bit (see _sem_sql_dot's note)
+            F.expr(
+                f"round({_sem_sql_dot('qv', 'cv', _DIM)} / "
+                f"(sqrt({_sem_sql_dot('qv', 'qv', _DIM)}) * "
+                f"sqrt({_sem_sql_dot('cv', 'cv', _DIM)})), 6)"
             ).alias("cos_sim"),
         )
     )
