@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 
 def as_double(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
+    """Array-level cast, not a per-element ``transform`` lambda (r15):
+    ``cast(array<float> as array<double>)`` applies the identical
+    element cast (float→double widening is exact) inside codegen,
+    where the HOF form is interpreted per element and allocates a
+    lambda frame per row."""
+    return v.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -93,6 +98,57 @@ def sql_sqdist(a: str, b: str, dim: int) -> str:
         )
         + ")"
     )
+
+
+def sql_plane_dot(v: str, plane: list[float]) -> str:
+    """<v, plane> as a SQL fragment with the plane weights inlined as
+    double literals (``{x!r}D`` — repr is shortest-round-trip, the D
+    literal parses correctly rounded, the established inline-literal
+    convention). The fold is the SAME HOF ``aggregate(zip_with(...))``
+    as :func:`dot` — bit-identical by construction — NOT a straight-
+    line expansion: bits*dim expanded terms per bucket column blew the
+    janino 64KB method limit, and a failed compile disables
+    whole-stage codegen for the WHOLE stage (measured 9x slower on
+    ann_lsh_topk — the r15 negative result that pinned this form)."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_hyperplane_bucket(v: str, planes: list[list[float]]) -> str:
+    """SQL-fragment twin of :func:`hyperplane_bucket` — ONE parsed
+    string instead of ~(dim + 3) py4j Column round trips PER PLANE of
+    pure driver-side plan construction; per-row execution is the same
+    interpreted HOF fold as the Column form (see :func:`sql_plane_dot`
+    for why a straight-line expansion is NOT safe at bits x dim
+    terms). Integer bit sum and the >= 0 sign test are exact, so
+    buckets are bit-identical to the Column form."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {sql_plane_dot(v, plane)} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        + ")"
+    )
+
+
+def sql_norm(a: str, dim: int) -> str:
+    """``sqrt(<a, a>)`` as a straight-line SQL fragment — the twin of
+    :func:`norm` (bit-identical: same self-dot fold, sqrt correctly
+    rounded in both forms)."""
+    return f"sqrt({sql_dot(a, a, dim)})"
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    """``dot/(norm*norm)`` as ONE straight-line SQL fragment — the
+    twin of :func:`cosine`: the exact same double ops in the exact
+    same order, but whole-stage-codegen arithmetic instead of three
+    interpreted HOF folds allocating intermediate arrays per row."""
+    return f"({sql_dot(a, b, dim)} / ({sql_norm(a, dim)} * {sql_norm(b, dim)}))"
 
 
 def norm(a: Column) -> Column:

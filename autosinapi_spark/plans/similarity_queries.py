@@ -20,14 +20,14 @@ from pyspark.sql.functions import broadcast
 from ..catalog import load, row_count
 from ..functions.vectors import (
     as_double,
-    cosine,
     derive_lsh_params,
-    dot_fixed,
-    hyperplane_bucket,
     norm,
     rademacher_planes,
     sq_dist_fixed,
+    sql_cosine,
     sql_dot,
+    sql_hyperplane_bucket,
+    sql_norm,
     sql_sqdist,
 )
 from .registry import davg, dsum, register
@@ -66,16 +66,26 @@ _BRUTE_ORACLE = f"""
     "baseline; extension).",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: per-vector norm hoisted to the scan (once per row, not once
+    # per pair) and the pair dot as one parsed straight-line SQL
+    # string — same left-associated accumulation from the IEEE-no-op
+    # 0.0 seed, so every rounded cosine is bit-identical to the HOF
+    # cosine() form.
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", F.expr(f"sqrt({sql_dot('v', 'v', _DIM)})"))
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     pairs = emb.join(broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            F.expr(sql_dot("qv", "v", _DIM)) / (F.col("nq") * F.col("nv")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
@@ -169,14 +179,30 @@ def _lsh_topk_plan(
     vector — so recall is bought without another pass over the corpus,
     which is the knob that matters at 100 TB (vs stacking tables,
     which re-keys every corpus vector).
+
+    r15: bucket keys and the pair cosine are ONE parsed SQL string
+    each (sql_hyperplane_bucket / sql_dot — straight-line codegen
+    arithmetic, no interpreted HOF lambdas, ~10^3 fewer py4j plan-
+    construction round trips), and the per-vector norm is hoisted to
+    the corpus scan so each candidate pair pays one dot instead of
+    one dot + two norms. Same accumulation order everywhere
+    (left-associated from an IEEE-no-op 0.0 seed), so every rounded
+    cosine — and therefore the ranking — is bit-identical.
     """
+    dim = len(planes[0])
+    emb_n = emb.withColumn(
+        "nv", F.expr(f"sqrt({sql_dot('v', 'v', dim)})")
+    )
     buckets = [
-        hyperplane_bucket(F.col("v"), planes[t * bits : (t + 1) * bits])
+        F.expr(
+            sql_hyperplane_bucket("v", planes[t * bits : (t + 1) * bits])
+        )
         for t in range(tables)
     ]
-    keyed = emb.select(
+    keyed = emb_n.select(
         "vec_id",
         "v",
+        "nv",
         F.explode(
             F.array(
                 *[
@@ -188,6 +214,7 @@ def _lsh_topk_plan(
     ).select(
         "vec_id",
         "v",
+        "nv",
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -197,6 +224,7 @@ def _lsh_topk_plan(
         "bucket",
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     if probe_radius > 0:
         masks = _probe_masks(bits, probe_radius)
@@ -212,6 +240,7 @@ def _lsh_topk_plan(
             ).alias("bucket"),
             "query_id",
             "qv",
+            "nq",
         )
     cand = (
         keyed.join(broadcast(q), ["tbl", "bucket"])
@@ -221,7 +250,10 @@ def _lsh_topk_plan(
     pairs = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            F.expr(sql_dot("qv", "v", dim)) / (F.col("nq") * F.col("nv")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
@@ -563,8 +595,12 @@ def _embedding_pair_plan(
     dropped bucket still pair in their OTHER tables' buckets). The
     over-full bucket list is tiny by construction, so it broadcasts.
     None (the oracle-registered path) disables the cap."""
+    # r15: bucket keys as one parsed SQL fragment per table (straight-
+    # line codegen arithmetic; bit-identical — see sql_hyperplane_bucket)
     buckets = [
-        hyperplane_bucket(F.col("v"), planes[t * bits : (t + 1) * bits])
+        F.expr(
+            sql_hyperplane_bucket("v", planes[t * bits : (t + 1) * bits])
+        )
         for t in range(tables)
     ]
     keyed = corpus.select(
@@ -600,9 +636,14 @@ def _embedding_pair_plan(
     )
     # norms are per-VECTOR, so compute them once per corpus row (N of
     # them) rather than twice per candidate pair (2 x ~30N); the
-    # arithmetic is unchanged — sqrt(dot(v,v)) on the same doubles —
-    # so the rounded cosine stays bit-identical to the oracle's.
-    vecs = corpus.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    # arithmetic is unchanged — sqrt(dot(v,v)) on the same doubles,
+    # straight-line instead of interpreted HOF (r15; bit-identical:
+    # the HOF's 0.0 seed is an IEEE no-op) — so the rounded cosine
+    # stays bit-identical to the oracle's.
+    dim = len(planes[0])
+    vecs = corpus.select(
+        "vec_id", "v", F.expr(f"sqrt({sql_dot('v', 'v', dim)})").alias("nv")
+    )
     pairs = cand.join(
         vecs.select(
             F.col("vec_id").alias("id_a"),
@@ -622,8 +663,7 @@ def _embedding_pair_plan(
         "id_a",
         "id_b",
         F.round(
-            dot_fixed(F.col("va"), F.col("vb"), _DIM)
-            / (F.col("na") * F.col("nb")),
+            F.expr(sql_dot("va", "vb", dim)) / (F.col("na") * F.col("nb")),
             6,
         ).alias("cos_sim"),
     )
@@ -826,13 +866,13 @@ def _ivf_scored(emb: DataFrame, k: int) -> DataFrame:
         .select(
             F.col("vec_id").alias("cid"),
             F.col("v").alias("cv"),
-            norm(F.col("v")).alias("cn"),
+            F.expr(sql_norm("v", _DIM)).alias("cn"),
         )
         .agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
     )
     cols = list(emb.columns)
     return emb.withColumn(
-        "__nv", norm(F.col("v"))
+        "__nv", F.expr(sql_norm("v", _DIM))
     ).crossJoin(broadcast(cents)).select(
         *cols,
         # one parsed SQL string (r15); named_struct field order
@@ -921,7 +961,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(F.expr(sql_cosine("qv", "v", _DIM)), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1755,7 +1797,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(F.expr(sql_cosine("qv", "cv", _DIM)), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2207,14 +2249,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan per batch; recall rises via multi-probe masks on the
     broadcast side only (``_lsh_topk_plan`` shows the knob).
     """
+    # r15: SQL-fragment buckets, hoisted per-vector norms, and the
+    # pair dot as one parsed straight-line string — see _lsh_topk_plan
+    # (same rationale, same bit-identity argument).
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         as_double(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("nv", F.expr(f"sqrt({sql_dot('v', 'v', _DIM)})"))
     buckets = [
-        hyperplane_bucket(
-            F.col("v"), _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
+        F.expr(
+            sql_hyperplane_bucket(
+                "v", _PLANES[t * _LSH_BITS : (t + 1) * _LSH_BITS]
+            )
         )
         for t in range(_LSH_TABLES)
     ]
@@ -2222,6 +2269,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "v",
+        "nv",
         F.explode(
             F.array(
                 *[
@@ -2234,6 +2282,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "v",
+        "nv",
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -2243,6 +2292,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     cand = (
         keyed.join(broadcast(q), ["tbl", "bucket"])
@@ -2256,7 +2306,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                F.expr(sql_dot("qv", "v", _DIM))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2398,7 +2452,11 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            # one parsed straight-line string (r15): same double ops in
+            # the same order as the HOF cosine() — bit-identical
+            F.round(F.expr(sql_cosine("qv", "v", _DIM)), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2437,9 +2495,9 @@ def _imi_scored(emb: DataFrame, n: int) -> DataFrame:
         .select(
             F.col("vec_id").alias("cid"),
             F.col("v1").alias("c1"),
-            norm(F.col("v1")).alias("n1"),
+            F.expr(sql_norm("v1", _IMI_HALF)).alias("n1"),
             F.col("v2").alias("c2"),
-            norm(F.col("v2")).alias("n2"),
+            F.expr(sql_norm("v2", _IMI_HALF)).alias("n2"),
         )
         .agg(
             F.collect_list(F.struct("cid", "c1", "n1", "c2", "n2")).alias(
@@ -2462,8 +2520,8 @@ def _imi_scored(emb: DataFrame, n: int) -> DataFrame:
         )
 
     return (
-        halves.withColumn("__nv1", norm(F.col("v1")))
-        .withColumn("__nv2", norm(F.col("v2")))
+        halves.withColumn("__nv1", F.expr(sql_norm("v1", _IMI_HALF)))
+        .withColumn("__nv2", F.expr(sql_norm("v2", _IMI_HALF)))
         .crossJoin(broadcast(cb))
         .select(
             "vec_id",
@@ -2681,7 +2739,9 @@ def _adc_rerank(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(F.expr(sql_cosine("qv", "cv", _DIM)), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -522,7 +522,7 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot_fixed, norm
+    from ..functions.vectors import sql_dot, sql_norm
 
     sparse = doc_feature_hashing(spark, sf_dir)
     dense = sparse.groupBy("doc_id").agg(
@@ -538,8 +538,12 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms hoisted once per vector and the fixed-dim expanded dot —
     # the same per-pair-cost discipline as _embedding_pair_plan; the
     # arithmetic (sqrt(dot(v,v)), left-to-right fold) is unchanged so
-    # the rounded cosine stays oracle-identical.
-    dense_n = dense.select("doc_id", "v", norm(F.col("v")).alias("nv"))
+    # the rounded cosine stays oracle-identical. r15: both as ONE
+    # parsed straight-line SQL string (codegen arithmetic, no py4j
+    # Column-tree construction) — bit-identical per sql_dot's note.
+    dense_n = dense.select(
+        "doc_id", "v", F.expr(sql_norm("v", _FH_DIM)).alias("nv")
+    )
     q = dense_n.where(F.col("doc_id") < _DOCSIM_Q).select(
         F.col("doc_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -551,7 +555,7 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("doc_id").alias("cand_id"),
         F.round(
-            dot_fixed(F.col("qv"), F.col("v"), _FH_DIM)
+            F.expr(sql_dot("qv", "v", _FH_DIM))
             / (F.col("nq") * F.col("nv")),
             6,
         ).alias("cos_sim"),
