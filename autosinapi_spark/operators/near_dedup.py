@@ -300,9 +300,13 @@ def ngram_jaccard_pairs(
         base.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b")),
         "id_b",
     )
-    jac = F.size(F.array_intersect("sg_a", "sg_b")) / F.size(
-        F.array_union("sg_a", "sg_b")
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the DISTINCT shingle sets both
+    # sides carry by construction (r15): one array pass per pair
+    # instead of two, no union-array allocation; integer identity, so
+    # the rounded jaccard is bit-identical (the oracle's
+    # len(list_distinct(a.sg || b.sg)) computes the same |A ∪ B|).
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    jac = inter / (F.size("sg_a") + F.size("sg_b") - inter)
     return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
@@ -428,9 +432,13 @@ def minhash_near_dup_pairs(
         base.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b")),
         "id_b",
     )
-    jac = F.size(F.array_intersect("sg_a", "sg_b")) / F.size(
-        F.array_union("sg_a", "sg_b")
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the DISTINCT shingle sets both
+    # sides carry by construction (r15): one array pass per pair
+    # instead of two, no union-array allocation; integer identity, so
+    # the rounded jaccard is bit-identical (the oracle's
+    # len(list_distinct(a.sg || b.sg)) computes the same |A ∪ B|).
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    jac = inter / (F.size("sg_a") + F.size("sg_b") - inter)
     return (
         pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -504,9 +512,13 @@ def minhash_incremental_matches(
         base_new.select(F.col("id").alias("new_id"), F.col("sg").alias("sg_b")),
         "new_id",
     )
-    jac = F.size(F.array_intersect("sg_a", "sg_b")) / F.size(
-        F.array_union("sg_a", "sg_b")
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the DISTINCT shingle sets both
+    # sides carry by construction (r15): one array pass per pair
+    # instead of two, no union-array allocation; integer identity, so
+    # the rounded jaccard is bit-identical (the oracle's
+    # len(list_distinct(a.sg || b.sg)) computes the same |A ∪ B|).
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    jac = inter / (F.size("sg_a") + F.size("sg_b") - inter)
     scored = pairs.select(
         "new_id", "matched_id", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
