@@ -51,15 +51,12 @@ extend the LLM-corpus curation surface.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import tokens
 from ..operators.near_dedup import (
-    band_keys,
     base_hashes,
     minhash_signature,
     portable_hash64,
@@ -567,20 +564,27 @@ def lsh_band_tuning_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).localCheckpoint(eager=False)
 
-    frames = []
+    # ONE explode over all configs' band keys (r15): the former
+    # 4-branch union re-scanned the checkpointed signature frame once
+    # per config; flattening every (config, band) key into a single
+    # 15-struct array pays one scan and one explode for the same key
+    # multiset (order is irrelevant — the next step is a groupBy).
+    entries = []
     for b, r in _TUNE_CONFIGS:
-        keyed = sig.select(
-            F.explode(
-                band_keys([F.col(f"h{i}") for i in range(_TUNE_K)], b, r)
-            ).alias("tb")
-        ).select(
-            F.lit(b).alias("bands"),
-            F.lit(r).alias("rows_per_band"),
-            F.col("tb.band").alias("band"),
-            F.col("tb.bkey").alias("bkey"),
-        )
-        frames.append(keyed)
-    keys = reduce(lambda a, c: a.unionByName(c), frames)
+        for band in range(b):
+            chunk = [F.col(f"h{band * r + i}") for i in range(r)]
+            key = F.md5(F.concat_ws(",", *[c.cast("string") for c in chunk]))
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(band).alias("band"),
+                    key.alias("bkey"),
+                )
+            )
+    keys = sig.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.bands", "e.rows_per_band", "e.band", "e.bkey"
+    )
     counts = keys.groupBy("bands", "rows_per_band", "band", "bkey").agg(
         F.count(F.lit(1)).alias("n")
     )
