@@ -280,17 +280,31 @@ def near_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = corpus_signatures(_corpus(spark, sf_dir)).localCheckpoint(
         eager=True
     )
-    truth = ngram_jaccard_pairs(
-        None, ngram=3, threshold=_JACCARD_T, base=sigs
-    ).select("id_a", "id_b")
-    lsh = minhash_near_dup_pairs(
-        None,
-        num_hashes=K,
-        bands=BANDS,
-        rows=ROWS,
-        threshold=0.5,
-        signatures=sigs,
-    ).select("id_a", "id_b")
+    # Each arm feeds TWO consumers (its own count + the hit join)
+    # whose different column pruning breaks canonical equality — the
+    # executed r15 plan showed ZERO ReusedExchange and both arm
+    # pipelines running twice (40 ExistingRDD scans, 28 exchanges).
+    # Checkpoint the tiny (id_a, id_b) pair lists eagerly so each arm
+    # executes once; unlike the association_rules negative result the
+    # reuse here is demonstrably absent and the materialized frames
+    # are pair lists, not corpus-sized.
+    truth = (
+        ngram_jaccard_pairs(None, ngram=3, threshold=_JACCARD_T, base=sigs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        minhash_near_dup_pairs(
+            None,
+            num_hashes=K,
+            bands=BANDS,
+            rows=ROWS,
+            threshold=0.5,
+            signatures=sigs,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
 
     t = truth.agg(F.count(F.lit(1)).alias("n_true"))
